@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.4 A1–A17).
+  *
+  * The reference's deployed engine answers these on the broker SQL endpoint
+  * (Pinot 1.2.0 aggregation functions; version pin
+  * `/root/reference/resources/bastion/bastionUserData.sh:7`). Spark plans every
+  * groupBy as partial HashAggregate -> shuffle -> final HashAggregate, which is
+  * exactly the reference's server-partial/broker-final scatter-gather
+  * (`/root/reference/README.md:22`) — so these scale by construction: the only
+  * shuffle is on the (low-cardinality) grouping keys, after map-side combine.
+  *
+  * Oracle-parity notes:
+  *  - double aggregates are rounded (accumulation order differs per engine);
+  *  - integer SUMs are CAST(.. AS BIGINT) in DuckDB (it widens to HUGEINT);
+  *  - every output is totally ordered with a unique tiebreak.
+  */
+object AggQueries {
+
+  /** A1/A2/A13: the TPC-H Q1 shape — multi-key hash agg with sum/avg/count. */
+  private val aggBasic = Q(
+    "q_agg_basic",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.filter(col("l_quantity") > 0)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem WHERE l_quantity > 0
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** A1/A4: COUNT(*), COUNT(col), COUNT(DISTINCT col) (Pinot DISTINCTCOUNT). */
+  private val aggCount = Q(
+    "q_agg_count",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_orderkey"),
+          countDistinct(col("l_orderkey")).as("n_distinct_orders"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_distinct_ps"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+            count(*) AS n_rows,
+            count(l_orderkey) AS n_orderkey,
+            count(DISTINCT l_orderkey) AS n_distinct_orders,
+            count(DISTINCT (l_partkey, l_suppkey)) AS n_distinct_ps
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A2/A3: MIN/MAX and Pinot MINMAXRANGE = max - min (exact, no rounding:
+    * min/max return raw stored values identical in both engines). */
+  private val aggMinMax = Q(
+    "q_agg_minmax",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          round(max(col("l_extendedprice")) - min(col("l_extendedprice")), 2).as("minmaxrange_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            min(l_extendedprice) AS min_price,
+            max(l_extendedprice) AS max_price,
+            round(max(l_extendedprice) - min(l_extendedprice), 2) AS minmaxrange_price,
+            min(l_shipdate) AS min_ship,
+            max(l_shipdate) AS max_ship
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** A9: variance/stddev family (same definitional formulas in both engines;
+    * rounded because accumulation order differs). */
+  private val aggStats = Q(
+    "q_agg_stats",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(var_pop(col("l_quantity")), 4).as("var_pop_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_samp_qty"),
+          round(stddev_pop(col("l_quantity")), 4).as("stddev_pop_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("stddev_samp_qty"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_pop_qp"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+            round(var_pop(l_quantity), 4) AS var_pop_qty,
+            round(var_samp(l_quantity), 4) AS var_samp_qty,
+            round(stddev_pop(l_quantity), 4) AS stddev_pop_qty,
+            round(stddev_samp(l_quantity), 4) AS stddev_samp_qty,
+            round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_pop_qp,
+            round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A7: exact interpolated percentiles (Pinot PERCENTILE; we declare the
+    * exact form so the oracle hash-matches — SURVEY.md §7.4.1). */
+  private val aggPercentile = Q(
+    "q_agg_percentile",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25_qty"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+          round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+            round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+            round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+            round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+            round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A8: HISTOGRAM as fixed-width bucketing + count (Pinot HISTOGRAM is the
+    * same shape; bucket id is a pure function so this is one map-side-combined
+    * shuffle — scale-safe). */
+  private val aggHistogram = Q(
+    "q_agg_histogram",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.withColumn("bucket", floor(col("l_extendedprice") / 5000.0).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket, count(*) AS n
+            FROM lineitem GROUP BY bucket ORDER BY bucket"""))
+
+  /** A10: MODE, made deterministic (most frequent value, ties broken by the
+    * smallest value) via count + row_number — identical plan shape in both
+    * engines, unlike native mode() whose tie-breaking is engine-defined. */
+  private val aggMode = Q(
+    "q_agg_mode",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      val counts = li.groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("n").desc, col("l_quantity").asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n").as("mode_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH counts AS (
+              SELECT l_returnflag, l_quantity, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            ), ranked AS (
+              SELECT l_returnflag, l_quantity, n,
+                     row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rn
+              FROM counts
+            )
+            SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+            FROM ranked WHERE rn = 1 ORDER BY l_returnflag"""))
+
+  /** A11: FIRSTWITHTIME / LASTWITHTIME — first/last order per customer by
+    * event time, deterministic tiebreak on the unique key. */
+  private val aggFirstLast = Q(
+    "q_agg_firstlast",
+    (spark, dir) => {
+      val o = Tables.t(spark, dir, "orders")
+      val wAsc = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wDesc = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      o.withColumn("rn_first", row_number().over(wAsc))
+        .withColumn("rn_last", row_number().over(wDesc))
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("rn_first") === 1, col("o_orderkey"))).as("first_orderkey"),
+          max(when(col("rn_last") === 1, col("o_orderkey"))).as("last_orderkey"))
+        .orderBy(col("o_custkey"))
+        .limit(200)
+    },
+    Some("""WITH ranked AS (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_first,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_last
+              FROM orders
+            )
+            SELECT o_custkey,
+                   max(CASE WHEN rn_first = 1 THEN o_orderkey END) AS first_orderkey,
+                   max(CASE WHEN rn_last = 1 THEN o_orderkey END) AS last_orderkey
+            FROM ranked GROUP BY o_custkey ORDER BY o_custkey LIMIT 200"""))
+
+  /** A14: HAVING — post-aggregation predicate. */
+  private val aggHaving = Q(
+    "q_agg_having",
+    (spark, dir) => {
+      val o = Tables.t(spark, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_spend"))
+        .filter(col("n_orders") >= 5)
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 5 ORDER BY o_custkey"""))
+
+  /** A15: per-aggregate FILTER (WHERE ...) clause. */
+  private val aggFilterClause = Q(
+    "q_agg_filter_clause",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))), 2).as("returned_price"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("discounted_price"),
+          count(when(col("l_tax") > 0.0, lit(1))).as("n_taxed"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""SELECT l_linestatus,
+            round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 2) AS returned_price,
+            round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS discounted_price,
+            count(*) FILTER (WHERE l_tax > 0.0) AS n_taxed
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** A16: DISTINCT row dedup. */
+  private val distinctRows = Q(
+    "q_agg_distinct_rows",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** A17: ROLLUP (multistage Calcite superset; Spark native). NULLS FIRST is
+    * explicit in the oracle because DuckDB's default ASC ordering is NULLS
+    * LAST while Spark's is NULLS FIRST. */
+  private val aggRollup = Q(
+    "q_agg_rollup",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** A17: CUBE. */
+  private val aggCube = Q(
+    "q_agg_cube",
+    (spark, dir) => {
+      val o = Tables.t(spark, dir, "orders")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** A17: GROUPING SETS via the SQL surface (S11). */
+  private val aggGroupingSets = Q.sqlOnly(
+    "q_agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  /** A12: SUMPRECISION — overflow-safe exact decimal accumulation, surfaced
+    * as double after the exact sum (result identical in both engines because
+    * the accumulation itself is exact). */
+  private val aggSumPrecision = Q(
+    "q_agg_sumprec",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_exact
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(
+    aggBasic, aggCount, aggMinMax, aggStats, aggPercentile, aggHistogram,
+    aggMode, aggFirstLast, aggHaving, aggFilterClause, distinctRows,
+    aggRollup, aggCube, aggGroupingSets, aggSumPrecision)
+}

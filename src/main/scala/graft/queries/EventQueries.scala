@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's own data-model queries, re-expressed on the `events`
+  * fixture (the Spark analogue of the Pinot REALTIME table `kinesisTable`,
+  * see FIXTURES.md).
+  *
+  * The reference's demo workload is "revenue by campaign over time" on a
+  * stream of purchase events (KDG template `/root/reference/README.md:88-108`,
+  * time column `creationTimestamp` with 1-day granularity —
+  * `resources/pinot/resources/kinesisTable.json:26-31`). Here `ts` is the
+  * event-time column, `event_type` plays `campaign`, `value` plays `price`,
+  * and `props` is a JSON payload exercising the JSON function family (C4).
+  *
+  * Oracle-parity note: `events.ts` is nanosecond parquet; Spark truncates to
+  * microseconds while DuckDB keeps ns — so every declared query buckets the
+  * timestamp (date_trunc) instead of selecting it raw (FIXTURES.md caveat).
+  */
+object EventQueries {
+
+  /** Flagship: daily revenue per event type — the reference's Tableau-dashboard
+    * shape (`README.md:23`). Exercises S4 time parsing, F1/F2, A2, A13, C3, O1.
+    * Scale: one shuffle on (day, type) after map-side partial agg; partition
+    * pruning on a dt partition column would bound the scan at 100 TB. */
+  val eventsByDay = Q(
+    "q_events_by_day",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      ev.withColumn("day", date_trunc("day", col("ts")))
+        .groupBy(col("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""SELECT date_trunc('day', ts) AS day, event_type,
+            count(*) AS n_events,
+            round(sum(value), 2) AS total_value,
+            count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY day, event_type ORDER BY day, event_type"""))
+
+  /** Hourly tumbling bucket (T4: query-time DATETRUNC windowing, the Pinot
+    * model — windows are computed at query time, not ingest time). */
+  val eventsByHour = Q(
+    "q_events_by_hour",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      ev.withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy(col("hour"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("hour"))
+    },
+    Some("""SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+            round(avg(value), 4) AS avg_value
+            FROM events GROUP BY hour ORDER BY hour"""))
+
+  /** S9: 7-day retention semantics (`kinesisTableConfigFile.json:7-9`) applied
+    * as a query-time predicate relative to the table's max event time (the
+    * fixture is static, so "now" = max(ts) keeps it deterministic).
+    * The max(ts) scalar is broadcast — no shuffle of the fact table. */
+  val eventsRetention = Q(
+    "q_events_retention",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+      ev.crossJoin(broadcast(maxTs))
+        .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_recent"), round(sum(col("value")), 2).as("recent_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n_recent, round(sum(value), 2) AS recent_value
+            FROM events
+            WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** C4: JSON extraction from the props payload (Pinot JSONEXTRACTSCALAR —
+    * the decode path of S3, `kinesisTableConfigFile.json:21`). */
+  val eventsJson = Q(
+    "q_events_json",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+            count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+            CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+            min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+            max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
+  def entry(spark: SparkSession): DataFrame =
+    eventsByDay.run(spark, "/root/testdata/sf0.001")
+
+  val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson)
+}
