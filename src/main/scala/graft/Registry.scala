@@ -7,7 +7,11 @@ import graft.queries._
 object Registry {
   def families: Seq[Seq[Q]] = Seq(
     EventQueries.all,
-    AggQueries.all)
+    AggQueries.all,
+    FilterQueries.all,
+    JoinQueries.all,
+    WindowQueries.all,
+    SortSetQueries.all)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten
