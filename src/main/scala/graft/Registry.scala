@@ -11,7 +11,8 @@ object Registry {
     FilterQueries.all,
     JoinQueries.all,
     WindowQueries.all,
-    SortSetQueries.all)
+    SortSetQueries.all,
+    ScalarQueries.all)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.8 C1–C8) — the Pinot 1.2.0 transform
+  * function families, mapped to codegen'd `org.apache.spark.sql.functions`
+  * (never Scala UDFs: these all stay inside whole-stage codegen).
+  *
+  * Declared queries are per-row transforms over a key-ordered LIMIT so the
+  * oracle compares actual scalar outputs, not just aggregates of them.
+  * Cross-engine notes baked in below: Spark `ceil` returns LONG (DuckDB
+  * DOUBLE — cast), DuckDB `epoch()` returns DOUBLE (cast to BIGINT), DuckDB
+  * regexp_replace needs the 'g' flag to match Spark's replace-all, DuckDB
+  * `date_trunc('month')` returns DATE (cast to TIMESTAMP).
+  */
+object ScalarQueries {
+
+  /** C1: string family (Pinot UPPER/LOWER/CONCAT/SUBSTR/STRPOS/REPLACE/TRIM/
+    * LENGTH/REGEXP_EXTRACT/REGEXP_REPLACE/STARTSWITH/REVERSE/LPAD/RPAD...). */
+  private val strFuncs = Q(
+    "q_scalar_string",
+    (spark, dir) => {
+      val p = Tables.t(spark, dir, "part")
+      p.select(
+          col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          lower(col("p_brand")).as("l"),
+          substring(col("p_name"), 2, 5).as("sub"),
+          length(col("p_name")).as("len"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("cat"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("catws"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("repl"),
+          regexp_extract(col("p_name"), "[0-9]+", 0).as("digits"),
+          instr(col("p_name"), "a").as("pos_a"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          rpad(col("p_brand"), 12, "#").as("rpadded"),
+          reverse(col("p_type")).as("rev"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+          repeat(col("p_brand"), 2).as("rep2"),
+          col("p_name").startsWith("a").as("starts_a"),
+          col("p_name").endsWith("e").as("ends_e"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("first_word"))
+        .orderBy(col("p_partkey"))
+        .limit(100)
+    },
+    Some("""SELECT p_partkey,
+            upper(p_name) AS u, lower(p_brand) AS l,
+            substring(p_name, 2, 5) AS sub, length(p_name) AS len,
+            concat(p_brand, '-', p_type) AS cat,
+            concat_ws('|', p_brand, p_type) AS catws,
+            regexp_replace(p_name, '[aeiou]', '_', 'g') AS repl,
+            regexp_extract(p_name, '[0-9]+') AS digits,
+            strpos(p_name, 'a') AS pos_a,
+            lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+            rpad(p_brand, 12, '#') AS rpadded,
+            reverse(p_type) AS rev,
+            trim('  ' || p_brand || '  ') AS trimmed,
+            repeat(p_brand, 2) AS rep2,
+            starts_with(p_name, 'a') AS starts_a,
+            suffix(p_name, 'e') AS ends_e,
+            split_part(p_type, ' ', 1) AS first_word
+            FROM part ORDER BY p_partkey LIMIT 100"""))
+
+  /** C2: math family. Outputs rounded where transcendental (libm last-ulp may
+    * differ across engines); integer-exact ops compared raw. */
+  private val mathFuncs = Q(
+    "q_scalar_math",
+    (spark, dir) => {
+      val o = Tables.t(spark, dir, "orders")
+      val x = col("o_totalprice")
+      o.select(
+          col("o_orderkey"),
+          round(abs(-x), 2).as("abs_v"),
+          ceil(x).as("ceil_v"),
+          floor(x).as("floor_v"),
+          round(x / 1000.0, 3).as("div_r"),
+          round(sqrt(x), 6).as("sqrt_v"),
+          round(log(x), 6).as("ln_v"),
+          round(log10(x), 6).as("log10_v"),
+          round(log2(x), 6).as("log2_v"),
+          round(pow(x / 100000.0, 3.0), 6).as("pow_v"),
+          (col("o_orderkey") % 7).as("mod_v"),
+          signum(x - 100000.0).cast("int").as("sign_v"),
+          round(sin(x / 100000.0), 6).as("sin_v"),
+          round(cos(x / 100000.0), 6).as("cos_v"),
+          round(atan2(x, lit(100000.0)), 6).as("atan2_v"),
+          round(cbrt(x), 6).as("cbrt_v"),
+          round(exp(x / 1000000.0), 6).as("exp_v"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT o_orderkey,
+            round(abs(-o_totalprice), 2) AS abs_v,
+            CAST(ceil(o_totalprice) AS BIGINT) AS ceil_v,
+            CAST(floor(o_totalprice) AS BIGINT) AS floor_v,
+            round(o_totalprice / 1000.0, 3) AS div_r,
+            round(sqrt(o_totalprice), 6) AS sqrt_v,
+            round(ln(o_totalprice), 6) AS ln_v,
+            round(log10(o_totalprice), 6) AS log10_v,
+            round(log2(o_totalprice), 6) AS log2_v,
+            round(power(o_totalprice / 100000.0, 3.0), 6) AS pow_v,
+            o_orderkey % 7 AS mod_v,
+            CAST(sign(o_totalprice - 100000.0) AS INT) AS sign_v,
+            round(sin(o_totalprice / 100000.0), 6) AS sin_v,
+            round(cos(o_totalprice / 100000.0), 6) AS cos_v,
+            round(atan2(o_totalprice, 100000.0), 6) AS atan2_v,
+            round(cbrt(o_totalprice), 6) AS cbrt_v,
+            round(exp(o_totalprice / 1000000.0), 6) AS exp_v
+            FROM orders ORDER BY o_orderkey LIMIT 100"""))
+
+  /** C3: date/time family (Pinot ToEpoch/FromEpoch/DATETRUNC/YEAR...WEEK).
+    * `weekday(d)+1` = DuckDB isodow; epoch cast to BIGINT on the oracle side. */
+  private val dateFuncs = Q(
+    "q_scalar_datetime",
+    (spark, dir) => {
+      val o = Tables.t(spark, dir, "orders")
+      val d = col("o_orderdate")
+      o.select(
+          col("o_orderkey"),
+          year(d).as("y"),
+          month(d).as("m"),
+          dayofmonth(d).as("dom"),
+          quarter(d).as("q"),
+          dayofyear(d).as("doy"),
+          weekofyear(d).as("woy"),
+          (weekday(d) + 1).as("isodow"),
+          unix_timestamp(d).as("epoch_s"),
+          date_format(d, "yyyy-MM-dd HH:mm:ss").as("fmt"),
+          date_trunc("month", d).as("month_start"),
+          last_day(d).cast("timestamp").as("month_end"),
+          add_months(d.cast("date"), 1).cast("timestamp").as("plus_month"),
+          datediff(lit("2025-01-01").cast("date"), d.cast("date")).as("days_to_2025"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT o_orderkey,
+            CAST(year(o_orderdate) AS INT) AS y,
+            CAST(month(o_orderdate) AS INT) AS m,
+            CAST(day(o_orderdate) AS INT) AS dom,
+            CAST(quarter(o_orderdate) AS INT) AS q,
+            CAST(dayofyear(o_orderdate) AS INT) AS doy,
+            CAST(weekofyear(o_orderdate) AS INT) AS woy,
+            CAST(isodow(o_orderdate) AS INT) AS isodow,
+            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+            CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+            CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 1 MONTH) AS TIMESTAMP) AS plus_month,
+            datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025
+            FROM orders ORDER BY o_orderkey LIMIT 100"""))
+
+  /** C7: hash / binary / base64 family (Pinot SHA/SHA256/MD5/toBase64).
+    * sha1/crc32 have no DuckDB twin — covered by ScalaTest instead. */
+  private val hashFuncs = Q(
+    "q_scalar_hash",
+    (spark, dir) => {
+      val p = Tables.t(spark, dir, "part")
+      p.select(
+          col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("md5_name"),
+          sha2(col("p_name").cast("binary"), 256).as("sha256_name"),
+          base64(col("p_name").cast("binary")).as("b64_name"),
+          octet_length(col("p_name")).as("n_bytes"))
+        .orderBy(col("p_partkey"))
+        .limit(100)
+    },
+    Some("""SELECT p_partkey,
+            md5(p_name) AS md5_name,
+            sha256(p_name) AS sha256_name,
+            to_base64(encode(p_name)) AS b64_name,
+            octet_length(encode(p_name)) AS n_bytes
+            FROM part ORDER BY p_partkey LIMIT 100"""))
+
+  /** C5: array/MV family over the embeddings fixture (Pinot MV columns are
+    * ArrayType — SURVEY.md §1.2). Element access is 1-based in both engines;
+    * sums accumulate in float64 sequentially in both (verified). */
+  private val arrayFuncs = Q(
+    "q_scalar_array",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      e.select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_v"),
+          round(array_min(col("embedding")).cast("double"), 4).as("min_v"),
+          round(array_max(col("embedding")).cast("double"), 4).as("max_v"),
+          round(aggregate(col("embedding"), lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("sum_v"),
+          size(slice(col("embedding"), 1, 8)).as("head_dim"))
+        .orderBy(col("vec_id"))
+        .limit(200)
+    },
+    Some("""SELECT vec_id,
+            len(embedding) AS dim,
+            round(CAST(embedding[1] AS DOUBLE), 4) AS first_v,
+            round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_v,
+            round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_v,
+            round(list_sum(embedding), 4) AS sum_v,
+            len(embedding[1:8]) AS head_dim
+            FROM embeddings ORDER BY vec_id LIMIT 200"""))
+
+  /** C5: MV explode semantics (Pinot GROUP BY on an MV column explodes) —
+    * explode + groupBy over tokenized text. */
+  private val explodeMv = Q(
+    "q_scalar_explode",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      d.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(30)
+    },
+    Some("""SELECT token, count(*) AS n, count(DISTINCT lang) AS n_langs FROM (
+              SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+            ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 30"""))
+
+  val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs, explodeMv)
+}

@@ -23,6 +23,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    import datetime
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, datetime.date) or v is None).all():
+            df[c] = pd.to_datetime(df[c])
     return df.reset_index(drop=True)
 
 
