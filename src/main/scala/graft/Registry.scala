@@ -12,7 +12,11 @@ object Registry {
     JoinQueries.all,
     WindowQueries.all,
     SortSetQueries.all,
-    ScalarQueries.all)
+    ScalarQueries.all,
+    DedupQueries.all,
+    SimilarityQueries.all,
+    TextQueries.all,
+    MultimodalQueries.all)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -1,0 +1,66 @@
+package graft
+
+import graft.expressions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.GraftBridge
+import org.apache.spark.sql.functions._
+
+/** Column-level API for the graft extension operators (SURVEY.md §2.11) —
+  * the `org.apache.spark.sql.functions`-style surface of this engine.
+  */
+package object functions {
+
+  private def toExpr(c: Column) = GraftBridge.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    GraftBridge.column(e)
+
+  /** Cosine similarity of two float32 embedding arrays (native codegen'd
+    * Catalyst expression — see `graft.expressions.CosineSimilarity`). */
+  def cosine_sim(a: Column, b: Column): Column = toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** Float64 dot product of two float32 embedding arrays. */
+  def dot_product(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** SimHash-64 fingerprint of a token array. */
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+
+  /** Order-sensitive rolling-hash fingerprint of a token array. */
+  def fingerprint64(tokens: Column): Column = toCol(Fingerprint64(toExpr(tokens)))
+
+  /** Stable seeded 64-bit string hash (FNV-1a + SplitMix64). */
+  def stable_hash64(s: Column, seed: Long = 0L): Column = toCol(StableHash64(toExpr(s), seed))
+
+  /** Hamming distance between two 64-bit fingerprints — pure built-ins. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Whitespace tokenizer (the documents fixture is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as strings, e.g. n=3 → "a b c" windows.
+    * Pure Catalyst (`transform` over `sequence`) — no UDF, no explode. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    transform(idx, i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** MinHash signature: k minimums of independently-seeded stable hashes
+    * (seeded hashing instead of affine transforms keeps the math
+    * overflow-free under ANSI mode). Computed per row with zero shuffle
+    * (array ops only); the LSH band join afterwards is the only shuffle in
+    * the near-dup pipeline. */
+  def minhashSignature(toks: Column, k: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(toks, t => stable_hash64(t, 0x9e3779b97f4a7c15L * i + 1)))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: bands of `r` rows each, hashed.
+    * Docs sharing any band key are near-dup candidates. */
+  def lshBands(signature: Column, bands: Int, r: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(signature, b * r + 1, r)).as("key"))
+    }
+    array(keys: _*)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Q
+import graft.functions._
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search extension (SURVEY.md §2.11 X2): approximate nearest
+  * neighbors over the `embeddings` fixture (ArrayType(FloatType), dim 64).
+  *
+  * Two paths, same as a production vector pipeline:
+  *  - brute force: broadcast the (small) query set against the candidate
+  *    table — embarrassingly parallel, exact, O(Q×N); the right answer when
+  *    Q is small even at 100 TB of candidates.
+  *  - SRP-LSH bucketed: signed-random-projection bucket as a pre-shuffle
+  *    partition key, so each query only scans its bucket — the scale path
+  *    (recall traded for a ~buckets× scan reduction), one shuffle on bucket.
+  */
+object SimilarityQueries {
+
+  /** Deterministic signed-random-projection hyperplanes (java.util.Random is
+    * sequence-stable by spec; seed fixed). */
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** SRP bucket id: bit j = sign(embedding · plane_j). Pure Catalyst — the
+    * planes are literal float arrays, dots use the codegen'd DotProduct. */
+  def srpBucket(embedding: Column, nPlanes: Int): Column = {
+    val ps = planes(nPlanes, 64)
+    val bits = (0 until nPlanes).map { j =>
+      val plane = array(ps(j).map(v => lit(v.toFloat)): _*)
+      when(dot_product(embedding, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** X2 brute force: exact top-5 cosine neighbors for query vectors
+    * vec_id < 5. Ranking on the rounded similarity (with vec_id tiebreak)
+    * keeps the order engine-independent — float64 here vs float32-ish
+    * list_cosine_similarity in the oracle agree to ~1e-7. */
+  private val simTopkBrute = Q(
+    "q_sim_topk_brute",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val sims = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(
+          col("qid"), col("vec_id").as("nid"),
+          round(cosine_sim(col("qe"), col("embedding")), 4).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("nid"), col("sim"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            sims AS (
+              SELECT q.qid, e.vec_id AS nid,
+                     round(CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE), 4) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+            ), ranked AS (
+              SELECT qid, nid, sim,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+              FROM sims
+            )
+            SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""))
+
+  /** X2 scale path: SRP-LSH bucketed ANN — each query scans only its bucket.
+    * Output: top-3 in-bucket neighbors per query (rows-only check; recall vs
+    * brute force is asserted in SimilaritySpec). */
+  private val simAnnLsh = Q(
+    "q_sim_ann_lsh",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val bucketed = e.withColumn("bucket", srpBucket(col("embedding"), 8))
+      val queries = bucketed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      val sims = bucketed.join(queries, Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(
+          col("qid"), col("vec_id").as("nid"),
+          round(cosine_sim(col("qe"), col("embedding")), 4).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("nid"), col("sim"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    None,
+    doc = "SRP-LSH bucketed ANN; rows-only check, recall asserted in tests")
+
+  /** X2 label centroid similarity: per-label mean embedding then cosine of
+    * each label pair — the "semantic clustering" shape (exact, aggregated). */
+  private val simCentroids = Q(
+    "q_sim_centroids",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      // mean embedding per label: element-wise sum via explode-free posexplode
+      // alternative — aggregate over 64 positions with array ops
+      val centroids = e.groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          array((0 until 64).map(i =>
+            avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("centroid"))
+      val pairs = centroids.as("a")
+        .join(centroids.as("b"), col("a.label") < col("b.label"))
+        .select(
+          col("a.label").as("label_a"), col("b.label").as("label_b"),
+          round(
+            cosine_sim(col("a.centroid").cast("array<float>"), col("b.centroid").cast("array<float>")),
+            4).as("centroid_cos"))
+      pairs.orderBy(col("label_a"), col("label_b"))
+    },
+    None,
+    doc = "per-label centroid cosine matrix; rows-only check")
+
+  val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simCentroids)
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Q
+import graft.functions._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extension (SURVEY.md §2.11 X3): token counting, quality
+  * scoring, language ID, fingerprinting, tf-idf — the per-document scoring
+  * passes of a training-data pipeline. All are single-pass column
+  * expressions (no UDFs, no shuffle except the final small aggregations),
+  * so they stream over 100 TB at scan speed.
+  */
+object TextQueries {
+
+  /** X3 token counting: whitespace tokens + a BPE-ish subword count
+    * (alternating letter-digit boundaries + fixed 4-char chunks ≈ upper
+    * bound of subword splits) per language. */
+  private val textTokens = Q(
+    "q_text_tokens",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      d.withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_subwords", ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_subwords")).as("total_subwords"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+            round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+            CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens,
+            CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_subwords
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** X3 quality scoring: length stats, lexical diversity (distinct-token
+    * ratio), short-doc flagging, mean word length — per source. */
+  private val textQuality = Q(
+    "q_text_quality",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val toks = split(col("text"), " ")
+      d.withColumn("n_tokens", size(toks))
+        .withColumn("diversity", size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .withColumn("mean_word_len",
+          (length(col("text")) - size(toks) + 1).cast("double") / size(toks).cast("double"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(col("diversity")), 4).as("avg_diversity"),
+          round(avg(col("mean_word_len")), 4).as("avg_word_len"),
+          count(when(col("n_tokens") < 20, lit(1))).as("n_short_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+            round(avg(n_chars), 2) AS avg_chars,
+            round(avg(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' '))), 4) AS avg_diversity,
+            round(avg((length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' '))), 4) AS avg_word_len,
+            count(*) FILTER (WHERE len(string_split(text, ' ')) < 20) AS n_short_docs
+            FROM documents GROUP BY source ORDER BY source"""))
+
+  /** X3 language ID: stopword-profile n-gram heuristic — score each language
+    * by hits of its function-word set in the token stream, argmax with
+    * alphabetical tiebreak. (The fixture's text is synthetic English-ish for
+    * every lang label, so this reports the confusion matrix rather than
+    * accuracy; the scorer itself is verified on real multilingual snippets in
+    * LangIdSpec.) */
+  private val textLangId = Q(
+    "q_text_langid",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val toks = split(col("text"), " ")
+      val profiles: Seq[(String, Seq[String])] = Seq(
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+        "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
+        "es" -> Seq("el", "la", "de", "y", "es", "no", "con", "un"),
+        "fr" -> Seq("le", "la", "de", "et", "est", "ne", "avec", "un"),
+        "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+      val scores = profiles.map { case (langName, words) =>
+        struct(
+          (-size(array_intersect(toks, array(words.map(lit): _*)))).as("neg_score"),
+          lit(langName).as("lang"))
+      }
+      // argmax score with alphabetical tiebreak: ascending sort on
+      // (-score, lang) puts the best-scoring, alphabetically-first lang first
+      val best = sort_array(array(scores: _*))(0)
+      d.withColumn("predicted",
+          when(best.getField("neg_score") < 0, best.getField("lang")).otherwise(lit("unknown")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+    None,
+    doc = "stopword-profile language ID confusion matrix; rows-only check")
+
+  /** X3 fingerprinting: SimHash (bag-of-words) + rolling hash (order
+    * sensitive) per document — both native codegen'd expressions. */
+  private val textFingerprint = Q(
+    "q_text_fingerprint",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      d.select(
+          col("doc_id"),
+          simhash64(tokens(col("text"))).as("simhash"),
+          fingerprint64(tokens(col("text"))).as("rolling_fp"),
+          stable_hash64(col("text")).as("content_hash"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    },
+    None,
+    doc = "document fingerprints via native expressions; rows-only check")
+
+  /** X3 tf-idf: top-5 terms per language by tf·idf. Integer tf/df keep the
+    * only float (ln) bit-identical given the same integer inputs; ranking is
+    * on the rounded score with a term tiebreak. */
+  private val textTfidf = Q(
+    "q_text_tfidf",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      // total doc count as a broadcast scalar — no driver-side action
+      val total = d.agg(count(lit(1)).cast("double").as("n_docs_total"))
+      val exploded = d.select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = exploded.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = exploded.select(col("term"), col("doc_id")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(total))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs_total") / col("df")), 6))
+      val w = Window.partitionBy(col("lang")).orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some("""WITH exploded AS (
+              SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ), tf AS (
+              SELECT lang, term, count(*) AS tf FROM exploded GROUP BY lang, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM (SELECT DISTINCT term, doc_id FROM exploded)
+              GROUP BY term
+            ), scored AS (
+              SELECT tf.lang, tf.term, tf.tf, df.df,
+                     round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 6) AS tfidf
+              FROM tf JOIN df USING (term)
+            ), ranked AS (
+              SELECT lang, term, tf, df, tfidf,
+                     row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS rn
+              FROM scored
+            )
+            SELECT lang, rn, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+            FROM ranked WHERE rn <= 5 ORDER BY lang, rn"""))
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textTfidf)
+}
