@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Streaming ingest pipeline (SURVEY.md §2.1 S1–S9, §3.1) — the Spark-native
+  * re-expression of the reference's Kinesis → Pinot REALTIME path:
+  *
+  *   KDG JSON events (`/root/reference/README.md:88-108`)
+  *     → Kinesis 2-shard stream (`apache-pinot-solution-stack.ts:730-734`)
+  *     → per-shard JSON decode (`kinesisTableConfigFile.json:19-22`)
+  *     → consuming segment, queryable immediately (`README.md:19`)
+  *     → sealed columnar segment in S3 on 2min/150MB flush
+  *       (`kinesisTableConfigFile.json:23-25`, `pinot-controller.conf:40`)
+  *     → 7-day retention (`kinesisTableConfigFile.json:7-9`)
+  *
+  * Mapping: source connector partitions = shards; micro-batch parquet commits
+  * = segment flushes (trigger = the 2-minute flush interval); the parquet
+  * directory partitioned by `dt` = deep storage with day granularity
+  * (`kinesisTable.json:30`); hot+cold union view = consuming+sealed segment
+  * query spanning; a `ts >=` predicate = retention. Checkpointing gives
+  * exactly-once file-sink delivery — strictly stronger than the reference's
+  * at-least-once (SURVEY.md §2.9 T5).
+  */
+object EventIngest {
+
+  /** The KDG event shape (reference's only ingest schema — FIXTURES.md §1).
+    * `creationTimestamp` arrives as STRING `yyyy-MM-dd HH:mm:ss` per
+    * `kinesisTable.json:28-30`. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("userID", StringType),
+    StructField("productName", StringType),
+    StructField("color", StringType),
+    StructField("department", StringType),
+    StructField("product", StringType),
+    StructField("campaign", StringType),
+    StructField("price", IntegerType),
+    StructField("creationTimestamp", StringType)))
+
+  /** S3+S4: decode one JSON-line batch/stream into typed rows with parsed
+    * event time and the day partition column. */
+  def decode(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("ts", to_timestamp(col("creationTimestamp"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("dt", date_trunc("day", col("ts")).cast("date"))
+
+  /** S1+S2: file-based JSON-lines replay source (local stand-in for the
+    * Kinesis connector — same decode path; `maxFilesPerTrigger` plays the
+    * per-shard fetch batching role). */
+  def readJsonLines(spark: SparkSession, sourceDir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    decode(
+      spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(sourceDir))
+
+  /** S6+S7: sealed-segment sink — parquet partitioned by day, micro-batch
+    * commit per trigger (default mirrors the reference's 2-minute flush;
+    * tests pass a faster trigger). */
+  def sealedSink(
+      events: DataFrame,
+      sinkDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 minutes")): DataStreamWriter[Row] =
+    events.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("dt")
+      .trigger(trigger)
+      .outputMode("append")
+
+  /** S5+T2: read-your-ingest view — sealed parquet unioned with the
+    * in-flight hot batch (consuming-segment analogue). Queries over this view
+    * see rows the moment the micro-batch lands, matching "events ... available
+    * for query processing immediately" (`README.md:19`). */
+  def hotColdView(spark: SparkSession, sealedDir: String, hot: DataFrame): DataFrame =
+    spark.read.schema(decodeOutputSchema).parquet(sealedDir).unionByName(hot)
+
+  private def decodeOutputSchema: StructType =
+    StructType(rawSchema.fields ++ Seq(
+      StructField("ts", TimestampType),
+      StructField("dt", DateType)))
+
+  /** S9: retention predicate (7 DAYS on the event-time column, applied
+    * query-side; at scale also enforced by dropping `dt` partitions). */
+  def withRetention(events: DataFrame, days: Int = 7): DataFrame = {
+    val cutoff = current_timestamp() - expr(s"INTERVAL $days DAYS")
+    events.filter(col("ts") >= cutoff)
+  }
+
+  /** T4 superset: watermarked tumbling-window revenue aggregation (the Spark
+    * form of the reference's query-time DATETRUNC windows, plus late-data
+    * bounds Pinot lacks). */
+  def windowedRevenue(events: DataFrame, window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("campaign"))
+      .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_events"))
+}
