@@ -43,17 +43,13 @@ package object functions {
     transform(idx, i => array_join(slice(toks, i, lit(n)), " "))
   }
 
-  /** MinHash signature: k minimums of independently-seeded stable hashes
-    * (seeded hashing instead of affine transforms keeps the math
-    * overflow-free under ANSI mode). Computed per row with zero shuffle
-    * (array ops only); the LSH band join afterwards is the only shuffle in
-    * the near-dup pipeline. */
-  def minhashSignature(toks: Column, k: Int): Column = {
-    val sigs = (0 until k).map { i =>
-      array_min(transform(toks, t => stable_hash64(t, 0x9e3779b97f4a7c15L * i + 1)))
-    }
-    array(sigs: _*)
-  }
+  /** MinHash signature: k minimums over seeded remixes of one stable hash
+    * per token — a single native codegen'd expression
+    * (`graft.expressions.MinHashSignature`). Computed per row with zero
+    * shuffle; the LSH band join afterwards is the only shuffle in the
+    * near-dup pipeline. */
+  def minhashSignature(toks: Column, k: Int): Column =
+    toCol(MinHashSignature(toExpr(toks), k))
 
   /** LSH band keys from a MinHash signature: bands of `r` rows each, hashed.
     * Docs sharing any band key are near-dup candidates. */

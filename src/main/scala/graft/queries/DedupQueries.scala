@@ -71,8 +71,12 @@ object DedupQueries {
   private val dedupMinhash = Q(
     "q_dedup_minhash",
     (spark, dir) => {
+      // cached: consumed by the band self-join AND the confirm joins —
+      // without it the shingle+signature stage recomputes 4x (tiny: one row
+      // per doc)
       val base = shingled(spark, dir)
         .withColumn("sig", minhashSignature(col("shingles"), 64))
+        .persist()
       val bands = base.select(col("doc_id"), explode(lshBands(col("sig"), 16, 4)).as("bk"))
       val pairs = bands.as("a")
         .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -100,7 +104,7 @@ object DedupQueries {
     "q_dedup_simhash",
     (spark, dir) => {
       val d = Tables.t(spark, dir, "documents")
-      val fp = d.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      val fp = d.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig")).persist()
       val bands = fp.select(
         col("doc_id"), col("sig"),
         explode(array((0 until 4).map(b =>
@@ -126,19 +130,26 @@ object DedupQueries {
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
       val d = Tables.t(spark, dir, "documents")
+      // gram sets as stable 64-bit hashes: array_intersect/union on longs is
+      // several× cheaper than on strings (collision odds ~n²/2^64, negligible)
       val grams = d.select(
         col("lang"), col("source"), col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))")).as("grams"))
+        array_distinct(transform(
+          expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"),
+          g => stable_hash64(g))).as("grams"))
+        .withColumn("n_grams", size(col("grams")))
+        .persist()  // consumed by both sides of the block self-join
+      // |A∪B| = |A|+|B|-|A∩B|: one set operation per pair instead of two
       val pairs = grams.as("a")
         .join(grams.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
+        .withColumn("n_inter", size(array_intersect(col("a.grams"), col("b.grams"))))
         .select(
           col("a.lang").as("lang"), col("a.source").as("source"),
           col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            size(array_union(col("a.grams"), col("b.grams"))).cast("double"), 4).as("jaccard"))
+          round(col("n_inter").cast("double") /
+            (col("a.n_grams") + col("b.n_grams") - col("n_inter")).cast("double"), 4).as("jaccard"))
       val w = Window.partitionBy(col("lang"), col("source"))
         .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
       pairs
@@ -158,6 +169,7 @@ object DedupQueries {
     (spark, dir) => {
       val e = Tables.t(spark, dir, "embeddings")
       val withBucket = e.withColumn("bucket", SimilarityQueries.srpBucket(col("embedding"), 8))
+        .persist()  // both sides of the bucket self-join
       val pairs = withBucket.as("a")
         .join(withBucket.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -78,7 +78,7 @@ object SimilarityQueries {
     "q_sim_ann_lsh",
     (spark, dir) => {
       val e = Tables.t(spark, dir, "embeddings")
-      val bucketed = e.withColumn("bucket", srpBucket(col("embedding"), 8))
+      val bucketed = e.withColumn("bucket", srpBucket(col("embedding"), 8)).persist()
       val queries = bucketed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
       val sims = bucketed.join(queries, Seq("bucket"))

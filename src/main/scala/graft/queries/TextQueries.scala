@@ -127,6 +127,7 @@ object TextQueries {
       // total doc count as a broadcast scalar — no driver-side action
       val total = d.agg(count(lit(1)).cast("double").as("n_docs_total"))
       val exploded = d.select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .persist()  // feeds both the tf and df aggregations
       val tf = exploded.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
       val df = exploded.select(col("term"), col("doc_id")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
