@@ -13,6 +13,7 @@ object Registry {
     WindowQueries.all,
     SortSetQueries.all,
     ScalarQueries.all,
+    SketchQueries.all,
     DedupQueries.all,
     SimilarityQueries.all,
     TextQueries.all,

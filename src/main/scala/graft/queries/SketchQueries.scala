@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregations (SURVEY.md §2.4 A5/A7): Pinot's
+  * DISTINCTCOUNTHLL / PERCENTILEEST / PERCENTILETDIGEST surface, mapped to
+  * Spark's HyperLogLog++ and approximate-percentile sketches.
+  *
+  * Declared without SQL oracles (sketch outputs are engine-specific —
+  * SURVEY.md §7.4.1); the accuracy contract vs exact values is asserted in
+  * SketchSpec instead. Both are mergeable-sketch aggregations: partial
+  * sketches merge across partitions, so the shuffle carries one sketch per
+  * group, not the data — the 100 TB form of COUNT DISTINCT / percentile.
+  */
+object SketchQueries {
+
+  /** A5: DISTINCTCOUNTHLL — HLL++ approximate distinct users/parts, with the
+    * exact value alongside (small-SF sanity visible in the output). */
+  private val sketchHll = Q(
+    "q_sketch_hll",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+    None,
+    doc = "HLL++ approximate distinct (A5); accuracy asserted in SketchSpec")
+
+  /** A7: PERCENTILEEST/TDIGEST — approximate percentiles with bounded error,
+    * exact interpolated values alongside. */
+  private val sketchPercentile = Q(
+    "q_sketch_percentile",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
+        .orderBy(col("l_returnflag"))
+    },
+    None,
+    doc = "approximate percentile sketch (A7); accuracy asserted in SketchSpec")
+
+  val all: Seq[Q] = Seq(sketchHll, sketchPercentile)
+}
