@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** Pinot SQL compatibility layer (SURVEY.md §2.8, §2.4): the deployed
+  * reference endpoint answers Pinot 1.2.0 function names
+  * (`/root/reference/resources/bastion/bastionUserData.sh:7` pins the
+  * version; `README.md:110` points users at the query console). Registering
+  * those names lets a reference user run their existing queries unmodified —
+  * each alias maps onto the equivalent codegen'd Spark expression, so
+  * compatibility costs nothing at execution time.
+  *
+  * Index-anchored semantics follow Pinot's Java implementations where they
+  * differ from Spark's (STRPOS is 0-based with -1 missing; SUBSTR/ARRAYSLICE
+  * are 0-based end-exclusive; PERCENTILE takes 0–100).
+  *
+  * Register on a DEDICATED `spark.newSession()` ("Pinot mode"): some aliases
+  * intentionally shadow Spark names with different semantics (percentile,
+  * substr, concat), and a session-scoped registry keeps the ANSI surface of
+  * the parent session untouched — see PinotCompatSpec.
+  */
+object PinotFunctions {
+
+  /** Delegate an alias to a native Spark function by name: the analyzer
+    * resolves the nested UnresolvedFunction exactly as if the user had
+    * written the Spark name. */
+  private def fwd(sparkName: String): Seq[Expression] => Expression =
+    args => UnresolvedFunction(sparkName, args, false)
+
+  /** `aggregate(arr, 0.0D, (acc, x) -> acc + double(x))` as an expression —
+    * the float64 sequential array sum shared by ARRAYSUM and the MV aggs. */
+  private def arraySum(arr: Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    UnresolvedFunction(
+      "aggregate",
+      Seq(arr, Literal(0.0), LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x))),
+      false)
+  }
+
+  val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // ---- date/time (C3) ----
+    "datetrunc" -> (args => TruncTimestamp(args(0), args(1))),
+    "toepochseconds" -> (args => UnixSeconds(args(0))),
+    "toepochmillis" -> (args => UnixMillis(args(0))),
+    "toepochminutes" -> (args => IntegralDivide(UnixSeconds(args(0)), Literal(60L), evalMode = EvalMode.LEGACY)),
+    "toepochhours" -> (args => IntegralDivide(UnixSeconds(args(0)), Literal(3600L), evalMode = EvalMode.LEGACY)),
+    "toepochdays" -> (args => IntegralDivide(UnixSeconds(args(0)), Literal(86400L), evalMode = EvalMode.LEGACY)),
+    "fromepochseconds" -> (args => SecondsToTimestamp(args(0))),
+    "fromepochmillis" -> (args => MillisToTimestamp(args(0))),
+    "todatetime" -> (args => DateFormatClass(MillisToTimestamp(args(0)), args(1))),
+    "fromdatetime" -> (args => UnixMillis(new ParseToTimestamp(args(0), args(1)))),
+    // ---- JSON (C4) ----
+    "jsonextractscalar" -> (args => {
+      val extracted = GetJsonObject(args(0), args(1))
+      val resultType = args(2) match {
+        case Literal(s, StringType) => graft.catalog.TableSpec.mapType(s.toString)
+        case _ => StringType
+      }
+      val casted = Cast(extracted, resultType)
+      if (args.length >= 4) Coalesce(Seq(casted, Cast(args(3), resultType))) else casted
+    }),
+    "jsonformat" -> fwd("to_json"),
+    // ---- string (C1) ----
+    "strpos" -> (args => Subtract(StringLocate(args(1), args(0), Literal(1)), Literal(1))),
+    "substr" -> (args =>
+      if (args.length == 2) Substring(args(0), Add(args(1), Literal(1)), Literal(Int.MaxValue))
+      else Substring(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),
+    "concat" -> (args =>
+      if (args.length == 3) ConcatWs(args(2) +: args.take(2))
+      else Concat(args)),
+    "toutf8" -> (args => Encode(args(0), Literal("UTF-8"))),
+    // ---- binary/hash (C7) ----
+    "tobase64" -> (args => Base64(args(0))),
+    "frombase64" -> (args => UnBase64(args(0))),
+    "sha" -> (args => Sha1(args(0))),
+    "sha256" -> (args => Sha2(args(0), Literal(256))),
+    "sha512" -> (args => Sha2(args(0), Literal(512))),
+    // ---- array / MV (C5, C6) ----
+    "arraylength" -> (args => Size(args(0))),
+    "arraymin" -> fwd("array_min"),
+    "arraymax" -> fwd("array_max"),
+    "arraysum" -> (args => arraySum(args(0))),
+    "arraydistinct" -> fwd("array_distinct"),
+    "arraysort" -> fwd("sort_array"),
+    "arrayconcat" -> fwd("concat"),
+    "arrayreverse" -> fwd("reverse"),
+    "arrayslice" -> (args =>
+      Slice(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),
+    "arraycontainsint" -> (args => ArrayContains(args(0), args(1))),
+    "arraycontainsstring" -> (args => ArrayContains(args(0), args(1))),
+    "valuein" -> (args => ArrayIntersect(args(0), CreateArray(args.drop(1)))),
+    "mapvalue" -> fwd("element_at"),
+    // ---- aggregates (A-family) ----
+    "distinctcount" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
+    "distinctcountbitmap" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
+    "distinctcounthll" -> fwd("approx_count_distinct"),
+    "distinctcountsmarthll" -> fwd("approx_count_distinct"),
+    "minmaxrange" -> (args => Subtract(
+      Max(args(0)).toAggregateExpression(), Min(args(0)).toAggregateExpression())),
+    "sumprecision" -> (args =>
+      Sum(Cast(args(0), DecimalType(38, 18))).toAggregateExpression()),
+    "percentile" -> (args =>
+      new Percentile(args(0), Divide(Cast(args(1), DoubleType), Literal(100.0)))
+        .toAggregateExpression()),
+    "percentileest" -> pctApprox,
+    "percentiletdigest" -> pctApprox,
+    "percentilekll" -> pctApprox,
+    "firstwithtime" -> (args => MinBy(args(0), args(1)).toAggregateExpression()),
+    "lastwithtime" -> (args => MaxBy(args(0), args(1)).toAggregateExpression()),
+    "countmv" -> (args => Sum(Cast(Size(args(0)), LongType)).toAggregateExpression()),
+    "summv" -> (args => Sum(arraySum(args(0))).toAggregateExpression()),
+    "minmv" -> (args => Min(UnresolvedFunction("array_min", Seq(args(0)), false)).toAggregateExpression()),
+    "maxmv" -> (args => Max(UnresolvedFunction("array_max", Seq(args(0)), false)).toAggregateExpression()),
+    "avgmv" -> (args => Divide(
+      Sum(arraySum(args(0))).toAggregateExpression(),
+      Sum(Cast(Size(args(0)), DoubleType)).toAggregateExpression())))
+
+  private def pctApprox: Seq[Expression] => Expression = args =>
+    new ApproximatePercentile(args(0), Divide(Cast(args(1), DoubleType), Literal(100.0)))
+      .toAggregateExpression()
+
+  /** Register every alias on a session (names Spark already defines with the
+    * same semantics — UPPER, LOWER, MD5, CRC32, REGEXP_LIKE, MODE, … — are
+    * left to the native registry). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registry.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.Row
+
+/** Pinot-surface SQL runs unmodified: each test issues a query in Pinot
+  * 1.2.0 function vocabulary and checks it against the Spark-native
+  * equivalent (or a hand-computed value). */
+class PinotCompatSpec extends GraftSuite {
+
+  // Pinot mode is session-scoped: a newSession() has its own function
+  // registry, so redefined names (percentile 0-100, 0-based substr) never
+  // leak into the ANSI/Spark-native surface of the parent session.
+  private lazy val pinot: org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    Tables.registerViews(s, sfDir)
+    s
+  }
+
+  private def one(sql: String): Row = pinot.sql(sql).collect().head
+
+  test("DATETRUNC / TOEPOCHSECONDS / FROMEPOCHSECONDS round-trip") {
+    val r = one(
+      """SELECT DATETRUNC('day', ts) AS d,
+        |       TOEPOCHSECONDS(ts) AS es,
+        |       FROMEPOCHSECONDS(TOEPOCHSECONDS(ts)) AS rt, ts
+        |FROM events ORDER BY event_id LIMIT 1""".stripMargin)
+    assert(r.getAs[java.sql.Timestamp]("d").toString.endsWith("00:00:00.0"))
+    assert(r.getAs[Long]("es") ===
+      r.getAs[java.sql.Timestamp]("ts").getTime / 1000)
+    assert(r.getAs[java.sql.Timestamp]("rt").getTime / 1000 ===
+      r.getAs[java.sql.Timestamp]("ts").getTime / 1000)
+  }
+
+  test("JSONEXTRACTSCALAR typed extraction with default") {
+    val r = one(
+      """SELECT JSONEXTRACTSCALAR(props, '$.k', 'LONG') AS k,
+        |       JSONEXTRACTSCALAR(props, '$.missing', 'LONG', 7) AS dflt
+        |FROM events ORDER BY event_id LIMIT 1""".stripMargin)
+    assert(!r.isNullAt(0))
+    assert(r.getAs[Long]("dflt") === 7L)
+  }
+
+  test("STRPOS is 0-based with -1 for missing (Pinot String.indexOf semantics)") {
+    val r = one("SELECT STRPOS('hello', 'll') AS hit, STRPOS('hello', 'zz') AS miss")
+    assert(r.getAs[Int]("hit") === 2)
+    assert(r.getAs[Int]("miss") === -1)
+  }
+
+  test("SUBSTR is 0-based end-exclusive") {
+    val r = one("SELECT SUBSTR('abcdef', 1, 3) AS mid, SUBSTR('abcdef', 2) AS tail")
+    assert(r.getAs[String]("mid") === "bc")
+    assert(r.getAs[String]("tail") === "cdef")
+  }
+
+  test("DISTINCTCOUNT / DISTINCTCOUNTHLL / MINMAXRANGE / PERCENTILE aggregate surface") {
+    val r = one(
+      """SELECT DISTINCTCOUNT(user_id) AS dc,
+        |       DISTINCTCOUNTHLL(user_id) AS dchll,
+        |       MINMAXRANGE(value) AS mmr,
+        |       PERCENTILE(value, 50) AS p50
+        |FROM events""".stripMargin)
+    // expectation via the Column API — immune to the compat registry, which
+    // (correctly, in Pinot mode) redefines SQL percentile() to take 0–100
+    val expect = {
+      import org.apache.spark.sql.functions._
+      Tables.t(spark, sfDir, "events").agg(
+        countDistinct(col("user_id")).as("dc"),
+        (max(col("value")) - min(col("value"))).as("mmr"),
+        percentile(col("value"), lit(0.5)).as("p50")).collect().head
+    }
+    assert(r.getAs[Long]("dc") === expect.getAs[Long]("dc"))
+    assert(math.abs(r.getAs[Double]("mmr") - expect.getAs[Double]("mmr")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p50") - expect.getAs[Double]("p50")) < 1e-9)
+    val hll = r.getAs[Long]("dchll").toDouble
+    assert(math.abs(hll - r.getAs[Long]("dc")) / r.getAs[Long]("dc") < 0.1)
+  }
+
+  test("FIRSTWITHTIME / LASTWITHTIME") {
+    val r = one(
+      """SELECT FIRSTWITHTIME(event_type, ts) AS first_t,
+        |       LASTWITHTIME(event_type, ts) AS last_t
+        |FROM events""".stripMargin)
+    import org.apache.spark.sql.functions._
+    val expect = Tables.t(spark, sfDir, "events").agg(
+      min_by(col("event_type"), col("ts")).as("f"),
+      max_by(col("event_type"), col("ts")).as("l")).collect().head
+    assert(r.getString(0) === expect.getString(0))
+    assert(r.getString(1) === expect.getString(1))
+  }
+
+  test("array/MV functions: ARRAYLENGTH, ARRAYSUM, ARRAYSLICE, VALUEIN, MV aggregates") {
+    val r = one(
+      """SELECT ARRAYLENGTH(embedding) AS alen,
+        |       ROUND(ARRAYSUM(ARRAYSLICE(embedding, 0, 4)), 4) AS head_sum,
+        |       ARRAYLENGTH(ARRAYSLICE(embedding, 0, 4)) AS slice_len
+        |FROM embeddings ORDER BY vec_id LIMIT 1""".stripMargin)
+    assert(r.getAs[Int]("alen") === 64)
+    assert(r.getAs[Int]("slice_len") === 4)
+    val mv = one("SELECT COUNTMV(embedding) AS n, ROUND(AVGMV(embedding), 6) AS a FROM embeddings")
+    val expect = Tables.t(spark, sfDir, "embeddings")
+      .selectExpr(
+        "cast(size(embedding) as long) AS sz",
+        "aggregate(embedding, 0.0D, (acc, x) -> acc + cast(x as double)) AS s")
+      .agg(org.apache.spark.sql.functions.expr("cast(sum(sz) as long) AS n"),
+           org.apache.spark.sql.functions.expr("round(sum(s) / sum(cast(sz as double)), 6) AS a"))
+      .collect().head
+    assert(mv.getAs[Long]("n") === expect.getAs[Long]("n"))
+    assert(mv.getAs[Double]("a") === expect.getAs[Double]("a"))
+    val vi = one("SELECT VALUEIN(array('a','b','c'), 'b', 'z') AS v")
+    assert(vi.getSeq[String](0) === Seq("b"))
+  }
+
+  test("hash/binary: SHA256, TOBASE64/FROMBASE64 round-trip") {
+    val r = one(
+      """SELECT SHA256(TOUTF8('abc')) AS h,
+        |       FROMBASE64(TOBASE64(TOUTF8('graft'))) AS rt""".stripMargin)
+    assert(r.getString(0) ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(new String(r.getAs[Array[Byte]]("rt"), "UTF-8") === "graft")
+  }
+
+  test("CONCAT 3-arg uses separator (Pinot form)") {
+    val r = one("SELECT CONCAT('a', 'b', '-') AS c2")
+    assert(r.getString(0) === "a-b")
+  }
+}
