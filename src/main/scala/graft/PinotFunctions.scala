@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
 
@@ -94,6 +95,30 @@ object PinotFunctions {
     "arraycontainsstring" -> (args => ArrayContains(args(0), args(1))),
     "valuein" -> (args => ArrayIntersect(args(0), CreateArray(args.drop(1)))),
     "mapvalue" -> fwd("element_at"),
+    // ---- lookup join (C10/J6) ----
+    // lookUp('dimTable', 'valueCol', 'joinKeyCol', keyExpr): expands into a
+    // correlated scalar subquery over the dimension table; Catalyst's
+    // RewriteCorrelatedScalarSubquery then turns it into a left outer join,
+    // and the (small) dim side broadcasts by stats — exactly the reference's
+    // dimension-lookup join (SURVEY.md §2.3 J6, §4 "custom Rule" candidate).
+    "lookup" -> (args => {
+      def str(e: Expression, what: String): String = e match {
+        case Literal(s, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"lookup(): $what must be a string literal, got $other")
+      }
+      val dim = str(args(0), "dimension table name")
+      val valueCol = str(args(1), "value column")
+      val keyCol = str(args(2), "join key column")
+      val keyExpr = args(3)
+      // mark the fact-side key as a correlated outer reference
+      val corrKey = keyExpr.transform { case a: AttributeReference => OuterReference(a) }
+      val sub = Aggregate(
+        Nil,
+        Seq(Alias(Max(UnresolvedAttribute(valueCol)).toAggregateExpression(), "lookup_value")()),
+        Filter(EqualTo(UnresolvedAttribute(keyCol), corrKey), UnresolvedRelation(Seq(dim))))
+      ScalarSubquery(sub, outerAttrs = keyExpr.references.toSeq)
+    }),
     // ---- aggregates (A-family) ----
     "distinctcount" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
     "distinctcountbitmap" -> (args => Count(args).toAggregateExpression(isDistinct = true)),

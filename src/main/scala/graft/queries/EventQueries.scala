@@ -101,9 +101,26 @@ object EventQueries {
             max(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** T4 via the `window()` operator proper: tumbling 6-hour buckets (the
+    * Spark form Structured Streaming shares; window.start is oracle-matched
+    * against epoch-aligned bucketing). */
+  val eventsTumbling = Q(
+    "q_events_tumbling",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      ev.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    },
+    Some("""SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS bucket_start,
+            event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY bucket_start, event_type
+            ORDER BY bucket_start, event_type"""))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
 
-  val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson)
+  val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson, eventsTumbling)
 }

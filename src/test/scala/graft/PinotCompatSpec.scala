@@ -125,4 +125,23 @@ class PinotCompatSpec extends GraftSuite {
     val r = one("SELECT CONCAT('a', 'b', '-') AS c2")
     assert(r.getString(0) === "a-b")
   }
+
+  test("LOOKUP expands to a dimension join (Pinot lookUp, J6)") {
+    import org.apache.spark.sql.functions._
+    val df = pinot.sql(
+      """SELECT l_orderkey, l_partkey,
+        |       LOOKUP('part', 'p_brand', 'p_partkey', l_partkey) AS brand
+        |FROM lineitem ORDER BY l_orderkey, l_partkey LIMIT 20""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = Tables.t(spark, sfDir, "lineitem")
+      .join(Tables.t(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"), "left")
+      .select(col("l_orderkey"), col("l_partkey"), col("p_brand"))
+      .orderBy(col("l_orderkey"), col("l_partkey")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got === expect)
+    // the rewrite produced a real join, not a per-row subquery execution
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"expected a join in:\n$plan")
+  }
 }
