@@ -30,6 +30,11 @@ package object functions {
   /** Stable seeded 64-bit string hash (FNV-1a + SplitMix64). */
   def stable_hash64(s: Column, seed: Long = 0L): Column = toCol(StableHash64(toExpr(s), seed))
 
+  /** Intersection cardinality of two pre-sorted long arrays (two-pointer
+    * merge; the exact-Jaccard hot kernel). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+
   /** Hamming distance between two 64-bit fingerprints — pure built-ins. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -76,6 +76,10 @@ object DedupQueries {
       // per doc)
       val base = shingled(spark, dir)
         .withColumn("sig", minhashSignature(col("shingles"), 64))
+        // sorted hashed shingle set for the exact-confirm stage (two-pointer
+        // kernel instead of per-pair hash sets)
+        .withColumn("sh_sorted", sort_array(transform(col("shingles"), s => stable_hash64(s))))
+        .withColumn("n_sh", size(col("sh_sorted")))
         .persist()
       val bands = base.select(col("doc_id"), explode(lshBands(col("sig"), 16, 4)).as("bk"))
       val pairs = bands.as("a")
@@ -83,12 +87,13 @@ object DedupQueries {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       val withSets = pairs
-        .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-        .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+        .join(base.select(col("doc_id").as("id_a"), col("sh_sorted").as("sh_a"), col("n_sh").as("na")), Seq("id_a"))
+        .join(base.select(col("doc_id").as("id_b"), col("sh_sorted").as("sh_b"), col("n_sh").as("nb")), Seq("id_b"))
+        .withColumn("n_inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
         .withColumn(
           "jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter")).cast("double"))
       withSets.agg(
         count(lit(1)).as("n_candidate_pairs"),
         count(when(col("jaccard") >= 0.5, lit(1))).as("n_confirmed_pairs"),
@@ -130,13 +135,14 @@ object DedupQueries {
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
       val d = Tables.t(spark, dir, "documents")
-      // gram sets as stable 64-bit hashes: array_intersect/union on longs is
-      // several× cheaper than on strings (collision odds ~n²/2^64, negligible)
+      // gram sets as SORTED stable 64-bit hashes: sorting once per doc lets
+      // every pair use the allocation-free two-pointer intersect kernel
+      // (sorted_intersect_count) instead of a hash set per pair
       val grams = d.select(
         col("lang"), col("source"), col("doc_id"),
-        array_distinct(transform(
+        sort_array(array_distinct(transform(
           expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"),
-          g => stable_hash64(g))).as("grams"))
+          g => stable_hash64(g)))).as("grams"))
         .withColumn("n_grams", size(col("grams")))
         .persist()  // consumed by both sides of the block self-join
       // |A∪B| = |A|+|B|-|A∩B|: one set operation per pair instead of two
@@ -144,7 +150,7 @@ object DedupQueries {
         .join(grams.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
-        .withColumn("n_inter", size(array_intersect(col("a.grams"), col("b.grams"))))
+        .withColumn("n_inter", sorted_intersect_count(col("a.grams"), col("b.grams")))
         .select(
           col("a.lang").as("lang"), col("a.source").as("source"),
           col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
