@@ -13,6 +13,7 @@ object Registry {
     WindowQueries.all,
     SortSetQueries.all,
     ScalarQueries.all,
+    SqlSurfaceQueries.all,
     SketchQueries.all,
     DedupQueries.all,
     SimilarityQueries.all,

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.Q
+
+/** SQL-endpoint surface depth (SURVEY.md §2.1 S11): queries issued as SQL
+  * text through `spark.sql` — the engine's analogue of the reference's
+  * `/query/sql` broker endpoint — exercising constructs users type directly:
+  * CTEs, IN/EXISTS subqueries, scalar subqueries. The same text runs on the
+  * DuckDB oracle (shared ANSI dialect).
+  */
+object SqlSurfaceQueries {
+
+  /** CTE + join + aggregate (WITH clause through the SQL endpoint). */
+  private val sqlCte = Q.sqlOnly(
+    "q_sql_cte",
+    """WITH cust_orders AS (
+      |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT c_mktsegment,
+      |       count(*) AS n_customers,
+      |       CAST(sum(n_orders) AS BIGINT) AS total_orders,
+      |       round(sum(spend), 2) AS total_spend
+      |FROM customer JOIN cust_orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  /** Uncorrelated IN subquery (J3 via the SQL surface). */
+  private val sqlInSubquery = Q.sqlOnly(
+    "q_sql_in_subquery",
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  /** Correlated EXISTS subquery. */
+  private val sqlExistsSubquery = Q.sqlOnly(
+    "q_sql_exists_subquery",
+    """SELECT c_mktsegment, count(*) AS n_with_big_order
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  /** Scalar subquery in the projection (rewritten by Catalyst into a
+    * broadcast of the single aggregated row). */
+  private val sqlScalarSubquery = Q.sqlOnly(
+    "q_sql_scalar_subquery",
+    """SELECT o_orderkey,
+      |       round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS price_ratio
+      |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)
+
+  val all: Seq[Q] = Seq(sqlCte, sqlInSubquery, sqlExistsSubquery, sqlScalarSubquery)
+}
