@@ -33,7 +33,14 @@ object Tables {
   }
 
   /** Register every fixture as a temp view so `spark.sql` queries mirror the
-    * reference's SQL-over-HTTP surface (SURVEY.md §2.1 S11). */
+    * reference's SQL-over-HTTP surface (SURVEY.md §2.1 S11). Memoized per
+    * (session, dir): repeated SQL queries in one run skip the 10 parquet
+    * footer reads. */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]())
+
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registered.add((spark, sfDir))) {
+      all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+    }
 }
