@@ -52,6 +52,60 @@ object PinotFunctions {
     "toepochdays" -> (args => IntegralDivide(UnixSeconds(args(0)), Literal(86400L), evalMode = EvalMode.LEGACY)),
     "fromepochseconds" -> (args => SecondsToTimestamp(args(0))),
     "fromepochmillis" -> (args => MillisToTimestamp(args(0))),
+    // TIMECONVERT(value, fromUnit, toUnit) — epoch-unit rescaling with
+    // Pinot's truncating integer semantics
+    "timeconvert" -> (args => {
+      def unitMillis(e: Expression): Long = e match {
+        case Literal(s, StringType) => s.toString.toUpperCase match {
+          case "MILLISECONDS" => 1L
+          case "SECONDS" => 1000L
+          case "MINUTES" => 60000L
+          case "HOURS" => 3600000L
+          case "DAYS" => 86400000L
+          case other => throw new IllegalArgumentException(s"TIMECONVERT unit: $other")
+        }
+        case other =>
+          throw new IllegalArgumentException(s"TIMECONVERT units must be literals, got $other")
+      }
+      val from = unitMillis(args(1))
+      val to = unitMillis(args(2))
+      IntegralDivide(
+        Multiply(Cast(args(0), LongType), Literal(from), EvalMode.LEGACY),
+        Literal(to), EvalMode.LEGACY)
+    }),
+    // DATETIMECONVERT(value, inFmt, outFmt, granularity) — the common
+    // EPOCH->EPOCH bucketing form, e.g.
+    // ('1:MILLISECONDS:EPOCH', '1:MILLISECONDS:EPOCH', '15:MINUTES')
+    "datetimeconvert" -> (args => {
+      def lit_(e: Expression): String = e match {
+        case Literal(s, StringType) => s.toString
+        case other => throw new IllegalArgumentException(s"DATETIMECONVERT args must be literals, got $other")
+      }
+      def fmtMillis(f: String): Long = {
+        val parts = f.split(':')
+        require(parts.length >= 3 && parts(2).toUpperCase == "EPOCH",
+          s"only EPOCH in/out formats supported, got $f")
+        parts(0).toLong * unitFactor(parts(1))
+      }
+      def unitFactor(u: String): Long = u.toUpperCase match {
+        case "MILLISECONDS" => 1L
+        case "SECONDS" => 1000L
+        case "MINUTES" => 60000L
+        case "HOURS" => 3600000L
+        case "DAYS" => 86400000L
+        case other => throw new IllegalArgumentException(s"unit: $other")
+      }
+      val inMs = fmtMillis(lit_(args(1)))
+      val outMs = fmtMillis(lit_(args(2)))
+      val granParts = lit_(args(3)).split(':')
+      val granMs = granParts(0).toLong * unitFactor(granParts(1))
+      // toMillis -> truncate to granularity -> express in output unit
+      val millis = Multiply(Cast(args(0), LongType), Literal(inMs), EvalMode.LEGACY)
+      val bucketed = Multiply(
+        IntegralDivide(millis, Literal(granMs), EvalMode.LEGACY),
+        Literal(granMs), EvalMode.LEGACY)
+      IntegralDivide(bucketed, Literal(outMs), EvalMode.LEGACY)
+    }),
     "todatetime" -> (args => DateFormatClass(MillisToTimestamp(args(0)), args(1))),
     "fromdatetime" -> (args => UnixMillis(new ParseToTimestamp(args(0), args(1)))),
     // ---- JSON (C4) ----

@@ -126,6 +126,19 @@ class PinotCompatSpec extends GraftSuite {
     assert(r.getString(0) === "a-b")
   }
 
+  test("TIMECONVERT / DATETIMECONVERT epoch rescaling and bucketing") {
+    val r = one(
+      """SELECT TIMECONVERT(90061000, 'MILLISECONDS', 'SECONDS') AS s,
+        |       TIMECONVERT(25, 'HOURS', 'DAYS') AS d,
+        |       DATETIMECONVERT(90061000, '1:MILLISECONDS:EPOCH',
+        |                       '1:MINUTES:EPOCH', '15:MINUTES') AS m15
+        |""".stripMargin)
+    assert(r.getAs[Long]("s") === 90061L)
+    assert(r.getAs[Long]("d") === 1L)
+    // 90061000 ms = 1501.02 min -> 15-min bucket floor = 1500 min
+    assert(r.getAs[Long]("m15") === 1500L)
+  }
+
   test("LOOKUP expands to a dimension join (Pinot lookUp, J6)") {
     import org.apache.spark.sql.functions._
     val df = pinot.sql(
