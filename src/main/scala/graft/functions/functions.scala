@@ -30,6 +30,14 @@ package object functions {
   /** Stable seeded 64-bit string hash (FNV-1a + SplitMix64). */
   def stable_hash64(s: Column, seed: Long = 0L): Column = toCol(StableHash64(toExpr(s), seed))
 
+  /** Word-n-gram shingle ids in hash space (no shingle strings built). */
+  def shingleHashes(toks: Column, n: Int): Column =
+    toCol(ShingleHash64(toExpr(toks), n))
+
+  /** MinHash signature over pre-hashed shingle ids. */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    toCol(MinHashFromHashes(toExpr(hashes), k))
+
   /** Intersection cardinality of two pre-sorted long arrays (two-pointer
     * merge; the exact-Jaccard hot kernel). */
   def sorted_intersect_count(a: Column, b: Column): Column =

@@ -51,12 +51,14 @@ object DedupQueries {
     Some("""SELECT min(doc_id) AS keeper_id FROM documents GROUP BY text
             ORDER BY keeper_id LIMIT 200"""))
 
-  /** Shared shingle prep: doc_id + distinct word-3-gram shingle set. */
+  /** Shared shingle prep: doc_id + distinct word-3-gram shingle set, kept
+    * entirely in hash space (ShingleHash64: one string hash per token,
+    * rolling combination per shingle — no shingle strings materialized). */
   private def shingled(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val d = Tables.t(spark, dir, "documents")
     d.select(
       col("doc_id"),
-      array_distinct(wordShingles(tokens(col("text")), 3)).as("shingles"))
+      array_distinct(shingleHashes(tokens(col("text")), 3)).as("shingles"))
   }
 
   /** X1-minhash: MinHash(64) + LSH(16 bands × 4) near-dup detection with
@@ -75,10 +77,10 @@ object DedupQueries {
       // without it the shingle+signature stage recomputes 4x (tiny: one row
       // per doc)
       val base = shingled(spark, dir)
-        .withColumn("sig", minhashSignature(col("shingles"), 64))
-        // sorted hashed shingle set for the exact-confirm stage (two-pointer
+        .withColumn("sig", minhashFromHashes(col("shingles"), 64))
+        // sorted shingle-id set for the exact-confirm stage (two-pointer
         // kernel instead of per-pair hash sets)
-        .withColumn("sh_sorted", sort_array(transform(col("shingles"), s => stable_hash64(s))))
+        .withColumn("sh_sorted", sort_array(col("shingles")))
         .withColumn("n_sh", size(col("sh_sorted")))
         .persist()
       val bands = base.select(col("doc_id"), explode(lshBands(col("sig"), 16, 4)).as("bk"))
