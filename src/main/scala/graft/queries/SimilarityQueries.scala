@@ -95,6 +95,48 @@ object SimilarityQueries {
     None,
     doc = "SRP-LSH bucketed ANN; rows-only check, recall asserted in tests")
 
+  /** X2 scale path #2: IVF-flat ANN — an inverted file over coarse
+    * centroids. Candidates are assigned to their nearest centroid (one
+    * partition-key per cell); each query probes its top-2 cells and ranks
+    * exactly within them. Centroids here are a deterministic sample of the
+    * corpus (vec_id < 16) — at 100 TB they'd come from a k-means job, but
+    * the plan shape (assign = map-only argmin over broadcast centroids;
+    * probe = join on cell id) is identical. The 16-vector "collect" is the
+    * broadcast-a-tiny-dim pattern, not a data collect. */
+  private val simAnnIvf = Q(
+    "q_sim_ann_ivf",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("ce"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      def cellOf(emb: Column, topN: Int): Column = {
+        // ascending sort on (-cos, cell) → best cells first, stable tiebreak
+        val scored = centroids.map { case (cell, ce) =>
+          val ceCol = array(ce.map(v => lit(v)): _*)
+          struct((-cosine_sim(emb, ceCol)).as("neg"), lit(cell).as("cell"))
+        }
+        slice(sort_array(array(scored: _*)), 1, topN)
+      }
+      val candidates = e
+        .withColumn("cell", cellOf(col("embedding"), 1)(0).getField("cell"))
+      val queries = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(transform(cellOf(col("embedding"), 2), c => c.getField("cell"))).as("cell"))
+      val sims = candidates.join(queries, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(cosine_sim(col("qe"), col("embedding")), 4).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("nid"), col("sim"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    None,
+    doc = "IVF-flat ANN (coarse-centroid cells, 2-probe); rows-only check")
+
   /** X2 label centroid similarity: per-label mean embedding then cosine of
     * each label pair — the "semantic clustering" shape (exact, aggregated). */
   private val simCentroids = Q(
@@ -120,5 +162,5 @@ object SimilarityQueries {
     None,
     doc = "per-label centroid cosine matrix; rows-only check")
 
-  val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simCentroids)
+  val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnIvf, simCentroids)
 }

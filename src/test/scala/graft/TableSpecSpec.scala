@@ -79,4 +79,21 @@ class TableSpecSpec extends GraftSuite {
     val f = spec.schema("price")
     assert(f.metadata.getString("graft.role") === "metric")
   }
+
+  test("registerView serves parquet through the spec-declared schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spec").toString
+    Seq(("7", "BlackFriday", Seq("a", "b"), 120, "2024-05-01 10:00:00"))
+      .toDF("userID", "campaign", "tags", "price", "creationTimestamp")
+      .write.mode("overwrite").parquet(dir)
+    val spec = TableSpec.parse(schemaJson, configJson)
+    spec.registerView(spark, dir)
+    val row = spark.sql(
+      "SELECT userID, campaign, size(tags) AS n_tags, price FROM webEvents").collect().head
+    assert(row.getString(0) === "7")
+    assert(row.getString(1) === "BlackFriday")
+    assert(row.getInt(2) === 2)
+    assert(row.getInt(3) === 120)
+  }
 }
