@@ -64,6 +64,19 @@ package object functions {
   def minhashSignature(toks: Column, k: Int): Column =
     toCol(MinHashSignature(toExpr(toks), k))
 
+  /** Skew-mitigation salting for a hot-key join (SURVEY.md §2.3 J7): the
+    * skewed (fact) side derives a deterministic salt in [0, n) from a unique
+    * row key, widening each hot join key into n sub-keys. */
+  def saltKey(joinKey: Column, uniqueKey: Column, n: Int): Column =
+    struct(joinKey.as("k"), pmod(hash(uniqueKey), lit(n)).as("salt"))
+
+  /** The dim side replicates each row across all n salts (explode) so every
+    * salted fact partition finds its match. Returns (saltedKey, original row
+    * columns preserved by the caller's select). */
+  def explodeSalts(joinKey: Column, n: Int): Column =
+    explode(transform(sequence(lit(0), lit(n - 1)),
+      s => struct(joinKey.as("k"), s.as("salt"))))
+
   /** LSH band keys from a MinHash signature: bands of `r` rows each, hashed.
     * Docs sharing any band key are near-dup candidates. */
   def lshBands(signature: Column, bands: Int, r: Int): Column = {
