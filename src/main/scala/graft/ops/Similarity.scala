@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable similarity-search operators (SURVEY.md §2.11 X2) — the library
+  * API behind the declared q_sim_* queries. */
+object Similarity {
+
+  /** Exact brute-force top-k cosine neighbors: the query set broadcasts
+    * against the candidate table (embarrassingly parallel in candidates —
+    * the right plan whenever |queries| is small, at any candidate scale). */
+  def bruteForceTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+    val sims = candidates
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nid"),
+        round(cosine_sim(col("qe"), col(embCol)), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"), col("sim"))
+  }
+
+  /** Approximate top-k via signed-random-projection buckets: candidates
+    * shuffle once on bucket id; each query scans only its own bucket. */
+  def annTopK(
+      candidates: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryFilter: org.apache.spark.sql.Column,
+      k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val bucketed = candidates
+      .withColumn("bucket", graft.queries.SimilarityQueries.srpBucket(col(embCol), nPlanes))
+      .persist()
+    val q = bucketed.filter(queryFilter)
+      .select(col(idCol).as("qid"), col(embCol).as("qe"), col("bucket"))
+    val sims = bucketed.join(q, Seq("bucket"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nid"),
+        round(cosine_sim(col("qe"), col(embCol)), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"), col("sim"))
+  }
+}
