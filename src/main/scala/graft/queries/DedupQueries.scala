@@ -51,16 +51,6 @@ object DedupQueries {
     Some("""SELECT min(doc_id) AS keeper_id FROM documents GROUP BY text
             ORDER BY keeper_id LIMIT 200"""))
 
-  /** Shared shingle prep: doc_id + distinct word-3-gram shingle set, kept
-    * entirely in hash space (ShingleHash64: one string hash per token,
-    * rolling combination per shingle — no shingle strings materialized). */
-  private def shingled(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val d = Tables.t(spark, dir, "documents")
-    d.select(
-      col("doc_id"),
-      array_distinct(shingleHashes(tokens(col("text")), 3)).as("shingles"))
-  }
-
   /** X1-minhash: MinHash(64) + LSH(16 bands × 4) near-dup detection with
     * exact-Jaccard confirmation of candidates. Non-SQL-expressible → driver
     * rows-only check; correctness covered by MinHashSpec (property: candidate
@@ -73,29 +63,11 @@ object DedupQueries {
   private val dedupMinhash = Q(
     "q_dedup_minhash",
     (spark, dir) => {
-      // cached: consumed by the band self-join AND the confirm joins —
-      // without it the shingle+signature stage recomputes 4x (tiny: one row
-      // per doc)
-      val base = shingled(spark, dir)
-        .withColumn("sig", minhashFromHashes(col("shingles"), 64))
-        // sorted shingle-id set for the exact-confirm stage (two-pointer
-        // kernel instead of per-pair hash sets)
-        .withColumn("sh_sorted", sort_array(col("shingles")))
-        .withColumn("n_sh", size(col("sh_sorted")))
-        .persist()
-      val bands = base.select(col("doc_id"), explode(lshBands(col("sig"), 16, 4)).as("bk"))
-      val pairs = bands.as("a")
-        .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val withSets = pairs
-        .join(base.select(col("doc_id").as("id_a"), col("sh_sorted").as("sh_a"), col("n_sh").as("na")), Seq("id_a"))
-        .join(base.select(col("doc_id").as("id_b"), col("sh_sorted").as("sh_b"), col("n_sh").as("nb")), Seq("id_b"))
-        .withColumn("n_inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
-        .withColumn(
-          "jaccard",
-          col("n_inter").cast("double") /
-            (col("na") + col("nb") - col("n_inter")).cast("double"))
+      // threshold 0 keeps every band candidate so the summary can report
+      // both candidate volume and the confirmed (J ≥ 0.5) subset
+      val withSets = graft.ops.Dedup.minhashNearDupPairs(
+        Tables.t(spark, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, rowsPerBand = 4, threshold = 0.0)
       withSets.agg(
         count(lit(1)).as("n_candidate_pairs"),
         count(when(col("jaccard") >= 0.5, lit(1))).as("n_confirmed_pairs"),
@@ -110,18 +82,9 @@ object DedupQueries {
   private val dedupSimhash = Q(
     "q_dedup_simhash",
     (spark, dir) => {
-      val d = Tables.t(spark, dir, "documents")
-      val fp = d.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig")).persist()
-      val bands = fp.select(
-        col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-      val pairs = bands.as("a")
-        .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-        .distinct()
-        .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      // maxHamming 64 keeps every band candidate for the summary counts
+      val pairs = graft.ops.Dedup.simhashNearDupPairs(
+        Tables.t(spark, dir, "documents"), "doc_id", "text", maxHamming = 64)
       pairs.agg(
         count(lit(1)).as("n_candidate_pairs"),
         count(when(col("hamming") <= 8, lit(1))).as("n_near_dup"),

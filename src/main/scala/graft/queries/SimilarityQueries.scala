@@ -46,17 +46,8 @@ object SimilarityQueries {
     "q_sim_topk_brute",
     (spark, dir) => {
       val e = Tables.t(spark, dir, "embeddings")
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val sims = e.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(
-          col("qid"), col("vec_id").as("nid"),
-          round(cosine_sim(col("qe"), col("embedding")), 4).as("sim"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-      sims.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("nid"), col("sim"))
+      graft.ops.Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
         .orderBy(col("qid"), col("rn"))
     },
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -78,18 +69,8 @@ object SimilarityQueries {
     "q_sim_ann_lsh",
     (spark, dir) => {
       val e = Tables.t(spark, dir, "embeddings")
-      val bucketed = e.withColumn("bucket", srpBucket(col("embedding"), 8)).persist()
-      val queries = bucketed.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-      val sims = bucketed.join(queries, Seq("bucket"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(
-          col("qid"), col("vec_id").as("nid"),
-          round(cosine_sim(col("qe"), col("embedding")), 4).as("sim"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-      sims.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("rn"), col("nid"), col("sim"))
+      graft.ops.Similarity
+        .annTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 3, nPlanes = 8)
         .orderBy(col("qid"), col("rn"))
     },
     None,

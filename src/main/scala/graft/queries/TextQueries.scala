@@ -158,5 +158,34 @@ object TextQueries {
             SELECT lang, rn, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
             FROM ranked WHERE rn <= 5 ORDER BY lang, rn"""))
 
-  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textTfidf)
+  /** X3 quality: repetition ratio — the most-frequent token's share of each
+    * document (high values flag boilerplate/spam in a training corpus). */
+  private val textRepetition = Q(
+    "q_text_repetition",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val perTok = d.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      val perDoc = perTok.groupBy(col("doc_id"), col("lang"))
+        .agg(max(col("n")).as("max_n"), sum(col("n")).as("total_n"))
+      perDoc.groupBy(col("lang"))
+        .agg(
+          round(avg(col("max_n").cast("double") / col("total_n").cast("double")), 4).as("avg_repetition"),
+          round(max(col("max_n").cast("double") / col("total_n").cast("double")), 4).as("max_repetition"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH per_tok AS (
+              SELECT doc_id, lang, tok, count(*) AS n
+              FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+              GROUP BY doc_id, lang, tok
+            ), per_doc AS (
+              SELECT doc_id, lang, max(n) AS max_n, sum(n) AS total_n
+              FROM per_tok GROUP BY doc_id, lang
+            )
+            SELECT lang,
+                   round(avg(max_n * 1.0 / total_n), 4) AS avg_repetition,
+                   round(max(max_n * 1.0 / total_n), 4) AS max_repetition
+            FROM per_doc GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textTfidf, textRepetition)
 }
