@@ -122,5 +122,88 @@ object MultimodalQueries {
     None,
     doc = "stub-decoded media features via typed mapPartitions; rows-only check")
 
-  val all: Seq[Q] = Seq(mmBinary, mmFeatures)
+  /** X4 frame sampling: treat the payload as a sequence of fixed-size
+    * "frames" (256-byte chunks standing in for video frames), sample every
+    * 4th frame, and extract per-frame features. The plumbing — explode to
+    * frame rows, per-frame stub decode, re-aggregate — is exactly a video
+    * pipeline's shape; only the chunking stands in for a real demuxer.
+    * Frame/sample counts are oracle-checked; features are deterministic. */
+  private val mmFrames = Q(
+    "q_mm_frames",
+    (spark, dir) => {
+      val frameSize = 256
+      val stride = 4
+      val frames = mediaTable(spark, dir)
+        .select(
+          col("doc_id"),
+          col("meta.kind").as("kind"),
+          octet_length(col("payload")).as("n_bytes"),
+          posexplode(expr(
+            s"transform(sequence(0, CAST(ceil(octet_length(payload) / $frameSize.0) AS INT) - 1)," +
+              s" i -> substring(payload, i * $frameSize + 1, $frameSize))")))
+        .withColumnRenamed("pos", "frame_idx")
+        .withColumnRenamed("col", "frame")
+      val sampled = frames.filter(col("frame_idx") % stride === 0)
+        .withColumn("frame_mean",
+          round(aggregate(
+            expr("transform(sequence(1, octet_length(frame)), i -> CAST(ascii(substring(CAST(frame AS STRING), i, 1)) AS DOUBLE))"),
+            lit(0.0), (acc, v) => acc + v) / octet_length(col("frame")), 4))
+      sampled.groupBy(col("doc_id"), col("kind"), col("n_bytes"))
+        .agg(
+          (max(col("frame_idx")).cast("long") / stride + 1).cast("long").as("n_sampled"),
+          round(avg(col("frame_mean")), 4).as("avg_frame_mean"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    },
+    None,
+    doc = "frame-sampled stub decode over chunked payloads; rows-only check")
+
+  /** X4 frame accounting (oracle-checked): frames per payload and how many a
+    * stride-4 sampler visits — pure arithmetic both engines agree on. */
+  private val mmFrameCounts = Q(
+    "q_mm_frame_counts",
+    (spark, dir) => {
+      val frameSize = 256
+      val stride = 4
+      mediaTable(spark, dir)
+        .select(
+          col("doc_id"),
+          col("meta.kind").as("kind"),
+          ceil(octet_length(col("payload")).cast("double") / frameSize).cast("long").as("n_frames"))
+        .withColumn("n_sampled",
+          ceil(col("n_frames").cast("double") / stride).cast("long"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    },
+    Some(s"""SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
+             CAST(ceil(ceil(octet_length(encode(text)) / 256.0) / 4.0) AS BIGINT) AS n_sampled
+             FROM documents ORDER BY doc_id LIMIT 200"""))
+
+  /** X4 resize stub: normalize every payload to a fixed byte budget
+    * (truncate or zero-pad — a real image resize keeps this exact signature:
+    * bytes in, fixed-shape bytes out, metadata updated). */
+  private val mmResize = Q(
+    "q_mm_resize",
+    (spark, dir) => {
+      val target = 384
+      mediaTable(spark, dir)
+        .withColumn("resized", expr(
+          s"CASE WHEN octet_length(payload) >= $target THEN substring(payload, 1, $target) " +
+            s"ELSE concat(payload, CAST(repeat(CHAR(0), $target - octet_length(payload)) AS BINARY)) END"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("orig_bytes"),
+          octet_length(col("resized")).as("resized_bytes"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    },
+    None,
+    doc = "fixed-budget payload normalization (resize stub); rows-only check")
+
+  val all: Seq[Q] = Seq(mmBinary, mmFeatures, mmFrames, mmFrameCounts, mmResize)
 }
