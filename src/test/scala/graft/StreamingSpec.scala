@@ -49,6 +49,18 @@ class StreamingSpec extends GraftSuite {
       EventIngest.readJsonLines(spark, src), sink, ckpt, Trigger.AvailableNow()).start()
     q2.awaitTermination(60000)
     assert(spark.read.parquet(sink).count() === 3)
+
+    // new data arriving after a restart is picked up incrementally: exactly
+    // the new rows append, nothing is reprocessed
+    writeEvents(src, Seq(
+      kdgEvent(4, "BlackFriday", 20, "2024-05-03 08:00:00"),
+      kdgEvent(5, "NONE", 30, "2024-05-03 09:00:00")))
+    val q3 = EventIngest.sealedSink(
+      EventIngest.readJsonLines(spark, src), sink, ckpt, Trigger.AvailableNow()).start()
+    q3.awaitTermination(60000)
+    val after = spark.read.parquet(sink)
+    assert(after.count() === 5)
+    assert(after.filter(col("dt") === lit("2024-05-03").cast("date")).count() === 2)
   }
 
   test("S5/T2: hot+cold view serves sealed plus in-flight rows") {
