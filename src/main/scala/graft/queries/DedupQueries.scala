@@ -3,7 +3,7 @@ package graft.queries
 import graft.Q
 import graft.functions._
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Q
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Multimodal-column extension (SURVEY.md §2.11 X4): media treated as opaque
   * `binary` columns with typed metadata, flowing through the same relational
