@@ -149,6 +149,41 @@ case class MinHashFromHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `fold_hash64(longs)` — FNV-style fold over a long array + SplitMix64
+  * finalizer: the stable LSH band-key hash. Unlike Spark's Murmur3 `hash()`,
+  * this spec is plain 64-bit integer math, so the DuckDB correctness oracle
+  * can replicate band keys exactly (see `graft.tools.DuckDbSql`). */
+case class FoldHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType, containsNull = true))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fold_hash64"
+
+  override def nullSafeEval(vals: Any): Any =
+    FoldHashOps.foldHash64(vals.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.FoldHashOps.foldHash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object FoldHashOps {
+  /** Same fold+finalizer spec as ShingleHashOps, over pre-hashed values. */
+  def foldHash64(vals: ArrayData): Long = {
+    val n = vals.numElements()
+    var acc = 0xcbf29ce484222325L
+    var i = 0
+    while (i < n) {
+      acc = acc * 0x100000001b3L + (if (vals.isNullAt(i)) 0L else vals.getLong(i))
+      i += 1
+    }
+    acc += 0x9e3779b97f4a7c15L
+    acc = (acc ^ (acc >>> 30)) * 0xbf58476d1ce4e5b9L
+    acc = (acc ^ (acc >>> 27)) * 0x94d049bb133111ebL
+    acc ^ (acc >>> 31)
+  }
+}
+
 /** `minhash_signature(tokens)` — k-wide MinHash signature as a single native
   * expression (dedup extension X1). One tight loop per row inside
   * whole-stage codegen; the DataFrame-composed alternative (k `transform` +

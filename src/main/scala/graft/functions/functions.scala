@@ -43,6 +43,10 @@ package object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
 
+  /** Stable FNV-fold hash of a long array (LSH band keys; DuckDB-replicable
+    * unlike Murmur3 `hash()`). */
+  def fold_hash64(a: Column): Column = toCol(FoldHash64(toExpr(a)))
+
   /** Hamming distance between two 64-bit fingerprints — pure built-ins. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -77,11 +81,12 @@ package object functions {
     explode(transform(sequence(lit(0), lit(n - 1)),
       s => struct(joinKey.as("k"), s.as("salt"))))
 
-  /** LSH band keys from a MinHash signature: bands of `r` rows each, hashed.
-    * Docs sharing any band key are near-dup candidates. */
+  /** LSH band keys from a MinHash signature: bands of `r` rows each, hashed
+    * with the stable FNV fold (so the DuckDB oracle can reproduce band keys
+    * bit-exactly). Docs sharing any band key are near-dup candidates. */
   def lshBands(signature: Column, bands: Int, r: Int): Column = {
     val keys = (0 until bands).map { b =>
-      struct(lit(b).as("band"), hash(slice(signature, b * r + 1, r)).as("key"))
+      struct(lit(b).as("band"), fold_hash64(slice(signature, b * r + 1, r)).as("key"))
     }
     array(keys: _*)
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reusable deduplication operators (SURVEY.md §2.11 X1) — the library API
@@ -10,11 +11,46 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** 128-bit content key (two independently-seeded stable 64-bit hashes):
+    * the groupBy key for exact dedup, so the shuffle carries ~16 B per row
+    * regardless of document size (at 100 TB the raw-text alternative would
+    * shuffle the entire corpus). Collision probability across 2^64 docs is
+    * ~2^-128 per pair — below any realistic corpus size. */
+  def contentKey(keyCol: String): Seq[org.apache.spark.sql.Column] =
+    Seq(stable_hash64(col(keyCol), 0L).as("key_h1"),
+        stable_hash64(col(keyCol), 1L).as("key_h2"))
+
   /** Exact dedup: keep the smallest `idCol` row per identical `keyCol`.
-    * One shuffle on the key (at 100 TB: pre-hash the key to keep shuffle
-    * rows narrow). Returns the survivor ids. */
+    * One shuffle on the 128-bit content hash of the key (never the raw
+    * value). Returns the survivor ids. */
   def exactSurvivors(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.groupBy(col(keyCol)).agg(min(col(idCol)).as("keeper_id"))
+    df.select(col(idCol) +: contentKey(keyCol): _*)
+      .groupBy(col("key_h1"), col("key_h2"))
+      .agg(min(col(idCol)).as("keeper_id"))
+
+  /** LSH bucket cap via deterministic salt-split: every (bucket, doc) row
+    * learns its bucket size from a window count, then oversized buckets are
+    * split into `ceil(n / maxBucket)` sub-buckets keyed by `id % nSplit`.
+    * The per-bucket self-join quadratic is thereby bounded by ~maxBucket²
+    * regardless of how hot a band key gets (boilerplate docs sharing a
+    * signature band are the classic 100 TB failure mode — without the cap one
+    * hot key degrades the join to O(n²); AQE only splits the shuffle, not the
+    * pair blowup). Trade-off: pairs across sub-buckets of one oversized
+    * bucket are skipped (expected loss fraction ≈ 1 − 1/nSplit for that
+    * bucket only) — near-dups get bands−1 further chances on other bands.
+    * Deterministic (id-based salt, no RNG), so the DuckDB oracle replicates
+    * it exactly. */
+  private[graft] def saltSplit(
+      bandsDf: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String,
+      maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    bandsDf
+      .withColumn("bk_n", count(lit(1)).over(w))
+      .withColumn("sub", pmod(col(idCol), ceil(col("bk_n") / lit(maxBucket))))
+      .drop("bk_n")
+  }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard confirmation.
     *
@@ -23,6 +59,8 @@ object Dedup {
     * @param k signature width
     * @param bands×rowsPerBand must equal k; sets the similarity threshold
     *        curve (P[candidate] = 1-(1-J^r)^b)
+    * @param maxBucket cap on band-bucket size — oversized buckets salt-split
+    *        into `ceil(n/maxBucket)` deterministic sub-buckets (see saltSplit)
     * @return (id_a, id_b, jaccard) for confirmed pairs with J ≥ threshold
     */
   def minhashNearDupPairs(
@@ -33,7 +71,8 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
     require(bands * rowsPerBand == k, s"bands($bands) x rows($rowsPerBand) must equal k($k)")
     val base = df.select(
         col(idCol).as("doc_id"),
@@ -42,9 +81,13 @@ object Dedup {
       .withColumn("sh_sorted", sort_array(col("shingles")))
       .withColumn("n_sh", size(col("sh_sorted")))
       .persist()
-    val bandsDf = base.select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+    val bandsDf = saltSplit(
+      base.select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk")),
+      Seq("bk"), "doc_id", maxBucket)
     val pairs = bandsDf.as("a")
-      .join(bandsDf.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .join(bandsDf.as("b"),
+        col("a.bk") === col("b.bk") && col("a.sub") === col("b.sub") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     pairs
@@ -58,20 +101,26 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
-    * 16-bit hash bands, confirmed at Hamming distance ≤ maxHamming. */
+    * 16-bit hash bands (salt-split over `maxBucket` — see saltSplit),
+    * confirmed at Hamming distance ≤ maxHamming. */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8,
+      maxBucket: Int = 256): DataFrame = {
     val fp = df.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig")).persist()
-    val bandsDf = fp.select(
-      col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val bandsDf = saltSplit(
+      fp.select(
+        col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk")),
+      Seq("bk"), "doc_id", maxBucket)
     bandsDf.as("a")
-      .join(bandsDf.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .join(bandsDf.as("b"),
+        col("a.bk") === col("b.bk") && col("a.sub") === col("b.sub") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()

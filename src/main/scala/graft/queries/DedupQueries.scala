@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** X1-exact: hash-groupBy dedup — survivors = min doc_id per identical
-    * text. One shuffle on the text hash; at 100 TB you'd groupBy a 128-bit
-    * content hash instead of the raw text to keep shuffle rows narrow. */
+    * text. The groupBy key is a 128-bit content hash (2× seeded
+    * stable_hash64), so the shuffle carries ~16 B/row regardless of document
+    * size; the oracle groups by raw text — identical groups absent a 128-bit
+    * collision (probability ~2^-128 per pair). */
   private val dedupExact = Q(
     "q_dedup_exact",
     (spark, dir) => {
       val d = Tables.t(spark, dir, "documents")
-      d.groupBy(col("text"))
+      d.select(col("doc_id") +: graft.ops.Dedup.contentKey("text"): _*)
+        .groupBy(col("key_h1"), col("key_h2"))
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
         .groupBy()
         .agg(
@@ -37,13 +40,13 @@ object DedupQueries {
             FROM (SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
                   FROM documents GROUP BY text)"""))
 
-  /** X1-exact survivors listing (the dedup operator's actual output). */
+  /** X1-exact survivors listing (the dedup operator's actual output) — same
+    * narrow-shuffle 128-bit content-hash groupBy as q_dedup_exact. */
   private val dedupSurvivors = Q(
     "q_dedup_survivors",
     (spark, dir) => {
       val d = Tables.t(spark, dir, "documents")
-      d.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keeper_id"))
+      graft.ops.Dedup.exactSurvivors(d, "text", "doc_id")
         .select(col("keeper_id"))
         .orderBy(col("keeper_id"))
         .limit(200)
@@ -93,44 +96,56 @@ object DedupQueries {
     None,
     doc = "SimHash near-dup via hash bands; rows-only check")
 
-  /** X1-ngram-jaccard: exact character-trigram Jaccard, blocked by
-    * (lang, source) — the blocking pattern that replaces all-pairs at scale.
-    * Emits the best pair per block. */
+  /** X1-ngram-jaccard: exact character-trigram Jaccard over LSH-band blocks.
+    *
+    * Blocking is `(lang, MinHash band)` — 8 single-row MinHash bands over the
+    * gram-hash set — NOT a corpus-growth key like (lang, source): block
+    * membership is content-derived, so block sizes track near-dup cluster
+    * sizes, not data volume, and the in-block `id_a < id_b` quadratic stays
+    * bounded at 100 TB. Oversized blocks (boilerplate) additionally salt-split
+    * over a 64-doc cap (graft.ops.Dedup.saltSplit; DedupCapSpec plants a
+    * pathological block and asserts the bound).
+    *
+    * Fully oracle-checked: stable_hash64 + the MinHash seed remix are
+    * replicated bit-exactly in DuckDB SQL (graft.tools.DuckDbSql). */
   private val dedupNgramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
+      val nBands = 8
+      val cap = 64
       val d = Tables.t(spark, dir, "documents")
       // gram sets as SORTED stable 64-bit hashes: sorting once per doc lets
       // every pair use the allocation-free two-pointer intersect kernel
       // (sorted_intersect_count) instead of a hash set per pair
       val grams = d.select(
-        col("lang"), col("source"), col("doc_id"),
+        col("lang"), col("doc_id"),
         sort_array(array_distinct(transform(
           expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"),
           g => stable_hash64(g)))).as("grams"))
         .withColumn("n_grams", size(col("grams")))
-        .persist()  // consumed by both sides of the block self-join
-      // |A∪B| = |A|+|B|-|A∩B|: one set operation per pair instead of two
-      val pairs = grams.as("a")
-        .join(grams.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        .persist()  // consumed by the band explode and both confirm joins
+      val bands = grams.select(col("lang"), col("doc_id"),
+        posexplode(minhashFromHashes(col("grams"), nBands)).as(Seq("band", "bv")))
+      val salted = graft.ops.Dedup.saltSplit(bands, Seq("lang", "band", "bv"), "doc_id", cap)
+      val pairs = salted.as("a")
+        .join(salted.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.bv") === col("b.bv") && col("a.sub") === col("b.sub") &&
             col("a.doc_id") < col("b.doc_id"))
-        .withColumn("n_inter", sorted_intersect_count(col("a.grams"), col("b.grams")))
-        .select(
-          col("a.lang").as("lang"), col("a.source").as("source"),
-          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(col("n_inter").cast("double") /
-            (col("a.n_grams") + col("b.n_grams") - col("n_inter")).cast("double"), 4).as("jaccard"))
-      val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      // |A∪B| = |A|+|B|-|A∩B|: one set operation per pair instead of two
       pairs
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("lang"), col("source"), col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("lang"), col("source"))
+        .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a"), col("n_grams").as("na")), Seq("id_a"))
+        .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b"), col("n_grams").as("nb")), Seq("id_b"))
+        .withColumn("n_inter", sorted_intersect_count(col("g_a"), col("g_b")))
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"), 4))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("lang"), col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("lang"), col("id_a"), col("id_b"))
     },
-    None,
-    doc = "blocked exact n-gram Jaccard; rows-only check")
+    Some(DedupOracles.ngramJaccardSql))
 
   /** X1-embedding: cosine near-dup via signed-random-projection buckets
     * (8 hyperplanes → 256 buckets); candidates share a bucket, confirmed at

@@ -1,0 +1,114 @@
+package graft.tools
+
+import graft.expressions.MinHashOps
+
+/** DuckDB SQL fragment generators that replicate the engine's stable hash
+  * family (`graft.expressions.TextOps.hash64`: FNV-1a 64 over bytes +
+  * SplitMix64 finalizer, and the MinHash seed remix) bit-exactly in plain
+  * SQL. This is what lets the driver's DuckDB oracle hard-check the
+  * fingerprint / MinHash / LSH-band query family instead of rows-only.
+  *
+  * Implementation notes (each verified against the Scala kernels):
+  *  - 64-bit wrap multiply can't use HUGEINT directly (2^64 × 2^64 overflows
+  *    signed int128), so it decomposes into 32-bit limbs.
+  *  - DuckDB `<<` is signed (overflows at bit 63); shifted limbs multiply by
+  *    2^32 instead.
+  *  - `list_transform([e], v -> body)[1]` is the single-evaluation "let"
+  *    binding that keeps generated SQL from exploding exponentially.
+  *  - ASCII-only: `ascii(s[i])` equals the UTF-8 byte only for 7-bit text;
+  *    the documents fixture is pure ASCII (asserted in DuckDbSqlSpec).
+  */
+object DuckDbSql {
+  private val Mod = "18446744073709551616" // 2^64
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def sym(p: String) = p + counter.incrementAndGet()
+
+  /** Single-evaluation binding: `let(e)(v => body)` evaluates `e` once. */
+  private def let(e: String)(body: String => String): String = {
+    val v = sym("v")
+    s"(list_transform([$e], $v -> ${body(v)})[1])"
+  }
+
+  /** Unsigned 64-bit literal. */
+  def u(n: Long): String = s"CAST(${java.lang.Long.toUnsignedString(n)} AS UBIGINT)"
+
+  /** (a * b) mod 2^64 via 32-bit limbs, all operands UBIGINT. */
+  def wmul(a: String, b: String): String = let(a) { wa =>
+    let(b) { wb =>
+      val al = s"($wa & 4294967295)"
+      val ah = s"($wa >> 32)"
+      val bl = s"($wb & 4294967295)"
+      val bh = s"($wb >> 32)"
+      val cross = s"((($al*$bh & 4294967295) + ($ah*$bl & 4294967295)) & 4294967295)"
+      s"CAST((CAST($al*$bl AS HUGEINT) + CAST($cross * CAST(4294967296 AS UBIGINT) AS HUGEINT)) % $Mod AS UBIGINT)"
+    }
+  }
+
+  /** (a + b) mod 2^64, operands UBIGINT. */
+  def wadd(a: String, b: String): String =
+    s"CAST((CAST($a AS HUGEINT) + CAST($b AS HUGEINT)) % $Mod AS UBIGINT)"
+
+  /** SplitMix64 3-step avalanche (the shared tail of hash64 and the MinHash
+    * seed remix — `MinHashOps.signature` / `TextOps.hash64`). */
+  def mix(e: String): String = let(e) { a =>
+    let(wmul(s"xor($a, $a >> 30)", u(0xbf58476d1ce4e5b9L))) { b =>
+      let(wmul(s"xor($b, $b >> 27)", u(0x94d049bb133111ebL))) { c =>
+        s"xor($c, $c >> 31)"
+      }
+    }
+  }
+
+  /** FNV-1a 64 fold over the ASCII bytes of `strExpr`, seeded. */
+  private def fnv(strExpr: String, seed: Long): String = {
+    val h0 = u(0xcbf29ce484222325L ^ seed)
+    val i = sym("i")
+    val fh = sym("h")
+    val fb = sym("b")
+    val bytes =
+      s"list_transform(range(1, length($strExpr)+1), $i -> CAST(ascii(($strExpr)[$i]) AS UBIGINT))"
+    s"list_reduce([$h0] || $bytes, ($fh, $fb) -> ${wmul(s"xor($fh, $fb)", "1099511628211")})"
+  }
+
+  /** `stable_hash64(strExpr, seed)` as UBIGINT. */
+  def hash64U(strExpr: String, seed: Long = 0L): String =
+    mix(wadd(fnv(strExpr, seed), u(0x9e3779b97f4a7c15L)))
+
+  /** Reinterpret UBIGINT bits as signed BIGINT (Spark LongType). */
+  def toSigned(e: String): String = let(e) { t =>
+    s"CAST(CAST($t AS HUGEINT) - (CASE WHEN $t >= CAST(9223372036854775808 AS UBIGINT) THEN CAST($Mod AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS BIGINT)"
+  }
+
+  /** Reinterpret signed BIGINT bits as UBIGINT. */
+  def toUnsigned(e: String): String = let(e) { t =>
+    s"CAST(CAST($t AS HUGEINT) + (CASE WHEN $t < 0 THEN CAST($Mod AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS UBIGINT)"
+  }
+
+  /** `stable_hash64(strExpr, seed)` as signed BIGINT (= Spark output). */
+  def hash64(strExpr: String, seed: Long = 0L): String = toSigned(hash64U(strExpr, seed))
+
+  /** MinHash per-seed remix (`ShingleHashOps.signatureFromHashes` inner
+    * step): SplitMix64 mix of (h ^ seed); both operands UBIGINT. */
+  def remixU(hU: String, seedU: String): String = mix(s"xor($hU, $seedU)")
+
+  /** The first k MinHash seeds as a VALUES table `(band BIGINT, seed
+    * UBIGINT)` — identical constants to the native expression's
+    * `MinHashOps.seeds(k)`. */
+  def seedsValues(k: Int): String =
+    MinHashOps.seeds(k).zipWithIndex
+      .map { case (s, i) => s"($i, ${u(s)})" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** FNV fold over a pre-hashed UBIGINT value pair/list accumulated as
+    * `acc = acc*prime + v` then finalized — `FoldHashOps.foldHash64` /
+    * `ShingleHashOps` shingle fold, as a list_reduce over `listExpr`
+    * (elements must be UBIGINT). */
+  def foldHash64U(listExpr: String): String = {
+    val fh = sym("h")
+    val fb = sym("b")
+    val step = wadd(wmul(fh, u(0x100000001b3L)), fb)
+    mix(wadd(
+      s"list_reduce([${u(0xcbf29ce484222325L)}] || $listExpr, ($fh, $fb) -> $step)",
+      u(0x9e3779b97f4a7c15L)))
+  }
+}
