@@ -11,6 +11,105 @@ import graft.tools.DuckDbSql._
   */
 object DedupOracles {
 
+  /** Oracle for q_dedup_minhash: the full MinHash(64) + LSH(16×4) near-dup
+    * pipeline — word-3-shingle hashes (FNV fold over token hashes), 64-seed
+    * signature mins, fold_hash64 band keys, 256-doc bucket cap, exact-Jaccard
+    * confirm — replicated stage-for-stage in SQL. Empty-shingle docs keep
+    * Long.MaxValue signature lanes (coalesce), matching the kernel. */
+  val minhashSql: String = {
+    val prime = u(0x100000001b3L)
+    val offset = u(0xcbf29ce484222325L)
+    val golden = u(0x9e3779b97f4a7c15L)
+    // shingle(th, si): ((OFF*p + th[si])*p + th[si+1])*p + th[si+2], finalized
+    val acc1 = wadd(wmul(offset, prime), "th[si]")
+    val acc2 = wadd(wmul(acc1, prime), "th[si+1]")
+    val acc3 = wadd(wmul(acc2, prime), "th[si+2]")
+    val shingle = mix(wadd(acc3, golden))
+    val remix = toSigned(remixU("shv", "s.seed"))
+    val foldKey = foldHash64U(s"list_transform(list(mv ORDER BY sidx), fku -> ${toUnsigned("fku")})")
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tk -> ${hash64U("tk")}) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(th)-2, 0)+1), si -> $shingle)) AS shingles
+       |  FROM th
+       |), sized AS (
+       |  SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh
+       |), shex AS (
+       |  SELECT doc_id, unnest(shingles) AS shv FROM sh
+       |), seeds AS (
+       |  SELECT * FROM ${seedsValues(64)} t(sidx, seed)
+       |), mins AS (
+       |  SELECT d.doc_id, s.sidx,
+       |         coalesce(min($remix), 9223372036854775807) AS mv
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN seeds s
+       |  LEFT JOIN shex ON shex.doc_id = d.doc_id
+       |  GROUP BY d.doc_id, s.sidx
+       |), bands AS (
+       |  SELECT doc_id, sidx // 4 AS band, $foldKey AS fk
+       |  FROM mins GROUP BY doc_id, sidx // 4
+       |), counted AS (
+       |  SELECT *, count(*) OVER (PARTITION BY band, fk) AS bk_n FROM bands
+       |), salted AS (
+       |  SELECT doc_id, band, fk, doc_id % CAST(ceil(bk_n / 256.0) AS BIGINT) AS sub FROM counted
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM salted a JOIN salted b
+       |    ON a.band = b.band AND a.fk = b.fk AND a.sub = b.sub AND a.doc_id < b.doc_id
+       |), conf AS (
+       |  SELECT p.id_a, p.id_b,
+       |         round(len(list_intersect(ga.shingles, gb.shingles)) * 1.0 /
+       |               (ga.n_sh + gb.n_sh - len(list_intersect(ga.shingles, gb.shingles))), 4) AS j
+       |  FROM pairs p
+       |  JOIN sized ga ON ga.doc_id = p.id_a
+       |  JOIN sized gb ON gb.doc_id = p.id_b
+       |)
+       |SELECT count(*) AS n_candidate_pairs,
+       |       count(CASE WHEN j >= 0.5 THEN 1 END) AS n_confirmed_pairs,
+       |       round(coalesce(max(j), 0.0), 4) AS max_jaccard
+       |FROM conf""".stripMargin
+  }
+
+  /** Oracle for q_dedup_simhash: SimHash-64 bit-majority fingerprints,
+    * 4×16-bit band keys, 256-doc bucket cap, Hamming via bit_count(xor). */
+  val simhashSql: String = {
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_transform(string_split(text, ' '), tk -> ${hash64U("tk")})) AS h
+       |  FROM documents
+       |), bits AS (
+       |  SELECT * FROM $bitValues64 t(bit, pw)
+       |), votes AS (
+       |  SELECT toks.doc_id, bits.bit, bits.pw,
+       |         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM toks, bits GROUP BY toks.doc_id, bits.bit, bits.pw
+       |), sim AS (
+       |  SELECT doc_id,
+       |         ${toSigned(s"CAST(coalesce(sum(CASE WHEN c > 0 THEN CAST(pw AS HUGEINT) END), 0) AS UBIGINT)")} AS sig
+       |  FROM votes GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, sig, band, (sig >> (16 * band)) & 65535 AS key
+       |  FROM sim, (SELECT unnest(range(0, 4)) AS band) b
+       |), counted AS (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bk_n FROM bands
+       |), salted AS (
+       |  SELECT doc_id, sig, band, key,
+       |         doc_id % CAST(ceil(bk_n / 256.0) AS BIGINT) AS sub FROM counted
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                  a.sig AS sig_a, b.sig AS sig_b
+       |  FROM salted a JOIN salted b
+       |    ON a.band = b.band AND a.key = b.key AND a.sub = b.sub AND a.doc_id < b.doc_id
+       |), conf AS (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming FROM pairs
+       |)
+       |SELECT count(*) AS n_candidate_pairs,
+       |       count(CASE WHEN hamming <= 8 THEN 1 END) AS n_near_dup,
+       |       CAST(coalesce(min(hamming), -1) AS INTEGER) AS min_hamming
+       |FROM conf""".stripMargin
+  }
+
   /** Oracle for q_dedup_ngram_jaccard (8 bands, r=1, cap 64, τ=0.4). */
   val ngramJaccardSql: String = {
     val gramHash = hash64("substring(text, gi, 3)")

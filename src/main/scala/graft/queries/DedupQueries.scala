@@ -76,8 +76,7 @@ object DedupQueries {
         count(when(col("jaccard") >= 0.5, lit(1))).as("n_confirmed_pairs"),
         round(coalesce(max(col("jaccard")), lit(0.0)), 4).as("max_jaccard"))
     },
-    None,
-    doc = "MinHash+LSH near-dup; rows-only check (non-SQL-expressible)")
+    Some(DedupOracles.minhashSql))
 
   /** X1-simhash: 64-bit SimHash fingerprints, candidate pairs via 4×16-bit
     * hash bands, confirmed at Hamming distance ≤ 8 with built-in
@@ -93,8 +92,7 @@ object DedupQueries {
         count(when(col("hamming") <= 8, lit(1))).as("n_near_dup"),
         coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
     },
-    None,
-    doc = "SimHash near-dup via hash bands; rows-only check")
+    Some(DedupOracles.simhashSql))
 
   /** X1-ngram-jaccard: exact character-trigram Jaccard over LSH-band blocks.
     *

@@ -155,8 +155,35 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
         .limit(100)
     },
-    None,
-    doc = "frame-sampled stub decode over chunked payloads; rows-only check")
+    // the payload is UTF-8 text bytes, so DuckDB can replicate the chunking
+    // byte-for-byte with substring + ascii (fixture is pure ASCII —
+    // DuckOracleSpec asserts the precondition)
+    Some("""WITH media AS (
+            |  SELECT doc_id,
+            |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+            |              WHEN doc_id % 3 = 1 THEN 'audio'
+            |              ELSE 'video' END AS kind,
+            |         text, octet_length(encode(text)) AS n_bytes
+            |  FROM documents
+            |), fidx AS (
+            |  SELECT doc_id, kind, n_bytes, text,
+            |         unnest(range(0, CAST(ceil(n_bytes / 256.0) AS INT))) AS fi
+            |  FROM media
+            |), sampled AS (
+            |  SELECT doc_id, kind, n_bytes, fi,
+            |         substring(text, fi * 256 + 1, 256) AS frame
+            |  FROM fidx WHERE fi % 4 = 0
+            |), fmeans AS (
+            |  SELECT doc_id, kind, n_bytes, fi,
+            |         round(list_sum(list_transform(range(1, length(frame)+1),
+            |                 ci -> ascii(frame[ci]))) * 1.0 / length(frame), 4) AS frame_mean
+            |  FROM sampled
+            |)
+            |SELECT doc_id, kind, n_bytes,
+            |       CAST(max(fi) // 4 + 1 AS BIGINT) AS n_sampled,
+            |       round(avg(frame_mean), 4) AS avg_frame_mean
+            |FROM fmeans GROUP BY doc_id, kind, n_bytes
+            |ORDER BY doc_id LIMIT 100""".stripMargin))
 
   /** X4 frame accounting (oracle-checked): frames per payload and how many a
     * stride-4 sampler visits — pure arithmetic both engines agree on. */
@@ -202,8 +229,16 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
         .limit(100)
     },
-    None,
-    doc = "fixed-budget payload normalization (resize stub); rows-only check")
+    // truncation = md5 of the 384-byte prefix; zero-pad = md5 over the text
+    // plus chr(0) repeats (DuckDB VARCHARs are NUL-tolerant and md5 hashes
+    // the raw bytes — verified against hashlib)
+    Some("""SELECT doc_id,
+            octet_length(encode(text)) AS orig_bytes,
+            CAST(384 AS INTEGER) AS resized_bytes,
+            CASE WHEN octet_length(encode(text)) >= 384
+                 THEN md5(substring(text, 1, 384))
+                 ELSE md5(text || repeat(chr(0), 384 - octet_length(encode(text)))) END AS resized_md5
+            FROM documents ORDER BY doc_id LIMIT 100"""))
 
   val all: Seq[Q] = Seq(mmBinary, mmFeatures, mmFrames, mmFrameCounts, mmResize)
 }

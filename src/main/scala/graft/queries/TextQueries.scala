@@ -72,18 +72,20 @@ object TextQueries {
     * every lang label, so this reports the confusion matrix rather than
     * accuracy; the scorer itself is verified on real multilingual snippets in
     * LangIdSpec.) */
+  /** Stopword profiles shared by the query and its oracle SQL. */
+  private[queries] val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no", "con", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "ne", "avec", "un"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
   private val textLangId = Q(
     "q_text_langid",
     (spark, dir) => {
       val d = Tables.t(spark, dir, "documents")
       val toks = split(col("text"), " ")
-      val profiles: Seq[(String, Seq[String])] = Seq(
-        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
-        "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
-        "es" -> Seq("el", "la", "de", "y", "es", "no", "con", "un"),
-        "fr" -> Seq("le", "la", "de", "et", "est", "ne", "avec", "un"),
-        "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
-      val scores = profiles.map { case (langName, words) =>
+      val scores = langProfiles.map { case (langName, words) =>
         struct(
           (-size(array_intersect(toks, array(words.map(lit): _*)))).as("neg_score"),
           lit(langName).as("lang"))
@@ -97,8 +99,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
     },
-    None,
-    doc = "stopword-profile language ID confusion matrix; rows-only check")
+    Some(TextOracles.langIdSql))
 
   /** X3 fingerprinting: SimHash (bag-of-words) + rolling hash (order
     * sensitive) per document — both native codegen'd expressions. */
@@ -114,8 +115,7 @@ object TextQueries {
         .orderBy(col("doc_id"))
         .limit(200)
     },
-    None,
-    doc = "document fingerprints via native expressions; rows-only check")
+    Some(TextOracles.fingerprintSql))
 
   /** X3 tf-idf: top-5 terms per language by tf·idf. Integer tf/df keep the
     * only float (ln) bit-identical given the same integer inputs; ranking is

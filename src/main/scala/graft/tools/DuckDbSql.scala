@@ -99,6 +99,11 @@ object DuckDbSql {
       .map { case (s, i) => s"($i, ${u(s)})" }
       .mkString("(VALUES ", ", ", ")")
 
+  /** Powers of two as a VALUES table `(bit BIGINT, pw UBIGINT)` — for
+    * rebuilding a 64-bit word from per-bit aggregates (SimHash oracle). */
+  def bitValues64: String =
+    (0 until 64).map(b => s"($b, ${u(1L << b)})").mkString("(VALUES ", ", ", ")")
+
   /** FNV fold over a pre-hashed UBIGINT value pair/list accumulated as
     * `acc = acc*prime + v` then finalized — `FoldHashOps.foldHash64` /
     * `ShingleHashOps` shingle fold, as a list_reduce over `listExpr`
