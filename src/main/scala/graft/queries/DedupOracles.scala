@@ -16,7 +16,7 @@ object DedupOracles {
     * signature mins, fold_hash64 band keys, 256-doc bucket cap, exact-Jaccard
     * confirm — replicated stage-for-stage in SQL. Empty-shingle docs keep
     * Long.MaxValue signature lanes (coalesce), matching the kernel. */
-  val minhashSql: String = {
+  lazy val minhashSql: String = {
     val prime = u(0x100000001b3L)
     val offset = u(0xcbf29ce484222325L)
     val golden = u(0x9e3779b97f4a7c15L)
@@ -74,7 +74,7 @@ object DedupOracles {
 
   /** Oracle for q_dedup_simhash: SimHash-64 bit-majority fingerprints,
     * 4×16-bit band keys, 256-doc bucket cap, Hamming via bit_count(xor). */
-  val simhashSql: String = {
+  lazy val simhashSql: String = {
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_transform(string_split(text, ' '), tk -> ${hash64U("tk")})) AS h
        |  FROM documents
@@ -111,7 +111,7 @@ object DedupOracles {
   }
 
   /** Oracle for q_dedup_ngram_jaccard (8 bands, r=1, cap 64, τ=0.4). */
-  val ngramJaccardSql: String = {
+  lazy val ngramJaccardSql: String = {
     val gramHash = hash64("substring(text, gi, 3)")
     val remix = toSigned(remixU(toUnsigned("gh"), "s.seed"))
     s"""WITH gr AS (

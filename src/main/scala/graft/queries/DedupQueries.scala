@@ -165,8 +165,7 @@ object DedupQueries {
         count(when(col("cos") >= 0.9, lit(1))).as("n_near_dup"),
         round(coalesce(max(col("cos")), lit(-1.0)), 4).as("max_cos"))
     },
-    None,
-    doc = "embedding cosine near-dup via SRP-LSH buckets; rows-only check")
+    Some(SimilarityOracles.dedupEmbeddingSql))
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,

@@ -119,8 +119,37 @@ object MultimodalQueries {
           max(col("n_bytes")).as("max_bytes"))
         .orderBy(col("kind"))
     },
-    None,
-    doc = "stub-decoded media features via typed mapPartitions; rows-only check")
+    // the stub decoder is deterministic byte statistics, so DuckDB can
+    // replicate it: per-byte histogram → mean from exact integer sums,
+    // entropy as a sequential fold in ascending byte order (matching the
+    // kernel's 0..255 loop; negation of a float sum is exact)
+    Some("""WITH media AS (
+            |  SELECT doc_id,
+            |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+            |              WHEN doc_id % 3 = 1 THEN 'audio'
+            |              ELSE 'video' END AS kind,
+            |         text, octet_length(encode(text)) AS n_bytes
+            |  FROM documents
+            |), bytes AS (
+            |  SELECT doc_id, kind, n_bytes,
+            |         unnest(list_transform(range(1, length(text)+1), ci -> ascii(text[ci]))) AS b
+            |  FROM media
+            |), hist AS (
+            |  SELECT doc_id, kind, n_bytes, b, count(*) AS c
+            |  FROM bytes GROUP BY doc_id, kind, n_bytes, b
+            |), per_doc AS (
+            |  SELECT doc_id, kind, n_bytes,
+            |         sum(c * b) * 1.0 / n_bytes AS mean_byte,
+            |         -(list_reduce(list_transform(list(c ORDER BY b),
+            |             x -> (x * 1.0 / n_bytes) * ln(x * 1.0 / n_bytes) / ln(2.0)),
+            |           (ea, eb) -> ea + eb)) AS entropy
+            |  FROM hist GROUP BY doc_id, kind, n_bytes
+            |)
+            |SELECT kind, count(*) AS n,
+            |       round(avg(mean_byte), 4) AS avg_mean_byte,
+            |       round(avg(entropy), 4) AS avg_entropy,
+            |       max(n_bytes) AS max_bytes
+            |FROM per_doc GROUP BY kind ORDER BY kind""".stripMargin))
 
   /** X4 frame sampling: treat the payload as a sequence of fixed-size
     * "frames" (256-byte chunks standing in for video frames), sample every

@@ -1,0 +1,142 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the vector-similarity queries. The engine's
+  * native kernels (graft.expressions.VectorOps) accumulate float32 inputs
+  * into float64 sequentially in array order; these oracles replicate that
+  * with `list_reduce` folds (sequential by definition) over `CAST(x AS
+  * DOUBLE)` products, so dot products, cosines, and SRP bucket signs are
+  * bit-identical — not merely close — between engines. The SRP hyperplanes
+  * are inlined as literals from the same `SimilarityQueries.planes`
+  * constants the queries use (rendered via Double.toString, which
+  * round-trips exactly). */
+object SimilarityOracles {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def sym(p: String) = p + counter.incrementAndGet()
+
+  /** Sequential left fold sum (matches the kernels' loop order). */
+  private def seqSum(listExpr: String): String = {
+    val a = sym("sa")
+    val b = sym("sb")
+    s"list_reduce($listExpr, ($a, $b) -> $a + $b)"
+  }
+
+  /** Float32 element as float64, 1-based index. */
+  private def el(col: String)(i: String): String = s"CAST($col[$i] AS DOUBLE)"
+
+  private def dot(a: String => String, b: String => String, dim: Int = 64): String = {
+    val i = sym("di")
+    seqSum(s"list_transform(range(1, ${dim + 1}), $i -> ${a(i)} * ${b(i)})")
+  }
+
+  /** cosine(aCol, bCol) — VectorOps.cosine replica (float cols). */
+  private def cos(aCol: String, bCol: String): String = {
+    val d = dot(el(aCol), el(bCol))
+    val na = dot(el(aCol), el(aCol))
+    val nb = dot(el(bCol), el(bCol))
+    s"($d / (sqrt($na) * sqrt($nb)))"
+  }
+
+  /** The SRP plane as a DOUBLE list literal: the exact float32 values the
+    * Spark query feeds DotProduct (lit(v.toFloat)), widened to double. */
+  private def planeLit(p: Array[Double]): String =
+    p.map(v => java.lang.Double.toString(v.toFloat.toDouble)).mkString("[", ", ", "]")
+
+  /** srpBucket(embCol, nPlanes) replica: bit j = sign(emb · plane_j). */
+  private def srpBucket(embCol: String, nPlanes: Int): String = {
+    val ps = SimilarityQueries.planes(nPlanes, 64)
+    (0 until nPlanes).map { j =>
+      val d = dot(el(embCol), i => s"(${planeLit(ps(j))})[$i]")
+      s"(CASE WHEN $d > 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Oracle for q_dedup_embedding: SRP(8)-bucketed near-dup candidate pairs
+    * with raw-double cosine >= 0.9 confirmation. */
+  lazy val dedupEmbeddingSql: String = {
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${srpBucket("embedding", 8)} AS bucket FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${cos("a.embedding", "b.embedding")} AS c
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT count(*) AS n_candidate_pairs,
+       |       count(CASE WHEN c >= 0.9 THEN 1 END) AS n_near_dup,
+       |       round(coalesce(max(c), -1.0), 4) AS max_cos
+       |FROM pairs""".stripMargin
+  }
+
+  /** Oracle for q_sim_ann_lsh: SRP(8)-bucketed ANN, queries vec_id < 20,
+    * in-bucket top-3 by (rounded sim desc, nid). */
+  lazy val annLshSql: String = {
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${srpBucket("embedding", 8)} AS bucket FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qe, bucket FROM bucketed WHERE vec_id < 20
+       |), sims AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |         round(${cos("q.qe", "c.embedding")}, 4) AS sim
+       |  FROM bucketed c JOIN q USING (bucket) WHERE c.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+       |  FROM sims
+       |)
+       |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** Oracle for q_sim_centroids: per-label mean embedding (each mean rounded
+    * to 6 decimals, then narrowed to float32 — matching the query), cosine
+    * of every label pair. */
+  lazy val centroidsSql: String = {
+    // centroid element as double: the float32 narrowing replica
+    def cel(col: String)(i: String): String = s"CAST(CAST($col[$i] AS REAL) AS DOUBLE)"
+    val d = dot(cel("a.centroid"), cel("b.centroid"))
+    val na = dot(cel("a.centroid"), cel("a.centroid"))
+    val nb = dot(cel("b.centroid"), cel("b.centroid"))
+    s"""WITH pos AS (
+       |  SELECT label, ui AS i, round(avg(CAST(embedding[ui] AS DOUBLE)), 6) AS m
+       |  FROM (SELECT label, embedding, unnest(range(1, 65)) AS ui FROM embeddings)
+       |  GROUP BY label, ui
+       |), cents AS (
+       |  SELECT label, list(m ORDER BY i) AS centroid FROM pos GROUP BY label
+       |)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |       round($d / (sqrt($na) * sqrt($nb)), 4) AS centroid_cos
+       |FROM cents a JOIN cents b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
+  }
+
+  /** Oracle for q_sim_ann_ivf: 16 coarse centroids (= embeddings vec_id<16),
+    * candidates assigned to their argmax-cosine cell, queries (20<=id<40)
+    * probe their top-2 cells, exact in-cell top-3. */
+  lazy val annIvfSql: String = {
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16
+       |), scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         ${cos("e.embedding", "c.ce")} AS cs
+       |  FROM embeddings e, cents c
+       |), ranked_cells AS (
+       |  SELECT vec_id, embedding, cell, cs,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS crn
+       |  FROM scored
+       |), cands AS (
+       |  SELECT vec_id, embedding, cell FROM ranked_cells WHERE crn = 1
+       |), qs AS (
+       |  SELECT vec_id AS qid, embedding AS qe, cell
+       |  FROM ranked_cells WHERE crn <= 2 AND vec_id >= 20 AND vec_id < 40
+       |), sims AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |         round(${cos("q.qe", "c.embedding")}, 4) AS sim
+       |  FROM cands c JOIN qs q USING (cell) WHERE c.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+       |  FROM sims
+       |)
+       |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+}

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   /** Deterministic signed-random-projection hyperplanes (java.util.Random is
-    * sequence-stable by spec; seed fixed). */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    * sequence-stable by spec; seed fixed). Shared with the oracle SQL
+    * generator (SimilarityOracles), which inlines them as literals. */
+  private[queries] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new java.util.Random(42)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
@@ -73,8 +74,7 @@ object SimilarityQueries {
         .annTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 3, nPlanes = 8)
         .orderBy(col("qid"), col("rn"))
     },
-    None,
-    doc = "SRP-LSH bucketed ANN; rows-only check, recall asserted in tests")
+    Some(SimilarityOracles.annLshSql))
 
   /** X2 scale path #2: IVF-flat ANN — an inverted file over coarse
     * centroids. Candidates are assigned to their nearest centroid (one
@@ -115,8 +115,7 @@ object SimilarityQueries {
         .select(col("qid"), col("rn"), col("nid"), col("sim"))
         .orderBy(col("qid"), col("rn"))
     },
-    None,
-    doc = "IVF-flat ANN (coarse-centroid cells, 2-probe); rows-only check")
+    Some(SimilarityOracles.annIvfSql))
 
   /** X2 label centroid similarity: per-label mean embedding then cosine of
     * each label pair — the "semantic clustering" shape (exact, aggregated). */
@@ -126,11 +125,15 @@ object SimilarityQueries {
       val e = Tables.t(spark, dir, "embeddings")
       // mean embedding per label: element-wise sum via explode-free posexplode
       // alternative — aggregate over 64 positions with array ops
+      // rounding each mean to 6 decimals makes the centroid independent of
+      // partial-aggregation merge order (double addition is order-sensitive
+      // at ~1e-13; the decimal grid absorbs it), so the DuckDB oracle's
+      // sequential avg lands on the identical value
       val centroids = e.groupBy(col("label"))
         .agg(
           count(lit(1)).as("n"),
           array((0 until 64).map(i =>
-            avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("centroid"))
+            round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)): _*).as("centroid"))
       val pairs = centroids.as("a")
         .join(centroids.as("b"), col("a.label") < col("b.label"))
         .select(
@@ -140,8 +143,7 @@ object SimilarityQueries {
             4).as("centroid_cos"))
       pairs.orderBy(col("label_a"), col("label_b"))
     },
-    None,
-    doc = "per-label centroid cosine matrix; rows-only check")
+    Some(SimilarityOracles.centroidsSql))
 
   val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnIvf, simCentroids)
 }

@@ -11,7 +11,7 @@ object TextOracles {
   /** Oracle for q_text_fingerprint: per-document SimHash-64 (bit-majority
     * over seed-0 token hashes), order-sensitive rolling fingerprint
     * (acc*31 + seed-1 token hash, NO finalizer), and seed-0 content hash. */
-  val fingerprintSql: String = {
+  lazy val fingerprintSql: String = {
     val tokHash0 = hash64U("tk")
     val tokHash1 = hash64U("tk", 1L)
     val rolling = toSigned(
@@ -43,7 +43,7 @@ object TextOracles {
     * profile stopwords present in the token stream; argmax with alphabetical
     * tiebreak; 'unknown' when the best score is 0. Profiles come from the
     * same Scala constant the query uses (TextQueries.langProfiles). */
-  val langIdSql: String = {
+  lazy val langIdSql: String = {
     val profiles = TextQueries.langProfiles
       .map { case (l, ws) => s"('$l', [${ws.map(w => s"'$w'").mkString(", ")}])" }
       .mkString("(VALUES ", ", ", ")")
