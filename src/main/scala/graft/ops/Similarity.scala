@@ -30,19 +30,31 @@ object Similarity {
   }
 
   /** Approximate top-k via signed-random-projection buckets: candidates
-    * shuffle once on bucket id; each query scans only its own bucket. */
+    * shuffle once on bucket id; each query scans its own bucket plus the
+    * `probes - 1` nearest neighbor buckets (multi-probe — the recall lever
+    * that avoids re-indexing; see SimilarityQueries.srpProbeBuckets). A
+    * candidate lives in exactly one bucket, so probing never duplicates a
+    * (query, candidate) pair. */
   def annTopK(
       candidates: DataFrame,
       idCol: String,
       embCol: String,
       queryFilter: org.apache.spark.sql.Column,
       k: Int,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8,
+      probes: Int = 1): DataFrame = {
     val bucketed = candidates
       .withColumn("bucket", graft.queries.SimilarityQueries.srpBucket(col(embCol), nPlanes))
       .persist()
-    val q = bucketed.filter(queryFilter)
-      .select(col(idCol).as("qid"), col(embCol).as("qe"), col("bucket"))
+    val q =
+      if (probes <= 1)
+        bucketed.filter(queryFilter)
+          .select(col(idCol).as("qid"), col(embCol).as("qe"), col("bucket"))
+      else
+        bucketed.filter(queryFilter)
+          .select(col(idCol).as("qid"), col(embCol).as("qe"),
+            explode(graft.queries.SimilarityQueries.srpProbeBuckets(col(embCol), nPlanes, probes))
+              .as("bucket"))
     val sims = bucketed.join(q, Seq("bucket"))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol).as("nid"),

@@ -87,6 +87,44 @@ object SimilarityOracles {
        |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Oracle for q_sim_ann_multiprobe: SRP(8) ANN with 3-probe queries —
+    * own bucket + the two buckets across the nearest hyperplanes (flip bits
+    * ranked by |dot| asc, mask asc), replicating srpProbeBuckets. */
+  lazy val annMultiprobeSql: String = {
+    val ps = SimilarityQueries.planes(8, 64)
+    val dotCols = (0 until 8)
+      .map(j => s"${dot(el("embedding"), i => s"(${planeLit(ps(j))})[$i]")} AS d$j")
+      .mkString(",\n         ")
+    val bucket = (0 until 8)
+      .map(j => s"(CASE WHEN d$j > 0.0 THEN ${1 << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val flips = (0 until 8)
+      .map(j => s"{'a': abs(d$j), 'm': ${1 << j}}")
+      .mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT vec_id, embedding,
+       |         $dotCols
+       |  FROM embeddings
+       |), bucketed AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket, list_sort($flips) AS flips
+       |  FROM scored
+       |), qp AS (
+       |  SELECT vec_id AS qid, embedding AS qe,
+       |         unnest([bucket] || list_transform(flips[1:2],
+       |           f -> xor(bucket, struct_extract(f, 'm')))) AS bucket
+       |  FROM bucketed WHERE vec_id < 20
+       |), sims AS (
+       |  SELECT qp.qid, c.vec_id AS nid,
+       |         round(${cos("qp.qe", "c.embedding")}, 4) AS sim
+       |  FROM bucketed c JOIN qp USING (bucket) WHERE c.vec_id <> qp.qid
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+       |  FROM sims
+       |)
+       |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Oracle for q_sim_centroids: per-label mean embedding (each mean rounded
     * to 6 decimals, then narrowed to float32 — matching the query), cosine
     * of every label pair. */

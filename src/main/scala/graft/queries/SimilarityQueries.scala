@@ -39,6 +39,31 @@ object SimilarityQueries {
     bits.reduce(_ + _)
   }
 
+  /** Multi-probe bucket list: the point's own SRP bucket plus the
+    * `probes - 1` nearest neighbor buckets — obtained by flipping the plane
+    * bits with the smallest |dot| (the hyperplanes the point sits closest
+    * to, i.e. where a true neighbor most likely landed on the other side).
+    * This is the standard recall lever for LSH at scale: probes is a query
+    * parameter, not a re-index. */
+  def srpProbeBuckets(embedding: Column, nPlanes: Int, probes: Int): Column = {
+    require(probes >= 1 && probes <= nPlanes + 1, s"probes must be in [1, ${nPlanes + 1}]")
+    val ps = planes(nPlanes, 64)
+    val dots = (0 until nPlanes).map { j =>
+      val plane = array(ps(j).map(v => lit(v.toFloat)): _*)
+      dot_product(embedding, plane)
+    }
+    val base = dots.zipWithIndex
+      .map { case (d, j) => when(d > 0.0, lit(1 << j)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    // flips sorted by (|dot| asc, mask asc): nearest hyperplanes first
+    val flips = sort_array(array(dots.zipWithIndex.map { case (d, j) =>
+      struct(abs(d).as("a"), lit(1 << j).as("m"))
+    }: _*))
+    concat(
+      array(base),
+      transform(slice(flips, 1, probes - 1), f => base.bitwiseXOR(f.getField("m"))))
+  }
+
   /** X2 brute force: exact top-5 cosine neighbors for query vectors
     * vec_id < 5. Ranking on the rounded similarity (with vec_id tiebreak)
     * keeps the order engine-independent — float64 here vs float32-ish
@@ -75,6 +100,19 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rn"))
     },
     Some(SimilarityOracles.annLshSql))
+
+  /** X2 scale path, recall lever: multi-probe SRP ANN — each query also
+    * scans the 2 nearest neighbor buckets (the planes it sits closest to).
+    * Same index, higher recall, probes× the per-query scan. */
+  private val simAnnMultiprobe = Q(
+    "q_sim_ann_multiprobe",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      graft.ops.Similarity
+        .annTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 3, nPlanes = 8, probes = 3)
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(SimilarityOracles.annMultiprobeSql))
 
   /** X2 scale path #2: IVF-flat ANN — an inverted file over coarse
     * centroids. Candidates are assigned to their nearest centroid (one
@@ -145,5 +183,5 @@ object SimilarityQueries {
     },
     Some(SimilarityOracles.centroidsSql))
 
-  val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnIvf, simCentroids)
+  val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnMultiprobe, simAnnIvf, simCentroids)
 }

@@ -56,6 +56,46 @@ object EventIngest {
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .json(sourceDir))
 
+  /** The record shape Spark's Kafka connector emits (`format("kafka")`):
+    * opaque key/value plus topic/partition/offset/timestamp metadata. */
+  val kafkaRecordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** S13: decode Kafka-shaped frames — value is the UTF-8 JSON event body —
+    * into exactly the rows the file-replay path produces (shared `decode`).
+    * Works on static and streaming frames alike (KafkaDecodeSpec proves
+    * row-level parity with `readJsonLines`). */
+  def decodeKafka(raw: DataFrame): DataFrame =
+    decode(
+      raw.select(from_json(col("value").cast("string"), rawSchema).as("j"))
+        .select(col("j.*")))
+
+  /** S1/S13: the Kafka connector branch (reference ships MSK constructs,
+    * `resources/constructs/msk-construct.ts:28-61`, as the Kinesis
+    * alternative). Identical decode path; `startingOffsets=latest` mirrors
+    * the reference's LATEST consumer offset (S2). The spark-sql-kafka
+    * connector jar must be on the runtime classpath — this container has no
+    * broker or connector, so the wiring is compiled + parity-tested through
+    * `decodeKafka`, and `load()` is deferred to the caller's environment. */
+  def readKafkaJson(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    decodeKafka(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+
   /** S6+S7: sealed-segment sink — parquet partitioned by day, micro-batch
     * commit per trigger (default mirrors the reference's 2-minute flush;
     * tests pass a faster trigger). */

@@ -13,6 +13,10 @@ trait GraftSuite extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf (must be set at build time): Thrift connections share
+      // the server's parent session, so SqlEndpointSpec can prove the Pinot
+      // compat vocabulary over JDBC; no effect outside the Thrift server
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Multi-probe ANN recall evidence: probing neighbor buckets must recover
+  * brute-force neighbors that single-probe misses (the recall lever SCALE.md
+  * names — a query parameter, not a re-index). */
+class SimilarityProbeSpec extends GraftSuite {
+  import spark.implicits._
+
+  // sf0.01 with 4 planes: 500 vectors over 16 buckets (~31/bucket) — dense
+  // enough that recall is a meaningful signal (at sf0.001's 50 vectors over
+  // 256 buckets nearly every bucket is a singleton and recall@3 is noise)
+  private lazy val e = sources.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+  private val qFilter = col("vec_id") < 20
+  private val k = 3
+  private val nPlanes = 4
+
+  private lazy val bruteSet: Set[(Long, Long)] =
+    Similarity.bruteForceTopK(e, e.filter(qFilter), "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+
+  private def annSet(probes: Int): Set[(Long, Long)] =
+    Similarity.annTopK(e, "vec_id", "embedding", qFilter, k, nPlanes, probes)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+
+  private def recall(ann: Set[(Long, Long)]): Double =
+    ann.intersect(bruteSet).size.toDouble / bruteSet.size
+
+  test("multi-probe recall@3 is at least single-probe recall and above floor") {
+    val r1 = recall(annSet(1))
+    val r3 = recall(annSet(3))
+    val r5 = recall(annSet(5))
+    assert(r3 >= r1, s"3-probe recall $r3 < single-probe $r1")
+    assert(r5 >= r3, s"5-probe recall $r5 < 3-probe $r3")
+    assert(r5 >= 0.4, s"5-probe recall $r5 below floor (index useless?); r1=$r1 r3=$r3")
+  }
+
+  test("probing all hamming-1 neighbors strictly widens the candidate pool") {
+    val n1 = annSet(1).size
+    val nAll = annSet(nPlanes + 1).size
+    assert(nAll >= n1)
+  }
+
+  test("multi-probe results are a superset-ranked refinement: every returned pair shares a probed bucket") {
+    val withB = e.withColumn("b", queries.SimilarityQueries.srpBucket($"embedding", nPlanes))
+    val probed = e.filter(qFilter)
+      .select($"vec_id".as("qid"),
+        queries.SimilarityQueries.srpProbeBuckets($"embedding", nPlanes, 3).as("pbs"))
+    val ann = Similarity.annTopK(e, "vec_id", "embedding", qFilter, k, nPlanes, probes = 3)
+    val joined = ann
+      .join(probed, Seq("qid"))
+      .join(withB.select($"vec_id".as("nid"), $"b".as("nb")), Seq("nid"))
+    assert(joined.filter(not(array_contains($"pbs", $"nb"))).count() === 0)
+  }
+}

@@ -1,23 +1,39 @@
 package graft
 
 import graft.sources.Tables
-import java.sql.DriverManager
+import java.sql.{Connection, DriverManager}
 
-/** End-to-end S11/S12: a real JDBC client round-trip through the Thrift
-  * endpoint — the engine's broker-ALB analogue. */
+/** End-to-end S11/S12: real JDBC client round-trips through the Thrift
+  * endpoint — the engine's broker-ALB analogue, serving concurrent Tableau +
+  * console-style traffic (reference README.md:23,110) with the Pinot compat
+  * vocabulary available on the wire. */
 class SqlEndpointSpec extends GraftSuite {
 
-  test("JDBC client queries the engine over the network endpoint") {
-    server.SqlEndpoint.publishGlobalViews(spark, sfDir)
-    val url = server.SqlEndpoint.start(spark, port = 10777)
-    // server binds asynchronously; retry the connect briefly
-    var conn: java.sql.Connection = null
+  /** One Thrift server per JVM: started on a DEDICATED Pinot-mode session
+    * (compat aliases shadow percentile/substr/concat semantics, so they stay
+    * off the suite-shared ANSI session); singleSession=true (static conf,
+    * set in GraftSuite's builder) makes every JDBC connection share it, so
+    * the compat functions answer on the wire. */
+  private lazy val url: String = {
+    val pinotSession = spark.newSession()
+    PinotFunctions.register(pinotSession)
+    server.SqlEndpoint.publishGlobalViews(pinotSession, sfDir)
+    server.SqlEndpoint.start(pinotSession, port = 10777)
+  }
+
+  private def connect(): Connection = {
+    var conn: Connection = null
     var attempts = 0
     while (conn == null && attempts < 30) {
       try conn = DriverManager.getConnection(url, "", "")
       catch { case _: Exception => attempts += 1; Thread.sleep(1000) }
     }
     assert(conn != null, s"could not connect to $url after ${attempts}s")
+    conn
+  }
+
+  test("JDBC client queries the engine over the network endpoint") {
+    val conn = connect()
     try {
       val rs = conn.createStatement().executeQuery(
         "SELECT l_returnflag, count(*) AS n FROM global_temp.lineitem " +
@@ -28,6 +44,50 @@ class SqlEndpointSpec extends GraftSuite {
         .toList
       assert(got.map(_._1) === List("A", "N", "R"))
       assert(got.map(_._2).sum === Tables.t(spark, sfDir, "lineitem").count())
+    } finally conn.close()
+  }
+
+  test("N concurrent JDBC clients get correct answers (broker concurrency)") {
+    val expected = Tables.t(spark, sfDir, "lineitem").count()
+    val nClients = 6
+    val roundsPerClient = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to nClients).map { i =>
+      new Thread(() => {
+        try {
+          val conn = connect()
+          try {
+            (1 to roundsPerClient).foreach { _ =>
+              val st = conn.createStatement()
+              val rs1 = st.executeQuery("SELECT count(*) AS n FROM global_temp.lineitem")
+              assert(rs1.next() && rs1.getLong(1) === expected)
+              val rs2 = st.executeQuery(
+                s"SELECT o_orderstatus, count(*) AS n FROM global_temp.orders " +
+                  s"WHERE o_orderkey % $nClients = ${i % nClients} GROUP BY o_orderstatus")
+              while (rs2.next()) assert(rs2.getLong(2) > 0)
+            }
+          } finally conn.close()
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent client failures: ${errors.toArray.mkString("; ")}")
+  }
+
+  test("Pinot compat vocabulary answers over JDBC (DATETIMECONVERT/JSONEXTRACTSCALAR)") {
+    val conn = connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT TIMECONVERT(90061000, 'MILLISECONDS', 'SECONDS') AS s, " +
+          "DATETIMECONVERT(90061000, '1:MILLISECONDS:EPOCH', '1:MINUTES:EPOCH', '15:MINUTES') AS m15, " +
+          "JSONEXTRACTSCALAR('{\"k\": 5}', '$.k', 'LONG') AS k, " +
+          "JSONEXTRACTSCALAR('{\"k\": 5}', '$.missing', 'LONG', 7) AS dflt")
+      assert(rs.next())
+      assert(rs.getLong("s") === 90061L)
+      assert(rs.getLong("m15") === 1500L)
+      assert(rs.getLong("k") === 5L)
+      assert(rs.getLong("dflt") === 7L)
     } finally conn.close()
   }
 }
