@@ -16,9 +16,45 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // opt-in bucketed layout (registerBucketed): sessions that registered a
+    // bucketed copy of a fact table read it transparently, so every declared
+    // query picks up the shuffle-free co-located join plan unchanged
+    val bucketedFacts = spark.conf.get("graft.bucketed.facts", "")
+    if (bucketedFacts.nonEmpty && bucketedFacts.split(",").contains(name))
+      spark.table(bucketedTableName(name))
+    else if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  private def bucketedTableName(name: String): String = s"graft_${name}_bucketed"
+
+  /** Default bucketing spec for the fact tables: both sides of the big
+    * orders⋈lineitem edge bucketed on the join key (SCALE.md: the layout
+    * that makes the 100 TB fact join shuffle-free, Pinot's partitioned
+    * replica groups re-expressed as Spark bucketing). */
+  val defaultFactBuckets: Map[String, String] =
+    Map("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")
+
+  /** J7 opt-in: materialize bucketed copies of the fact tables as managed
+    * tables (one-time layout cost, amortized over every subsequent join)
+    * and route this session's `Tables.t` reads through them. */
+  def registerBucketed(
+      spark: SparkSession,
+      sfDir: String,
+      buckets: Int = 8,
+      facts: Map[String, String] = defaultFactBuckets): Unit = {
+    facts.foreach { case (name, key) =>
+      val tbl = bucketedTableName(name)
+      if (!spark.catalog.tableExists(tbl)) {
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .saveAsTable(tbl)
+      }
+    }
+    spark.conf.set("graft.bucketed.facts", facts.keys.mkString(","))
+  }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects.
     * Read nanos as long (legacy conf) and convert to a microsecond
