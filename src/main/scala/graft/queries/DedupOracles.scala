@@ -110,10 +110,12 @@ object DedupOracles {
        |FROM conf""".stripMargin
   }
 
-  /** Oracle for q_dedup_ngram_jaccard (8 bands, r=1, cap 64, τ=0.4). */
+  /** Oracle for q_dedup_ngram_jaccard (4 bands × r=2 over MinHash(8) of the
+    * gram set, fold_hash64 band keys, cap 64, τ=0.4). */
   lazy val ngramJaccardSql: String = {
     val gramHash = hash64("substring(text, gi, 3)")
     val remix = toSigned(remixU(toUnsigned("gh"), "s.seed"))
+    val foldKey = foldHash64U(s"list_transform(list(mv ORDER BY sidx), fku -> ${toUnsigned("fku")})")
     s"""WITH gr AS (
        |  SELECT lang, doc_id,
        |         list_distinct(list_transform(range(1, greatest(length(text)-2, 0)+1),
@@ -124,12 +126,15 @@ object DedupOracles {
        |), g AS (
        |  SELECT lang, doc_id, unnest(grams) AS gh FROM gr
        |), seeds AS (
-       |  SELECT * FROM ${seedsValues(8)} t(band, seed)
+       |  SELECT * FROM ${seedsValues(8)} t(sidx, seed)
        |), mins AS (
-       |  SELECT g.lang, g.doc_id, s.band, min($remix) AS bv
-       |  FROM g, seeds s GROUP BY g.lang, g.doc_id, s.band
+       |  SELECT g.lang, g.doc_id, s.sidx, min($remix) AS mv
+       |  FROM g, seeds s GROUP BY g.lang, g.doc_id, s.sidx
+       |), bands AS (
+       |  SELECT lang, doc_id, sidx // 2 AS band, $foldKey AS bv
+       |  FROM mins GROUP BY lang, doc_id, sidx // 2
        |), counted AS (
-       |  SELECT *, count(*) OVER (PARTITION BY lang, band, bv) AS bk_n FROM mins
+       |  SELECT *, count(*) OVER (PARTITION BY lang, band, bv) AS bk_n FROM bands
        |), salted AS (
        |  SELECT lang, doc_id, band, bv,
        |         doc_id % CAST(ceil(bk_n / 64.0) AS BIGINT) AS sub FROM counted

@@ -96,20 +96,25 @@ object DedupQueries {
 
   /** X1-ngram-jaccard: exact character-trigram Jaccard over LSH-band blocks.
     *
-    * Blocking is `(lang, MinHash band)` — 8 single-row MinHash bands over the
-    * gram-hash set — NOT a corpus-growth key like (lang, source): block
-    * membership is content-derived, so block sizes track near-dup cluster
-    * sizes, not data volume, and the in-block `id_a < id_b` quadratic stays
-    * bounded at 100 TB. Oversized blocks (boilerplate) additionally salt-split
-    * over a 64-doc cap (graft.ops.Dedup.saltSplit; DedupCapSpec plants a
-    * pathological block and asserts the bound).
+    * Blocking is `(lang, MinHash band)` — 4 bands of 2 MinHash rows each
+    * (folded with fold_hash64) over the gram-hash set — NOT a corpus-growth
+    * key like (lang, source): block membership is content-derived, so block
+    * sizes track near-dup cluster sizes, not data volume, and the in-block
+    * `id_a < id_b` quadratic stays bounded at 100 TB. r=2 keeps the
+    * candidate curve steep (P = 1-(1-J²)⁴: ~0.5 at J=0.4, ~1 at J=1), which
+    * is what bounds candidate volume on vocabulary-sharing corpora.
+    * Oversized blocks (boilerplate) additionally salt-split over a 64-doc
+    * cap (graft.ops.Dedup.saltSplit; DedupCapSpec plants a pathological
+    * block and asserts the bound).
     *
     * Fully oracle-checked: stable_hash64 + the MinHash seed remix are
     * replicated bit-exactly in DuckDB SQL (graft.tools.DuckDbSql). */
   private val dedupNgramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
-      val nBands = 8
+      val k = 8        // MinHash rows; 4 bands × r=2
+      val nBands = 4
+      val rPerBand = 2
       val cap = 64
       val d = Tables.t(spark, dir, "documents")
       // gram sets as SORTED stable 64-bit hashes: sorting once per doc lets
@@ -123,12 +128,12 @@ object DedupQueries {
         .withColumn("n_grams", size(col("grams")))
         .persist()  // consumed by the band explode and both confirm joins
       val bands = grams.select(col("lang"), col("doc_id"),
-        posexplode(minhashFromHashes(col("grams"), nBands)).as(Seq("band", "bv")))
-      val salted = graft.ops.Dedup.saltSplit(bands, Seq("lang", "band", "bv"), "doc_id", cap)
+        explode(lshBands(minhashFromHashes(col("grams"), k), nBands, rPerBand)).as("bk"))
+      val salted = graft.ops.Dedup.saltSplit(bands, Seq("lang", "bk"), "doc_id", cap)
       val pairs = salted.as("a")
         .join(salted.as("b"),
-          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-            col("a.bv") === col("b.bv") && col("a.sub") === col("b.sub") &&
+          col("a.lang") === col("b.lang") && col("a.bk") === col("b.bk") &&
+            col("a.sub") === col("b.sub") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
