@@ -119,6 +119,73 @@ object PinotFunctions {
       if (args.length >= 4) Coalesce(Seq(casted, Cast(args(3), resultType))) else casted
     }),
     "jsonformat" -> fwd("to_json"),
+    // ---- index-predicate superset (F8) ----
+    // The reference deploys NO text/JSON index (kinesisTableConfigFile
+    // .json:12-27), but the broker still parses TEXT_MATCH/JSON_MATCH; this
+    // answers the common query forms as full-scan predicates (a superset:
+    // no index required). Unsupported Lucene/filter syntax fails loudly at
+    // parse time rather than silently mismatching.
+    // TEXT_MATCH(col, 'lucene query'): terms (word-boundary, case-insens),
+    // "phrases", trailing-* prefixes, single-operator AND/OR chains.
+    "text_match" -> (args => {
+      val query = args(1) match {
+        case Literal(s, StringType) => s.toString.trim
+        case other => throw new IllegalArgumentException(
+          s"TEXT_MATCH query must be a string literal, got $other")
+      }
+      def clause(c: String): Expression = {
+        val t = c.trim
+        if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+          Contains(Lower(args(0)), Literal(t.substring(1, t.length - 1).toLowerCase))
+        else if (t.endsWith("*"))
+          RLike(args(0), Literal("(?i)\\b\\Q" + t.dropRight(1) + "\\E"))
+        else
+          RLike(args(0), Literal("(?i)\\b\\Q" + t + "\\E\\b"))
+      }
+      val hasAnd = query.contains(" AND ")
+      val hasOr = query.contains(" OR ")
+      if (hasAnd && hasOr) throw new IllegalArgumentException(
+        s"TEXT_MATCH: mixed AND/OR not supported without parentheses: $query")
+      val parts = query.split(if (hasAnd) " AND " else " OR ").toSeq
+      val exprs = parts.map(clause)
+      if (hasAnd) exprs.reduce(And) else exprs.reduce(Or)
+    }),
+    // JSON_MATCH(col, '"$.path" <op> value'): =, !=/<>, </<=/>/>=,
+    // IS [NOT] NULL over one JSON path (numbers compare numerically,
+    // '...'-quoted values as strings).
+    "json_match" -> (args => {
+      val filter = args(1) match {
+        case Literal(s, StringType) => s.toString.trim
+        case other => throw new IllegalArgumentException(
+          s"JSON_MATCH filter must be a string literal, got $other")
+      }
+      val m = """"([^"]+)"\s*(IS\s+NOT\s+NULL|IS\s+NULL|!=|<>|>=|<=|=|>|<)\s*(.*)""".r
+      filter match {
+        case m(path, op, rest) =>
+          val extracted = GetJsonObject(args(0), Literal(path))
+          op.replaceAll("\\s+", " ").toUpperCase match {
+            case "IS NOT NULL" => IsNotNull(extracted)
+            case "IS NULL" => IsNull(extracted)
+            case cmp =>
+              val v = rest.trim
+              val (left: Expression, right: Expression) =
+                if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+                  (extracted, Literal(v.substring(1, v.length - 1).replace("''", "'")))
+                else
+                  (Cast(extracted, DoubleType), Literal(v.toDouble))
+              cmp match {
+                case "=" => EqualTo(left, right)
+                case "!=" | "<>" => Not(EqualTo(left, right))
+                case ">" => GreaterThan(left, right)
+                case ">=" => GreaterThanOrEqual(left, right)
+                case "<" => LessThan(left, right)
+                case "<=" => LessThanOrEqual(left, right)
+              }
+          }
+        case _ => throw new IllegalArgumentException(
+          s"""JSON_MATCH: expected '"$$.path" <op> value', got: $filter""")
+      }
+    }),
     // ---- string (C1) ----
     "strpos" -> (args => Subtract(StringLocate(args(1), args(0), Literal(1)), Literal(1))),
     "substr" -> (args =>

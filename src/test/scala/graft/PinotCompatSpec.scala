@@ -157,4 +157,45 @@ class PinotCompatSpec extends GraftSuite {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("Join"), s"expected a join in:\n$plan")
   }
+
+  test("TEXT_MATCH full-scan superset: terms, phrases, prefixes, AND/OR (F8)") {
+    val r = one(
+      """SELECT TEXT_MATCH('The Quick Brown Fox', 'quick') AS term,
+        |       TEXT_MATCH('The Quick Brown Fox', 'quick AND fox') AS conj,
+        |       TEXT_MATCH('The Quick Brown Fox', 'cat OR fox') AS disj,
+        |       TEXT_MATCH('The Quick Brown Fox', '"brown fox"') AS phrase,
+        |       TEXT_MATCH('The Quick Brown Fox', 'qui*') AS prefix,
+        |       TEXT_MATCH('The Quick Brown Fox', 'quicker') AS nomatch
+        |""".stripMargin)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2)
+      && r.getBoolean(3) && r.getBoolean(4))
+    assert(!r.getBoolean(5))
+    // unsupported syntax fails loudly, not silently wrong
+    intercept[Exception](one("SELECT TEXT_MATCH('x', 'a AND b OR c') AS bad"))
+  }
+
+  test("TEXT_MATCH filters rows over the documents table") {
+    val n = pinot.sql(
+      "SELECT count(*) AS n FROM documents WHERE TEXT_MATCH(text, 'the')")
+      .collect().head.getLong(0)
+    val expect = Tables.t(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").rlike("(?i)\\bthe\\b")).count()
+    assert(n === expect)
+  }
+
+  test("JSON_MATCH path predicates: equality, numeric compare, null checks (F8)") {
+    val json = """'{"name": "Daffy Duck", "id": 101, "data": {"x": 2}}'"""
+    val r = one(
+      s"""SELECT JSON_MATCH($json, '"$$.name" = ''Daffy Duck''') AS eq_str,
+         |       JSON_MATCH($json, '"$$.id" = 101') AS eq_num,
+         |       JSON_MATCH($json, '"$$.id" > 100') AS gt_num,
+         |       JSON_MATCH($json, '"$$.data.x" <= 2') AS nested,
+         |       JSON_MATCH($json, '"$$.missing" IS NULL') AS isnull,
+         |       JSON_MATCH($json, '"$$.name" IS NOT NULL') AS notnull,
+         |       JSON_MATCH($json, '"$$.id" != 101') AS neq
+         |""".stripMargin)
+    (0 to 5).foreach(i => assert(r.getBoolean(i), s"predicate $i"))
+    assert(!r.getBoolean(6))
+    intercept[Exception](one("SELECT JSON_MATCH('{}', 'not a filter') AS bad"))
+  }
 }
