@@ -18,6 +18,7 @@ object Registry {
     DedupQueries.all,
     SimilarityQueries.all,
     TextQueries.all,
+    PipelineQueries.all,
     MultimodalQueries.all)
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step that turns near-dup
+  * PAIRS into dedup CLUSTERS (keep one survivor per component), which is how
+  * a training-data pipeline actually applies MinHash/SimHash output at scale.
+  *
+  * Algorithm: iterative min-label propagation (the DataFrame form of
+  * HashToMin): every node starts labeled with itself; each round pushes
+  * labels across edges and keeps the per-node minimum; fixpoint when no
+  * label changes. Converges in O(diameter) rounds — near-dup clusters are
+  * dense (small diameter), so a handful of rounds in practice; each round is
+  * one join + one aggregation, fully distributed. The driver-side loop only
+  * orchestrates plans (one `count` per round for the convergence check) —
+  * no data ever collects.
+  */
+object Components {
+
+  /** @param edges two-column DataFrame (id_a, id_b) of undirected edges
+    * @return (node, cluster) where cluster = min node id reachable
+    *
+    * Each round takes the min over (a) the node's own label, (b) neighbor
+    * labels pushed across edges, and (c) the label's label — pointer
+    * jumping, which halves chain depth per round, so convergence is
+    * O(log diameter) instead of O(diameter) (a 400-doc drift chain converges
+    * in ~9 rounds, not ~400). Convergence check: labels only ever decrease,
+    * so the label SUM is strictly monotone — one cheap aggregate per round,
+    * no join against the previous state. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // eager localCheckpoint (not bare persist): iterative self-joins grow
+    // the logical plan exponentially if lineage chains round-over-round, and
+    // Catalyst re-analysis comes to dominate; checkpointing truncates the
+    // plan to the materialized blocks each round
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val viaEdges = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("cluster"))
+      val viaParent = labels.as("l")
+        .join(labels.as("p"), col("l.cluster") === col("p.node"))
+        .select(col("l.node").as("node"), col("p.cluster").as("cluster"))
+      val next = labels.select("node", "cluster")
+        .union(viaEdges).union(viaParent)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -110,13 +110,13 @@ object DedupOracles {
        |FROM conf""".stripMargin
   }
 
-  /** Oracle for q_dedup_ngram_jaccard (4 bands × r=2 over MinHash(8) of the
-    * gram set, fold_hash64 band keys, cap 64, τ=0.4). */
-  lazy val ngramJaccardSql: String = {
+  /** The shared CTE chain computing the confirmed ngram near-dup pairs
+    * (ends with `conf(lang, id_a, id_b, jaccard)`). */
+  private lazy val ngramPipelineCtes: String = {
     val gramHash = hash64("substring(text, gi, 3)")
     val remix = toSigned(remixU(toUnsigned("gh"), "s.seed"))
     val foldKey = foldHash64U(s"list_transform(list(mv ORDER BY sidx), fku -> ${toUnsigned("fku")})")
-    s"""WITH gr AS (
+    s"""gr AS (
        |  SELECT lang, doc_id,
        |         list_distinct(list_transform(range(1, greatest(length(text)-2, 0)+1),
        |           gi -> $gramHash)) AS grams
@@ -153,8 +153,35 @@ object DedupOracles {
        |), conf AS (
        |  SELECT lang, id_a, id_b,
        |         round(n_inter * 1.0 / (na + nb - n_inter), 4) AS jaccard FROM scored
-       |)
-       |SELECT lang, id_a, id_b, jaccard FROM conf WHERE jaccard >= 0.4
-       |ORDER BY lang, id_a, id_b""".stripMargin
+       |  WHERE round(n_inter * 1.0 / (na + nb - n_inter), 4) >= 0.4
+       |)""".stripMargin
   }
+
+  /** Oracle for q_dedup_ngram_jaccard (4 bands × r=2 over MinHash(8) of the
+    * gram set, fold_hash64 band keys, cap 64, τ=0.4). */
+  lazy val ngramJaccardSql: String =
+    s"""WITH $ngramPipelineCtes
+       |SELECT lang, id_a, id_b, jaccard FROM conf
+       |ORDER BY lang, id_a, id_b""".stripMargin
+
+  /** Oracle for q_dedup_clusters: connected components over the confirmed
+    * pair list via recursive min-label reachability (pruned: a label only
+    * propagates to nodes it could lower), then per-component sizes. */
+  lazy val clustersSql: String =
+    s"""WITH RECURSIVE $ngramPipelineCtes,
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM conf WHERE jaccard >= 0.7
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM conf WHERE jaccard >= 0.7
+       |), reach(node, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+       |  WHERE r.lbl < s.dst
+       |), labels AS (
+       |  SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+       |)
+       |SELECT cluster AS cluster_rep, count(*) AS n_docs
+       |FROM labels GROUP BY cluster
+       |ORDER BY n_docs DESC, cluster_rep ASC LIMIT 100""".stripMargin
 }

@@ -109,9 +109,11 @@ object DedupQueries {
     *
     * Fully oracle-checked: stable_hash64 + the MinHash seed remix are
     * replicated bit-exactly in DuckDB SQL (graft.tools.DuckDbSql). */
-  private val dedupNgramJaccard = Q(
-    "q_dedup_ngram_jaccard",
-    (spark, dir) => {
+  /** The confirmed near-dup pair list (lang, id_a, id_b, jaccard) — shared
+    * by q_dedup_ngram_jaccard (emits the pairs) and q_dedup_clusters (builds
+    * components over them). */
+  private[queries] def ngramNearDupPairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       val k = 8        // MinHash rows; 4 bands × r=2
       val nBands = 4
       val rPerBand = 2
@@ -146,9 +148,38 @@ object DedupQueries {
           (col("na") + col("nb") - col("n_inter")).cast("double"), 4))
         .filter(col("jaccard") >= 0.4)
         .select(col("lang"), col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("lang"), col("id_a"), col("id_b"))
-    },
+  }
+
+  private val dedupNgramJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (spark, dir) =>
+      ngramNearDupPairs(spark, dir)
+        .orderBy(col("lang"), col("id_a"), col("id_b")),
     Some(DedupOracles.ngramJaccardSql))
+
+  /** X1 cluster formation: near-dup PAIRS → dedup CLUSTERS via distributed
+    * min-label propagation (graft.ops.Components) — the step that picks one
+    * survivor per near-dup group, which is how MinHash output is actually
+    * applied to a training corpus. Oracle: recursive-CTE reachability over
+    * the identical edge list. */
+  private val dedupClusters = Q(
+    "q_dedup_clusters",
+    (spark, dir) => {
+      // cluster on the TIGHT near-dup criterion (J >= 0.7): dedup survivor
+      // selection should only collapse true duplicates/boilerplate, not
+      // 0.4-similar topical neighbors — and the sparser edge set keeps the
+      // component graph shallow
+      val edges = ngramNearDupPairs(spark, dir)
+        .filter(col("jaccard") >= 0.7)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Components.connectedComponents(edges)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("cluster").as("cluster_rep"), col("n_docs"))
+        .orderBy(col("n_docs").desc, col("cluster_rep").asc)
+        .limit(100)
+    },
+    Some(DedupOracles.clustersSql))
 
   /** X1-embedding: cosine near-dup via signed-random-projection buckets
     * (8 hyperplanes → 256 buckets); candidates share a bucket, confirmed at
@@ -174,5 +205,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
-    dedupNgramJaccard, dedupEmbedding)
+    dedupNgramJaccard, dedupClusters, dedupEmbedding)
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Q
+import graft.functions._
+import graft.sources.Tables
+import graft.tools.DuckDbSql
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond scoring (SURVEY.md §2.11 X3/X5):
+  * sequence packing for context windows, deterministic stratified splits,
+  * and PII scrubbing — the steps between "scored corpus" and "training
+  * batches". All are single-shuffle window/aggregate shapes that stream at
+  * 100 TB (the split is map-only).
+  */
+object PipelineQueries {
+
+  /** X5 sequence packing: concatenate documents per language in doc_id
+    * order and cut packs at a 2048-token budget — each doc is assigned the
+    * pack its START offset falls in (the sequential greedy packing used when
+    * building fixed-context training batches; one window shuffle per lang). */
+  private val packSequences = Q(
+    "q_pack_sequences",
+    (spark, dir) => {
+      val budget = 2048
+      val d = Tables.t(spark, dir, "documents")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      d.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $budget"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("lang"), col("pack_id"))
+        .limit(200)
+    },
+    Some("""WITH sized AS (
+            |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            |  FROM documents
+            |), cums AS (
+            |  SELECT lang, doc_id, n_tokens,
+            |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+            |  FROM sized
+            |)
+            |SELECT lang, (cum - n_tokens) // 2048 AS pack_id,
+            |       count(*) AS n_docs,
+            |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            |FROM cums GROUP BY lang, pack_id
+            |ORDER BY lang, pack_id LIMIT 200""".stripMargin))
+
+  /** X5 deterministic stratified split: train/valid/test by a seeded stable
+    * hash of the doc id — reproducible across runs and engines, map-only at
+    * any scale (no sampling state, no shuffle before the count). */
+  private val splitSample = Q(
+    "q_split_sample",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val h = pmod(stable_hash64(col("doc_id").cast("string"), 7L), lit(100L))
+      d.withColumn("split",
+          when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some {
+      val h = DuckDbSql.hash64("CAST(doc_id AS VARCHAR)", 7L)
+      s"""WITH hashed AS (
+         |  SELECT lang, text, ((($h) % 100) + 100) % 100 AS hb FROM documents
+         |)
+         |SELECT lang,
+         |       CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'valid' ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM hashed GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    })
+
+  /** X5 PII scrubbing: count and redact email/phone patterns per source —
+    * pure per-row regex (map-only; regexes chosen to behave identically in
+    * Java and RE2). The fixture corpus is synthetic so counts are typically
+    * zero; PiiSpec plants real PII strings and asserts the scrubber. */
+  private[queries] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val phoneRe = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+
+  private val piiScrub = Q(
+    "q_text_pii",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+      d.withColumn("n_emails", regexp_count(col("text"), lit(emailRe)))
+        .withColumn("n_phones", regexp_count(col("text"), lit(phoneRe)))
+        .withColumn("delta", (length(col("text")) - length(scrubbed)).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_emails").cast("long")).as("n_emails"),
+          sum(col("n_phones").cast("long")).as("n_phones"),
+          sum(col("delta")).as("n_chars_delta"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, count(*) AS n_docs,
+             |CAST(sum(len(regexp_extract_all(text, '$emailRe'))) AS BIGINT) AS n_emails,
+             |CAST(sum(len(regexp_extract_all(text, '$phoneRe'))) AS BIGINT) AS n_phones,
+             |CAST(sum(length(text) - length(
+             |  regexp_replace(regexp_replace(text, '$emailRe', '[EMAIL]', 'g'),
+             |                 '$phoneRe', '[PHONE]', 'g'))) AS BIGINT) AS n_chars_delta
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub)
+}
