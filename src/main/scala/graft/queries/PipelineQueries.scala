@@ -16,39 +16,49 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** X5 sequence packing: concatenate documents per language in doc_id
-    * order and cut packs at a 2048-token budget — each doc is assigned the
-    * pack its START offset falls in (the sequential greedy packing used when
-    * building fixed-context training batches; one window shuffle per lang). */
+  /** X5 sequence packing: concatenate documents in doc_id order within
+    * (lang, shard) and cut packs at a 2048-token budget — each doc is
+    * assigned the pack its START offset falls in (the sequential greedy
+    * packing used when building fixed-context training batches).
+    *
+    * The window partitions on (lang, shard = doc_id DIV 100k), NOT bare
+    * lang: a per-language window would funnel billions of docs through one
+    * partition at 100 TB. Sharding restarts packing every 100k doc ids —
+    * exactly how production packers shard (pack within a file/shard, never
+    * globally) — and bounds every window partition regardless of corpus
+    * size. Pack ids are globally unique via (shard, local pack). */
   private val packSequences = Q(
     "q_pack_sequences",
     (spark, dir) => {
       val budget = 2048
+      val shardSize = 100000L
       val d = Tables.t(spark, dir, "documents")
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       d.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("shard", expr(s"doc_id DIV $shardSize"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $budget"))
-        .groupBy(col("lang"), col("pack_id"))
+        .groupBy(col("lang"), col("shard"), col("pack_id"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"))
-        .orderBy(col("lang"), col("pack_id"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
         .limit(200)
     },
     Some("""WITH sized AS (
-            |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            |  SELECT lang, doc_id, doc_id // 100000 AS shard,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             |  FROM documents
             |), cums AS (
-            |  SELECT lang, doc_id, n_tokens,
-            |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+            |  SELECT lang, doc_id, shard, n_tokens,
+            |         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
             |  FROM sized
             |)
-            |SELECT lang, (cum - n_tokens) // 2048 AS pack_id,
+            |SELECT lang, shard, (cum - n_tokens) // 2048 AS pack_id,
             |       count(*) AS n_docs,
             |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-            |FROM cums GROUP BY lang, pack_id
-            |ORDER BY lang, pack_id LIMIT 200""".stripMargin))
+            |FROM cums GROUP BY lang, shard, pack_id
+            |ORDER BY lang, shard, pack_id LIMIT 200""".stripMargin))
 
   /** X5 deterministic stratified split: train/valid/test by a seeded stable
     * hash of the doc id — reproducible across runs and engines, map-only at
@@ -82,8 +92,8 @@ object PipelineQueries {
     * pure per-row regex (map-only; regexes chosen to behave identically in
     * Java and RE2). The fixture corpus is synthetic so counts are typically
     * zero; PiiSpec plants real PII strings and asserts the scrubber. */
-  private[queries] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[queries] val phoneRe = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
 
   private val piiScrub = Q(
     "q_text_pii",
