@@ -118,9 +118,102 @@ object EventQueries {
             FROM events GROUP BY bucket_start, event_type
             ORDER BY bucket_start, event_type"""))
 
+  /** T4 superset: sliding (hopping) windows in batch — 6-hour windows every
+    * 3 hours, so each event lands in exactly 2 windows. The oracle unions
+    * the two slide-aligned starts per event (the closed-form of Spark's
+    * window replication). */
+  val eventsSliding = Q(
+    "q_events_sliding",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      ev.groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""WITH slots AS (
+            |  SELECT event_type, value,
+            |         CAST(floor(epoch(ts) / 10800) AS BIGINT) * 10800 AS s FROM events
+            |  UNION ALL
+            |  SELECT event_type, value,
+            |         (CAST(floor(epoch(ts) / 10800) AS BIGINT) - 1) * 10800 AS s FROM events
+            |)
+            |SELECT make_timestamp(s * 1000000) AS window_start, event_type,
+            |       count(*) AS n, round(sum(value), 2) AS total_value
+            |FROM slots GROUP BY s, event_type
+            |ORDER BY window_start, event_type""".stripMargin))
+
+  /** T4 superset: session windows in batch — per-user sessions closed by a
+    * 30-minute inactivity gap (`session_window`, the operator Structured
+    * Streaming shares). Oracle: classic gaps-and-islands — lag + running sum
+    * of session-break markers — in exact integer microseconds (epoch_us),
+    * since a new session starts exactly when t − prev ≥ gap. */
+  val eventsSessions = Q(
+    "q_events_sessions",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+        .limit(500)
+    },
+    Some("""WITH ordered AS (
+            |  SELECT user_id, epoch_us(ts) AS t, value,
+            |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            |  FROM events
+            |), marked AS (
+            |  SELECT user_id, t, value,
+            |         CASE WHEN prev IS NULL OR t - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+            |  FROM ordered
+            |), islands AS (
+            |  SELECT user_id, t, value,
+            |         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+            |                        ROWS UNBOUNDED PRECEDING) AS sess
+            |  FROM marked
+            |)
+            |SELECT make_timestamp(min(t)) AS session_start, user_id,
+            |       count(*) AS n_events, round(sum(value), 2) AS total_value
+            |FROM islands GROUP BY user_id, sess
+            |ORDER BY user_id, session_start LIMIT 500""".stripMargin))
+
+  /** As-of join (attribution shape): for each purchase, the user's most
+    * recent prior-or-simultaneous click — graft.ops.AsOfJoin's union+window
+    * composition (one shuffle, no range-join explosion). The oracle uses
+    * DuckDB's NATIVE `ASOF LEFT JOIN`, so two independent algorithms must
+    * agree value-for-value. */
+  val eventsAsof = Q(
+    "q_asof_join",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.ops.AsOfJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+          Seq("click_id", "click_value"))
+        .select(col("user_id"), col("event_id"), col("value").as("purchase_value"),
+          col("asof_click_id"), col("asof_click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(500)
+    },
+    Some("""WITH l AS (
+            |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+            |), r AS (
+            |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+            |  FROM events WHERE event_type = 'click'
+            |)
+            |SELECT l.user_id, l.event_id, l.value AS purchase_value,
+            |       r.click_id AS asof_click_id, r.click_value AS asof_click_value
+            |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+            |ORDER BY l.user_id, l.event_id LIMIT 500""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
 
-  val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson, eventsTumbling)
+  val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
+    eventsTumbling, eventsSliding, eventsSessions, eventsAsof)
 }

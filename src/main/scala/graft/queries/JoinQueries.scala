@@ -207,7 +207,44 @@ object JoinQueries {
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, order_year ORDER BY r_name, order_year"""))
 
+  /** Range join via binning (graft.ops.RangeJoin): line items matched to
+    * every part whose ±5 retail-price band contains the line's unit price —
+    * a genuinely large×large interval join that would be a nested-loop
+    * cartesian as a bare BETWEEN join. All-DOUBLE arithmetic, so both
+    * engines compute identical IEEE boundaries. */
+  private val joinRange = Q(
+    "q_join_range",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val bands = Tables.t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_retailprice") - 5.0).as("lo"), (col("p_retailprice") + 5.0).as("hi"))
+      graft.ops.RangeJoin.binnedRangeJoin(li, bands, "unit_price", "lo", "hi", binWidth = 10.0)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_matches"),
+          countDistinct(col("p_partkey")).as("n_parts"),
+          round(min(col("unit_price")), 2).as("min_up"),
+          round(max(col("unit_price")), 2).as("max_up"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH pts AS (
+            |  SELECT l_orderkey, l_linenumber, l_extendedprice / l_quantity AS unit_price
+            |  FROM lineitem
+            |), bands AS (
+            |  SELECT p_partkey, p_brand, p_retailprice - 5.0 AS lo, p_retailprice + 5.0 AS hi
+            |  FROM part
+            |)
+            |SELECT p_brand, count(*) AS n_matches,
+            |       count(DISTINCT p_partkey) AS n_parts,
+            |       round(min(unit_price), 2) AS min_up,
+            |       round(max(unit_price), 2) AS max_up
+            |FROM pts JOIN bands ON unit_price >= lo AND unit_price <= hi
+            |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
   val all: Seq[Q] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinCross, joinTheta, joinLookup, joinMulti)
+    joinCross, joinTheta, joinLookup, joinRange, joinMulti)
 }
