@@ -14,13 +14,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
          new ExpressionInfo("graft.expressions", name),
          builder))
     }
+    // interval-join binning (conf-guarded, off by default) — turns naive
+    // BETWEEN theta-joins into equi-joins; see plans.RangeJoinBinningRule
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinningRule)
+  }
 }
 
 object GraftExtensions {
@@ -30,10 +34,18 @@ object GraftExtensions {
     "simhash64" -> (args => SimHash64(args.head)),
     "fingerprint64" -> (args => Fingerprint64(args.head)))
 
-  /** Register on an existing session (used by tests and the local engine). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register on an existing session (used by tests and the local engine).
+    * The optimizer rule goes through `experimental.extraOptimizations`
+    * (the post-creation injection point); it is conf-guarded so presence
+    * alone changes nothing. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinBinningRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinBinningRule
+    }
+  }
 }

@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: rewrite a naive interval-containment theta-join
+  *
+  *   left ⋈ right ON p >= lo AND p <= hi        (p from left; lo,hi right)
+  *
+  * into the binned equi-join graft.ops.RangeJoin implements by hand —
+  * Spark would otherwise plan BroadcastNestedLoopJoin (quadratic, and a
+  * driver-memory bomb when neither side is small). The rewrite:
+  *
+  *   left'  = left  + __bin  = floor(p / w)
+  *   right' = right + explode(sequence(floor(lo/w), floor(hi/w))) AS __bin
+  *   join ON __bin = __bin AND <original predicate>, then project the
+  *   original output.
+  *
+  * Guarded by `spark.graft.rangeJoin.binWidth` (unset/0 = off): bin width
+  * is a data property (≈ typical interval width), so it stays an explicit
+  * knob rather than a guess. Fires only on INNER joins whose condition is
+  * exactly the two double-typed bounds; the rewritten join's condition has
+  * an equality conjunct at the top, so the rule cannot re-fire on its own
+  * output. Null bounds produce a null sequence, which `explode` drops —
+  * matching BETWEEN's null-is-false semantics.
+  */
+object RangeJoinBinningRule extends Rule[LogicalPlan] {
+
+  private val ConfKey = "spark.graft.rangeJoin.binWidth"
+
+  /** Normalize one conjunct to (point, bound, boundIsLower) if it is a
+    * double comparison between a left-side point and a right-side bound. */
+  private def bound(
+      e: Expression,
+      left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Boolean)] = {
+    def sides(a: Expression, b: Expression): Boolean =
+      a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) &&
+        a.dataType == DoubleType && b.dataType == DoubleType
+    e match {
+      case GreaterThanOrEqual(p, lo) if sides(p, lo) => Some((p, lo, true))   // p >= lo
+      case LessThanOrEqual(lo, p) if sides(p, lo)    => Some((p, lo, true))   // lo <= p
+      case LessThanOrEqual(p, hi) if sides(p, hi)    => Some((p, hi, false))  // p <= hi
+      case GreaterThanOrEqual(hi, p) if sides(p, hi) => Some((p, hi, false))  // hi >= p
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = conf.getConfString(ConfKey, "0").toDouble
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(And(c1, c2)), hint) =>
+        val rewritten = for {
+          (p1, lo, isLo) <- bound(c1, left, right)
+          (p2, hi, isHi) <- bound(c2, left, right)
+          if isLo && !isHi && p1.semanticEquals(p2)
+        } yield {
+          val binAlias = Alias(Floor(Divide(p1, Literal(w))), "__graft_bin")()
+          val newLeft = Project(left.output :+ binAlias, left)
+          // Sequence is TimeZoneAwareExpression: unresolved until a zone is
+          // pinned, even for integral sequences
+          val rBins = new Sequence(
+            Floor(Divide(lo, Literal(w))), Floor(Divide(hi, Literal(w))), None)
+            .withTimeZone(conf.sessionLocalTimeZone)
+          val binAttr = AttributeReference("__graft_bin_r", LongType, nullable = false)()
+          val newRight = Generate(Explode(rBins), Nil, outer = false, None, Seq(binAttr), right)
+          val cond = And(EqualTo(binAlias.toAttribute, binAttr), And(c1, c2))
+          Project(j.output, Join(newLeft, newRight, Inner, Some(cond), hint))
+        }
+        rewritten.getOrElse(j)
+    }
+  }
+}
