@@ -195,6 +195,17 @@ object PinotFunctions {
       if (args.length == 3) ConcatWs(args(2) +: args.take(2))
       else Concat(args)),
     "toutf8" -> (args => Encode(args(0), Literal("UTF-8"))),
+    // REGEXP_EXTRACT(value, regex[, group[, default]]) — Pinot returns the
+    // default (or null) on no-match where Spark returns ''; the empty-string
+    // sentinel conflates a matched-empty group with no-match (documented
+    // divergence, matched-empty groups are rare in practice)
+    "regexpextract" -> (args => {
+      val group = if (args.length >= 3) args(2) else Literal(0)
+      val base = RegExpExtract(args(0), args(1), group)
+      if (args.length >= 4)
+        If(EqualTo(base, Literal("")), args(3), base)
+      else base
+    }),
     // ---- binary/hash (C7) ----
     "tobase64" -> (args => Base64(args(0))),
     "frombase64" -> (args => UnBase64(args(0))),
@@ -245,6 +256,7 @@ object PinotFunctions {
     "distinctcountbitmap" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
     "distinctcounthll" -> fwd("approx_count_distinct"),
     "distinctcountsmarthll" -> fwd("approx_count_distinct"),
+    "distinctcountthetasketch" -> fwd("approx_count_distinct"),
     "minmaxrange" -> (args => Subtract(
       Max(args(0)).toAggregateExpression(), Min(args(0)).toAggregateExpression())),
     "sumprecision" -> (args =>

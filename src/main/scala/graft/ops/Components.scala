@@ -33,8 +33,11 @@ object Components {
     // the logical plan exponentially if lineage chains round-over-round, and
     // Catalyst re-analysis comes to dominate; checkpointing truncates the
     // plan to the materialized blocks each round
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (possibly expensive) upstream pair pipeline ONCE —
+    // the symmetric union would otherwise evaluate it per branch
+    val e = edges.localCheckpoint(true)
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))

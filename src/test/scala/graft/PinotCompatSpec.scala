@@ -158,6 +158,17 @@ class PinotCompatSpec extends GraftSuite {
     assert(plan.contains("Join"), s"expected a join in:\n$plan")
   }
 
+  test("REGEXPEXTRACT group + default; DISTINCTCOUNTTHETASKETCH answers") {
+    val r = one(
+      """SELECT REGEXPEXTRACT('ab-123-z', '([0-9]+)', 1) AS g,
+        |       REGEXPEXTRACT('no digits', '([0-9]+)', 1, 'none') AS dflt
+        |""".stripMargin)
+    assert(r.getString(0) === "123")
+    assert(r.getString(1) === "none")
+    val n = one("SELECT DISTINCTCOUNTTHETASKETCH(l_returnflag) AS n FROM lineitem")
+    assert(n.getLong(0) === 3L)
+  }
+
   test("TEXT_MATCH full-scan superset: terms, phrases, prefixes, AND/OR (F8)") {
     val r = one(
       """SELECT TEXT_MATCH('The Quick Brown Fox', 'quick') AS term,
