@@ -112,7 +112,7 @@ object DedupOracles {
 
   /** The shared CTE chain computing the confirmed ngram near-dup pairs
     * (ends with `conf(lang, id_a, id_b, jaccard)`). */
-  private lazy val ngramPipelineCtes: String = {
+  private[queries] lazy val ngramPipelineCtes: String = {
     val gramHash = hash64("substring(text, gi, 3)")
     val remix = toSigned(remixU(toUnsigned("gh"), "s.seed"))
     val foldKey = foldHash64U(s"list_transform(list(mv ORDER BY sidx), fku -> ${toUnsigned("fku")})")

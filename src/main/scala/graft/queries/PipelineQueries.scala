@@ -120,5 +120,86 @@ object PipelineQueries {
              |                 '$phoneRe', '[PHONE]', 'g'))) AS BIGINT) AS n_chars_delta
              |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
-  val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub)
+  /** X5 quality-percentile filtering: keep each language's top-half
+    * documents by lexical diversity — the score-threshold corpus pruning
+    * step (one window shuffle per lang; rank ties broken by doc_id so the
+    * kept set is deterministic). */
+  private val qualityFilter = Q(
+    "q_quality_filter",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val toks = split(col("text"), " ")
+      val scored = d.withColumn("diversity",
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("diversity").desc, col("doc_id").asc)
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") <= 0.5)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          round(min(col("diversity")), 4).as("min_kept_diversity"),
+          round(avg(col("diversity")), 4).as("avg_kept_diversity"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH scored AS (
+            |  SELECT lang, doc_id,
+            |         len(list_distinct(string_split(text, ' '))) * 1.0
+            |           / len(string_split(text, ' ')) AS diversity
+            |  FROM documents
+            |), ranked AS (
+            |  SELECT lang, diversity,
+            |         percent_rank() OVER (PARTITION BY lang
+            |                              ORDER BY diversity DESC, doc_id ASC) AS pr
+            |  FROM scored
+            |)
+            |SELECT lang, count(*) AS n_kept,
+            |       round(min(diversity), 4) AS min_kept_diversity,
+            |       round(avg(diversity), 4) AS avg_kept_diversity
+            |FROM ranked WHERE pr <= 0.5
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** X5 eval decontamination: near-duplicate pairs that CROSS the
+    * train/test split — the leakage report every eval pipeline needs.
+    * Composes the ngram near-dup pairs (J ≥ 0.7) with the deterministic
+    * hash split; at 100 TB this is the same bounded near-dup join plus a
+    * map-side split assignment. */
+  private val splitContamination = Q(
+    "q_split_contamination",
+    (spark, dir) => {
+      val splitOf = (idCol: org.apache.spark.sql.Column) => {
+        val h = pmod(stable_hash64(idCol.cast("string"), 7L), lit(100L))
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+      }
+      DedupQueries.ngramNearDupPairs(spark, dir)
+        .filter(col("jaccard") >= 0.7)
+        .withColumn("split_a", splitOf(col("id_a")))
+        .withColumn("split_b", splitOf(col("id_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(
+          count(lit(1)).as("n_leaky_pairs"),
+          round(max(col("jaccard")), 4).as("max_jaccard"))
+        .orderBy(col("split_a"), col("split_b"))
+    },
+    Some {
+      def bucket(c: String) =
+        s"(((${DuckDbSql.hash64(s"CAST($c AS VARCHAR)", 7L)}) % 100) + 100) % 100"
+      def splitSql(c: String) =
+        s"CASE WHEN ${bucket(c)} < 80 THEN 'train' " +
+          s"WHEN ${bucket(c)} < 90 THEN 'valid' ELSE 'test' END"
+      s"""WITH ${DedupOracles.ngramPipelineCtes},
+         |splits AS (
+         |  SELECT id_a, id_b, jaccard,
+         |         ${splitSql("id_a")} AS split_a,
+         |         ${splitSql("id_b")} AS split_b
+         |  FROM conf WHERE jaccard >= 0.7
+         |)
+         |SELECT split_a, split_b, count(*) AS n_leaky_pairs,
+         |       round(max(jaccard), 4) AS max_jaccard
+         |FROM splits WHERE split_a <> split_b
+         |GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter, splitContamination)
 }
