@@ -100,6 +100,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** End-to-end near-dup deduplication: MinHash+LSH pairs → connected
+    * components → keep the min-id survivor per cluster. Returns
+    * (doc_id, cluster, is_survivor) for every document in `df` — docs in no
+    * near-dup pair survive trivially. This is the operator a training-data
+    * pipeline actually applies: near-dup REMOVAL, not just pair listing. */
+  def nearDupSurvivors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol,
+        threshold = threshold, maxBucket = maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val labels = Components.connectedComponents(pairs)
+    df.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("is_survivor", col("doc_id") === col("cluster"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
     * 16-bit hash bands (salt-split over `maxBucket` — see saltSplit),
     * confirmed at Hamming distance ≤ maxHamming. */

@@ -31,6 +31,27 @@ class OpsSpec extends GraftSuite {
     assert(pairs.forall(p => p == ((1L, 2L))), s"false positives: ${pairs - ((1L, 2L))}")
   }
 
+  test("Dedup.nearDupSurvivors keeps exactly one doc per near-dup cluster") {
+    val rnd = new scala.util.Random(9)
+    val vocab = (1 to 800).map(i => s"w$i")
+    val base = Seq.fill(90)(vocab(rnd.nextInt(vocab.size)))
+    val docs = (
+      (1L, doc(base)) +:                        // cluster {1,2,3}: near-dups
+      (2L, doc(base.updated(3, "X"))) +:
+      (3L, doc(base.updated(7, "Y"))) +:
+      (10L to 20L).map(i => (i, doc(Seq.fill(90)(vocab(rnd.nextInt(vocab.size))))))
+    ).toDF("id", "text")
+    val out = Dedup.nearDupSurvivors(docs, "id", "text")
+      .select("doc_id", "cluster", "is_survivor")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length === 14)                    // every doc labeled
+    val cluster = out.filter(r => Set(1L, 2L, 3L)(r._1))
+    assert(cluster.forall(_._2 == 1L), s"expected one cluster: ${cluster.mkString(",")}")
+    assert(cluster.count(_._3) === 1 && cluster.find(_._3).get._1 === 1L)
+    val singles = out.filter(_._1 >= 10L)
+    assert(singles.forall(r => r._3 && r._2 == r._1), "unique docs must all survive")
+  }
+
   test("Dedup.simhashNearDupPairs hamming filter holds") {
     val base = (1 to 120).map(i => s"t$i")
     val docs = Seq(
