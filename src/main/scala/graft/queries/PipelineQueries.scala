@@ -54,7 +54,7 @@ object PipelineQueries {
             |         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
             |  FROM sized
             |)
-            |SELECT lang, shard, (cum - n_tokens) // 2048 AS pack_id,
+            |SELECT lang, shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
             |       count(*) AS n_docs,
             |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
             |FROM cums GROUP BY lang, shard, pack_id

@@ -83,6 +83,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             for col in got.columns:
                 if not ok:
                     break
+                # The driver hashes raw values, so 0 (int64) vs 0.0 (float64
+                # from a DuckDB HUGEINT sum) is a driver-side mismatch even
+                # though == passes. Flag integer-vs-float dtype drift hard.
+                gi = pd.api.types.is_integer_dtype(got[col].dtype)
+                wi = pd.api.types.is_integer_dtype(want[col].dtype)
+                gf = pd.api.types.is_float_dtype(got[col].dtype)
+                wf = pd.api.types.is_float_dtype(want[col].dtype)
+                if (gi and wf) or (gf and wi):
+                    print(f"FAIL {name}: col={col} dtype spark={got[col].dtype} "
+                          f"duckdb={want[col].dtype} (int/float drift hashes differently)")
+                    ok = False
+                    break
                 ga, wa = got[col].tolist(), want[col].tolist()
                 for i, (a, b) in enumerate(zip(ga, wa)):
                     if not cells_equal(a, b):
