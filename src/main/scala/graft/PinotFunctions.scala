@@ -172,7 +172,11 @@ object PinotFunctions {
                 if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
                   (extracted, Literal(v.substring(1, v.length - 1).replace("''", "'")))
                 else
-                  (Cast(extracted, DoubleType), Literal(v.toDouble))
+                  // TRY cast: a non-numeric string at the JSON path yields
+                  // NULL → predicate false (Pinot's broker treats it as
+                  // non-matching), instead of an ANSI runtime throw
+                  (Cast(extracted, DoubleType, None, EvalMode.TRY),
+                    Literal(v.toDouble))
               cmp match {
                 case "=" => EqualTo(left, right)
                 case "!=" | "<>" => Not(EqualTo(left, right))

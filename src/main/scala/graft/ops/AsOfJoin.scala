@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param rightValueCols right columns carried onto left rows (emitted as
-    *        `asof_<name>`); both frames must share `keys` and `tsCol`. */
+    *        `asof_<name>`); both frames must share `keys` and `tsCol`.
+    *
+    * All value columns travel in ONE struct carried by a single
+    * `last(ignoreNulls)` — per-column carry-forward would stitch values
+    * from different right rows whenever a right value column contains
+    * NULL (the struct itself is never null for a right row, so the latest
+    * right ROW wins as a unit, true as-of semantics). */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -32,17 +38,19 @@ object AsOfJoin {
       tsCol: String,
       rightValueCols: Seq[String]): DataFrame = {
     val rTagged = right.select(
-      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side")) ++
-        rightValueCols.map(c => col(c).as(s"asof_$c")): _*)
+      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side")) :+
+        struct(rightValueCols.map(col): _*).as("__asof_row"): _*)
     val lTagged = left
       .withColumn("__side", lit(1))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn(
+      "__asof_row", last(col("__asof_row"), ignoreNulls = true).over(w))
+    val unpacked = rightValueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col("__asof_row").getField(c))
     }
-    carried.filter(col("__side") === 1).drop("__side")
+    unpacked.filter(col("__side") === 1).drop("__side", "__asof_row")
   }
 }

@@ -42,8 +42,12 @@ object Components {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster"))).head().getLong(0)
+    // sum in DECIMAL(38,0): 64-bit hash-derived node ids would overflow a
+    // Long sum (ANSI mode throws mid-iteration; non-ANSI wraparound could
+    // alias two different label states as "converged")
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty edge list → null sum
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
@@ -58,7 +62,7 @@ object Components {
         .groupBy("node").agg(min("cluster").as("cluster"))
         .localCheckpoint(true)
       val s = labelSum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = next

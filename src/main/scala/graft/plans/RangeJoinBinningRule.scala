@@ -54,10 +54,15 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] {
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(And(c1, c2)), hint) =>
+        // accept the bounds in either conjunct order: `p >= lo AND p <= hi`
+        // and `p <= hi AND p >= lo` both fire (Catalyst is free to reorder
+        // the conjuncts before this rule runs)
         val rewritten = for {
-          (p1, lo, isLo) <- bound(c1, left, right)
-          (p2, hi, isHi) <- bound(c2, left, right)
-          if isLo && !isHi && p1.semanticEquals(p2)
+          b1 <- bound(c1, left, right)
+          b2 <- bound(c2, left, right)
+          if b1._3 != b2._3 && b1._1.semanticEquals(b2._1)
+          (p1, lo, _) = if (b1._3) b1 else b2
+          (_, hi, _) = if (b1._3) b2 else b1
         } yield {
           val binAlias = Alias(Floor(Divide(p1, Literal(w))), "__graft_bin")()
           val newLeft = Project(left.output :+ binAlias, left)

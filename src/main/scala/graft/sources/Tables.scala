@@ -19,15 +19,28 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // opt-in bucketed layout (registerBucketed): sessions that registered a
     // bucketed copy of a fact table read it transparently, so every declared
-    // query picks up the shuffle-free co-located join plan unchanged
+    // query picks up the shuffle-free co-located join plan unchanged.
+    // Routing is bound to the sfDir the copy was built from — a read for a
+    // DIFFERENT sfDir falls through to the plain parquet scan instead of
+    // silently serving stale bucketed data.
     val bucketedFacts = spark.conf.get("graft.bucketed.facts", "")
-    if (bucketedFacts.nonEmpty && bucketedFacts.split(",").contains(name))
-      spark.table(bucketedTableName(name))
+    val bucketedDir = spark.conf.get("graft.bucketed.sfdir", "")
+    if (bucketedFacts.nonEmpty && bucketedDir == sfDir &&
+        bucketedFacts.split(",").contains(name))
+      spark.table(bucketedTableName(name, spark.conf.get("graft.bucketed.fp")))
     else if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  private def bucketedTableName(name: String): String = s"graft_${name}_bucketed"
+  /** Table name carries a fingerprint of (sfDir, buckets) so a re-register
+    * with different inputs can never collide with (and silently reuse) a
+    * stale managed table from a prior run. */
+  private[graft] def bucketedTableName(name: String, fp: String): String =
+    s"graft_${name}_bucketed_$fp"
+
+  private[graft] def fingerprint(sfDir: String, buckets: Int): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$sfDir|$buckets") & 0xffffffffL)
 
   /** Default bucketing spec for the fact tables: both sides of the big
     * orders⋈lineitem edge bucketed on the join key (SCALE.md: the layout
@@ -44,8 +57,9 @@ object Tables {
       sfDir: String,
       buckets: Int = 8,
       facts: Map[String, String] = defaultFactBuckets): Unit = {
+    val fp = fingerprint(sfDir, buckets)
     facts.foreach { case (name, key) =>
-      val tbl = bucketedTableName(name)
+      val tbl = bucketedTableName(name, fp)
       if (!spark.catalog.tableExists(tbl)) {
         spark.read.parquet(s"$sfDir/$name.parquet")
           .write.mode("overwrite")
@@ -54,6 +68,8 @@ object Tables {
       }
     }
     spark.conf.set("graft.bucketed.facts", facts.keys.mkString(","))
+    spark.conf.set("graft.bucketed.sfdir", sfDir)
+    spark.conf.set("graft.bucketed.fp", fp)
   }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects.

@@ -41,4 +41,19 @@ class AsOfJoinSpec extends GraftSuite {
   test("left row count is preserved exactly") {
     assert(got.size === 5)
   }
+
+  test("null right value columns never stitch values from different right rows") {
+    // latest right row at ts=20 has rv=NULL: the left row must get
+    // (rid=911, rv=NULL) as a unit — per-column carry-forward would
+    // wrongly resurrect rv=1.0 from the OLDER ts=10 row
+    val l = Seq((1L, 500L, 25L)).toDF("k", "lid", "ts")
+    val r = Seq(
+      (1L, 910L, 10L, Some(1.0)),
+      (1L, 911L, 20L, None)
+    ).toDF("k", "rid", "ts", "rv")
+    val row = AsOfJoin.asofJoin(l, r, Seq("k"), "ts", Seq("rid", "rv"))
+      .select($"asof_rid", $"asof_rv")
+      .as[(Option[Long], Option[Double])].head()
+    assert(row === ((Some(911L), None)))
+  }
 }

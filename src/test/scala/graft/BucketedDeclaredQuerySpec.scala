@@ -16,7 +16,9 @@ class BucketedDeclaredQuerySpec extends GraftSuite {
     // explicit hints and survive
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    Seq("graft_lineitem_bucketed", "graft_orders_bucketed").foreach { t =>
+    val fp = Tables.fingerprint(sfDir, 8)
+    val tbls = Seq("lineitem", "orders").map(Tables.bucketedTableName(_, fp))
+    tbls.foreach { t =>
       s2.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(s"spark-warehouse/$t")
       if (loc.exists()) {
@@ -43,13 +45,36 @@ class BucketedDeclaredQuerySpec extends GraftSuite {
     val plain = SparkEntry.queries("q_join_multi")(spark, sfDir).collect()
     assert(bucketedRows.map(_.toString).toSeq === plain.map(_.toString).toSeq)
 
-    Seq("graft_lineitem_bucketed", "graft_orders_bucketed")
-      .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    tbls.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("bucketed routing is opt-in: unregistered sessions read plain parquet") {
     val s3 = spark.newSession()
     val plan = Tables.t(s3, sfDir, "lineitem").queryExecution.logical.toString
     assert(!plan.contains("graft_lineitem_bucketed"))
+  }
+
+  test("bucketed routing is bound to its sfDir: other dirs read plain parquet") {
+    val s4 = spark.newSession()
+    val fp = Tables.fingerprint(sfDir, 8)
+    val tbls = Seq("lineitem", "orders").map(Tables.bucketedTableName(_, fp))
+    tbls.foreach(t => s4.sql(s"DROP TABLE IF EXISTS $t"))
+    Tables.registerBucketed(s4, sfDir)
+
+    // same dir routes through the bucketed table …
+    val routed = Tables.t(s4, sfDir, "lineitem").queryExecution.logical.toString
+    assert(routed.contains("graft_lineitem_bucketed"), routed)
+
+    // … but a DIFFERENT sfDir must fall through to that dir's parquet, not
+    // silently serve the registered dir's rows
+    val otherDir = "/root/testdata/sf0.01"
+    val other = Tables.t(s4, otherDir, "lineitem")
+    assert(!other.queryExecution.logical.toString.contains("bucketed"))
+    val otherRows = other.count()
+    val registeredRows = Tables.t(s4, sfDir, "lineitem").count()
+    assert(otherRows !== registeredRows,
+      "sf0.01 read must not serve sf0.001-registered bucketed data")
+
+    tbls.foreach(t => s4.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }

@@ -26,6 +26,17 @@ class ComponentsSpec extends GraftSuite {
     assert(labels.values.toSet === Set(1L))
   }
 
+  test("64-bit hash-scale node ids don't overflow the convergence check") {
+    // three nodes near Long.MaxValue: a Long label-sum would exceed 2^63
+    // and throw under ANSI mode mid-iteration; the DECIMAL(38,0) sum must
+    // converge and label the pair by its min id
+    val big = Long.MaxValue
+    val labels = cc(Seq((big, big - 1), (big - 3, big - 2)))
+    assert(labels === Map(
+      big -> (big - 1), (big - 1) -> (big - 1),
+      (big - 2) -> (big - 3), (big - 3) -> (big - 3)))
+  }
+
   test("rings and cliques collapse to their min node") {
     val ring = (0L until 50L).map(i => (100 + i, 100 + (i + 1) % 50))
     val clique = for (a <- 0L until 10L; b <- (a + 1) until 10L) yield (500 + a, 500 + b)

@@ -209,4 +209,15 @@ class PinotCompatSpec extends GraftSuite {
     assert(!r.getBoolean(6))
     intercept[Exception](one("SELECT JSON_MATCH('{}', 'not a filter') AS bad"))
   }
+
+  test("JSON_MATCH numeric compare on a non-numeric value is no-match, not an error") {
+    // Pinot's broker treats a malformed value at the path as non-matching;
+    // under ANSI a plain cast would throw at runtime — must be TRY semantics
+    val json = """'{"id": "not-a-number"}'"""
+    val r = one(
+      s"""SELECT coalesce(JSON_MATCH($json, '"$$.id" > 100'), false) AS gt,
+         |       coalesce(JSON_MATCH($json, '"$$.id" = 5'), false) AS eq
+         |""".stripMargin)
+    assert(!r.getBoolean(0) && !r.getBoolean(1))
+  }
 }

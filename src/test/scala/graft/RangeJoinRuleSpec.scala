@@ -40,6 +40,30 @@ class RangeJoinRuleSpec extends GraftSuite {
     assert(rewritten.nonEmpty)
   }
 
+  test("rule fires with the conjuncts in swapped order (p <= hi AND p >= lo)") {
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    s.conf.set("spark.graft.rangeJoin.binWidth", "10.0")
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val points = (1L to 400L).map(i => (i, rnd.nextDouble() * 100)).toDF("pid", "v")
+    val rnd2 = new scala.util.Random(18)
+    val intervals = (1L to 60L).map { i =>
+      val lo = rnd2.nextDouble() * 90
+      (i, lo, lo + rnd2.nextDouble() * 12)
+    }.toDF("iid", "lo", "hi")
+    // upper bound FIRST — the rule must recognize either conjunct order
+    val df = points.join(intervals, $"v" <= $"hi" && $"v" >= $"lo")
+      .select($"pid", $"iid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rule must fire on swapped conjuncts:\n$plan")
+    assert(plan.contains("__graft_bin"), s"expected the bin key in:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = naiveJoin(spark).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === plain)
+  }
+
   test("rule is off without the conf: plan unchanged") {
     val s = spark.newSession()
     GraftExtensions.register(s)
