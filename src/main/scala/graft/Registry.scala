@@ -18,6 +18,7 @@ object Registry {
     DedupQueries.all,
     SimilarityQueries.all,
     TextQueries.all,
+    EmbeddingQueries.all,
     PipelineQueries.all,
     MultimodalQueries.all)
 

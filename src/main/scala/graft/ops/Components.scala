@@ -28,7 +28,14 @@ object Components {
     * in ~9 rounds, not ~400). Convergence check: labels only ever decrease,
     * so the label SUM is strictly monotone — one cheap aggregate per round,
     * no join against the previous state. */
+  /** Per-round progress to stderr when GRAFT_CC_DEBUG is set — an iterative
+    * distributed algorithm with a driver loop should be observable. */
+  private def ccLog(msg: => String): Unit =
+    if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] $msg")
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val t0 = System.nanoTime()
+    def elapsed = f"${(System.nanoTime() - t0) / 1e9}%.2fs"
     // eager localCheckpoint (not bare persist): iterative self-joins grow
     // the logical plan exponentially if lineage chains round-over-round, and
     // Catalyst re-analysis comes to dominate; checkpointing truncates the
@@ -39,8 +46,12 @@ object Components {
     val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+    // fused round 0: seed each node with min(self, min neighbor) — the same
+    // single shuffle a bare distinct would cost, but it propagates one step
+    // for free, saving a full loop round (3 joins + checkpoint + aggregate)
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("min_dst"))
+      .select(col("node"), least(col("node"), col("min_dst")).as("cluster"))
       .localCheckpoint(true)
     // sum in DECIMAL(38,0): 64-bit hash-derived node ids would overflow a
     // Long sum (ANSI mode throws mid-iteration; non-ANSI wraparound could
@@ -51,6 +62,7 @@ object Components {
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
+    ccLog(s"init done at $elapsed")
     while (!converged && i < maxIter) {
       val viaEdges = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("cluster"))
@@ -67,6 +79,7 @@ object Components {
       labels.unpersist()
       labels = next
       i += 1
+      ccLog(s"round $i done at $elapsed (converged=$converged)")
     }
     sym.unpersist()
     labels

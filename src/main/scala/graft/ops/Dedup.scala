@@ -20,6 +20,20 @@ object Dedup {
     Seq(stable_hash64(col(keyCol), 0L).as("key_h1"),
         stable_hash64(col(keyCol), 1L).as("key_h2"))
 
+  /** Distinct 64-bit hashes of a document's token n-grams (whitespace
+    * tokens, n-token shingles joined by ' '). A sub-n-token doc yields its
+    * whole token list as one gram — NOT sequence(1, 0), which in Spark is
+    * the DESCENDING sequence [1,0], not empty. Hashing keeps downstream
+    * exploded shuffle rows at 16 B regardless of gram text length. */
+  def tokenGramHashes(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val toks = split(textCol, " ")
+    array_distinct(transform(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => array_join(slice(toks, i, lit(n)), " ")),
+      g => stable_hash64(g)))
+  }
+
   /** Exact dedup: keep the smallest `idCol` row per identical `keyCol`.
     * One shuffle on the 128-bit content hash of the key (never the raw
     * value). Returns the survivor ids. */

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-column preparation kernels (L2 norm, int8 quantization) used
+  * by the declared q_embed_* queries and available as a library API. All
+  * are pure column expressions: float32 elements widen to float64 and fold
+  * SEQUENTIALLY in array order, so results are reproducible bit-for-bit
+  * across engines and partitionings (the DuckDB oracles rely on it).
+  */
+object VectorPrep {
+
+  private def xd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential sum fold in array order. */
+  def seqSum(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a float-array column, accumulated in float64. */
+  def l2Norm(c: Column): Column = sqrt(seqSum(transform(xd(c), x => x * x)))
+
+  /** Unit-normalized copy of a float-array column (float64 elements). */
+  def l2Normalize(c: Column): Column = {
+    val n = l2Norm(c)
+    transform(xd(c), x => x / n)
+  }
+
+  /** Symmetric int8 scale: max|x| / 127 (order-independent, exact). */
+  def int8Scale(c: Column): Column =
+    aggregate(xd(c), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+
+  /** Mean |x − floor(x/scale)·scale| reconstruction error of int8
+    * quantization at the given scale (floor, not round: floor has
+    * identical semantics everywhere; per-element error is < scale). */
+  def quantError(c: Column, scale: Column, dim: Int): Column =
+    seqSum(transform(xd(c), x => abs(x - floor(x / scale) * scale))) / dim.toDouble
+}

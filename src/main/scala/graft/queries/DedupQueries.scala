@@ -3,6 +3,7 @@ package graft.queries
 import graft.Q
 import graft.functions._
 import graft.sources.Tables
+import graft.tools.DuckDbSql
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -203,7 +204,64 @@ object DedupQueries {
     },
     Some(SimilarityOracles.dedupEmbeddingSql))
 
+  /** X1 exact-substring duplication report (the Lee et al. "deduplicating
+    * training data makes LMs better" measurement): fraction of each
+    * source's distinct token 5-grams that also occur in ANOTHER document.
+    * Pipeline: per-doc distinct gram HASHES (64-bit, so the exploded
+    * shuffle rows are 16 B regardless of gram text), document frequency by
+    * gram, join back, per-source aggregate — the same two-shuffle shape as
+    * tf-idf, no quadratic anywhere. */
+  private val dedupSubstring = Q(
+    "q_dedup_substring",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val eg = d.select(col("doc_id"), col("source"),
+          explode(graft.ops.Dedup.tokenGramHashes(col("text"), 5)).as("g"))
+        .persist()  // feeds both the frequency agg and the join back
+      val freq = eg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      eg.join(freq, Seq("g"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_dup")).as("n_dup_grams"),
+          sum(col("n_grams")).as("n_grams"),
+          round(sum(col("n_dup")).cast("double") / sum(col("n_grams")).cast("double"), 4)
+            .as("dup_rate"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val gh = DuckDbSql.hash64("g", 0L)
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+         |), eg AS (
+         |  SELECT doc_id, source, ($gh) AS g_h
+         |  FROM (
+         |    SELECT doc_id, source,
+         |           unnest(list_distinct(list_transform(
+         |             generate_series(1, greatest(len(t) - 4, 1)),
+         |             i -> array_to_string(t[i:i+4], ' ')))) AS g
+         |    FROM toks
+         |  )
+         |), freq AS (
+         |  SELECT g_h, count(*) AS df FROM eg GROUP BY g_h
+         |), per_doc AS (
+         |  SELECT e.doc_id, e.source,
+         |         count(*) AS n_grams,
+         |         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM eg e JOIN freq f USING (g_h) GROUP BY 1, 2
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_dup) AS BIGINT) AS n_dup_grams,
+         |       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |       round(CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE), 4) AS dup_rate
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
-    dedupNgramJaccard, dedupClusters, dedupEmbedding)
+    dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring)
 }

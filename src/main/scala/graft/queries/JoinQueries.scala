@@ -221,13 +221,22 @@ object JoinQueries {
       val bands = Tables.t(spark, dir, "part")
         .select(col("p_partkey"), col("p_brand"),
           (col("p_retailprice") - 5.0).as("lo"), (col("p_retailprice") + 5.0).as("hi"))
+      // two-level agg instead of count+countDistinct: the distinct would
+      // plan an Expand (×2 duplication) over every matched pair; grouping
+      // by (brand, partkey) first lets map-side partial agg collapse the
+      // ~pair-per-point-interval stream to ~|part| rows before the shuffle
       graft.ops.RangeJoin.binnedRangeJoin(li, bands, "unit_price", "lo", "hi", binWidth = 10.0)
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("unit_price")).as("mn"),
+          max(col("unit_price")).as("mx"))
         .groupBy(col("p_brand"))
         .agg(
-          count(lit(1)).as("n_matches"),
-          countDistinct(col("p_partkey")).as("n_parts"),
-          round(min(col("unit_price")), 2).as("min_up"),
-          round(max(col("unit_price")), 2).as("max_up"))
+          sum(col("cnt")).as("n_matches"),
+          count(lit(1)).as("n_parts"),
+          round(min(col("mn")), 2).as("min_up"),
+          round(max(col("mx")), 2).as("max_up"))
         .orderBy(col("p_brand"))
     },
     Some("""WITH pts AS (

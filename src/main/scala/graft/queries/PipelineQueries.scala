@@ -201,5 +201,120 @@ object PipelineQueries {
          |GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter, splitContamination)
+  /** X5 weighted mixture sampling: each source gets a deterministic keep
+    * rate (the "domain mixing" step that rebalances web/wiki/books mass in
+    * a training corpus). Keep decisions are a pure hash of the doc id —
+    * map-only, reproducible across engines and runs, no sampling state. */
+  private val sampleMixture = Q(
+    "q_sample_mixture",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      // srcN keeps 100/50/25/10 % by N mod 4 — a fixed mixture spec
+      val idx = substring(col("source"), 4, 10).cast("int")
+      val rate = when(pmod(idx, lit(4)) === 0, 100)
+        .when(pmod(idx, lit(4)) === 1, 50)
+        .when(pmod(idx, lit(4)) === 2, 25)
+        .otherwise(10)
+      val kept = pmod(stable_hash64(col("doc_id").cast("string"), 13L), lit(100L)) < rate
+      d.withColumn("kept", kept)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val h = DuckDbSql.hash64("CAST(doc_id AS VARCHAR)", 13L)
+      s"""WITH sampled AS (
+         |  SELECT source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ((($h) % 100) + 100) % 100 <
+         |           CASE CAST(substr(source, 4) AS INT) % 4
+         |             WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END AS kept
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM sampled GROUP BY source ORDER BY source""".stripMargin
+    })
+
+  /** X5 deterministic global shuffle: the training-order step. Every doc
+    * gets a pseudorandom but reproducible position — shard by hash, order
+    * within shard by (hash, doc_id). One shuffle on the shard key at any
+    * scale; shard count is the lever that bounds per-writer output size. */
+  private val orderShuffle = Q(
+    "q_order_shuffle",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val h = stable_hash64(col("doc_id").cast("string"), 21L)
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      d.withColumn("h", h)
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(when(col("rn") === 1, col("doc_id"))).as("first_doc_id"),
+          max(when(col("rn") === 2, col("doc_id"))).as("second_doc_id"))
+        .orderBy(col("shard"))
+    },
+    Some {
+      val h = DuckDbSql.hash64("CAST(doc_id AS VARCHAR)", 21L)
+      s"""WITH hashed AS (
+         |  SELECT doc_id, ($h) AS h, ((($h) % 8) + 8) % 8 AS shard FROM documents
+         |), ranked AS (
+         |  SELECT shard, doc_id,
+         |         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+         |  FROM hashed
+         |)
+         |SELECT shard, count(*) AS n_docs,
+         |       max(CASE WHEN rn = 1 THEN doc_id END) AS first_doc_id,
+         |       max(CASE WHEN rn = 2 THEN doc_id END) AS second_doc_id
+         |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin
+    })
+
+  /** X5 curriculum binning: quartile buckets of lexical diversity per
+    * language (ntile over a total order, so bucket edges are deterministic)
+    * with the token mass per bucket — the schedule a curriculum sampler
+    * reads. One window shuffle per lang partition. */
+  private val curriculum = Q(
+    "q_curriculum",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val toks = split(col("text"), " ")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("diversity").desc, col("doc_id").asc)
+      d.withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("diversity",
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .withColumn("bin", ntile(4).over(w))
+        .groupBy(col("lang"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(avg(col("diversity")), 4).as("avg_diversity"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""WITH scored AS (
+            |  SELECT lang, doc_id,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            |         len(list_distinct(string_split(text, ' '))) * 1.0
+            |           / len(string_split(text, ' ')) AS diversity
+            |  FROM documents
+            |), binned AS (
+            |  SELECT lang, n_tokens, diversity,
+            |         ntile(4) OVER (PARTITION BY lang
+            |                        ORDER BY diversity DESC, doc_id ASC) AS bin
+            |  FROM scored
+            |)
+            |SELECT lang, bin, count(*) AS n_docs,
+            |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            |       round(avg(diversity), 4) AS avg_diversity
+            |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin))
+
+  val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
+    splitContamination, sampleMixture, orderShuffle, curriculum)
 }
