@@ -69,6 +69,11 @@ object Components {
       val viaParent = labels.as("l")
         .join(labels.as("p"), col("l.cluster") === col("p.node"))
         .select(col("l.node").as("node"), col("p.cluster").as("cluster"))
+      // eager localCheckpoint each round — measured FASTER than lazy
+      // persist() at local[32] (raw block reuse beats InMemoryRelation's
+      // columnar encode/decode on these small iterative frames), and it
+      // keeps lineage truncated so unpersisting the previous round can
+      // never trigger recompute chains
       val next = labels.select("node", "cluster")
         .union(viaEdges).union(viaParent)
         .groupBy("node").agg(min("cluster").as("cluster"))

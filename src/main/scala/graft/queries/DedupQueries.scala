@@ -214,22 +214,27 @@ object DedupQueries {
   private val dedupSubstring = Q(
     "q_dedup_substring",
     (spark, dir) => {
+      // no gram→doc join back, no window: per-doc grams are DISTINCT, so a
+      // (doc, gram) occurrence is duplicated UNLESS its gram is globally
+      // unique — and a globally-unique gram belongs to exactly ONE source,
+      // which min(source) recovers for free inside the df aggregate. So
+      // dup_grams(source) = total_grams(source) − unique_grams(source):
+      // one 16 B-row shuffle on the gram hash plus two ~|sources|-row aggs
       val d = Tables.t(spark, dir, "documents")
-      val eg = d.select(col("doc_id"), col("source"),
+      val eg = d.select(col("source"),
           explode(graft.ops.Dedup.tokenGramHashes(col("text"), 5)).as("g"))
-        .persist()  // feeds both the frequency agg and the join back
-      val freq = eg.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      eg.join(freq, Seq("g"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(
-          count(lit(1)).as("n_grams"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_dup")).as("n_dup_grams"),
-          sum(col("n_grams")).as("n_grams"),
-          round(sum(col("n_dup")).cast("double") / sum(col("n_grams")).cast("double"), 4)
+        .persist()  // hash once; feeds the df agg and the per-source totals
+      val uniq = eg.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("source")).as("source"))
+        .filter(col("df") === 1)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+      val totals = eg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(totals, Seq("source"))
+        .join(uniq, Seq("source"), "left")  // a source may have no unique grams
+        .withColumn("n_dup_grams", col("n_grams") - coalesce(col("n_unique"), lit(0L)))
+        .select(col("source"), col("n_docs"), col("n_dup_grams"), col("n_grams"),
+          round(col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 4)
             .as("dup_rate"))
         .orderBy(col("source"))
     },

@@ -46,4 +46,13 @@ class RangeJoinSpec extends GraftSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must not plan a nested loop:\n$plan")
   }
+
+  test("declared q_join_range aggregates without an Expand over the matches") {
+    // count+countDistinct in one agg would plan Expand (×2 row duplication
+    // of every matched pair); the two-level agg must keep it out
+    val df = SparkEntry.queries("q_join_range")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"expected no Expand in:\n$plan")
+    assert(df.count() > 0)
+  }
 }
