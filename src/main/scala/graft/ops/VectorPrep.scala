@@ -34,4 +34,18 @@ object VectorPrep {
     * identical semantics everywhere; per-element error is < scale). */
   def quantError(c: Column, scale: Column, dim: Int): Column =
     seqSum(transform(xd(c), x => abs(x - floor(x / scale) * scale))) / dim.toDouble
+
+  /** Dequantized int8 approximation of a float-array column (float64
+    * elements) — what a scanner reconstructs from the compressed index. */
+  def dequantized(c: Column, scale: Column): Column =
+    transform(c, x => floor(x.cast("double") / scale) * scale)
+
+  /** Cosine over two float64-array columns, sequential folds (bit-exact
+    * vs DuckDB list_reduce — rankings on it agree across engines). */
+  def cosineDouble(a: Column, b: Column): Column = {
+    val dot = seqSum(zip_with(a, b, (x, y) => x * y))
+    val na = seqSum(transform(a, x => x * x))
+    val nb = seqSum(transform(b, x => x * x))
+    dot / (sqrt(na) * sqrt(nb))
+  }
 }

@@ -48,5 +48,25 @@ object SketchQueries {
     None,
     doc = "approximate percentile sketch (A7); accuracy asserted in SketchSpec")
 
-  val all: Seq[Q] = Seq(sketchHll, sketchPercentile)
+  /** Heavy hitters (Pinot FREQUENTSTRINGSSKETCH analog): DataSketches
+    * frequent-items via Spark's `approx_top_k`. Mergeable sketch — the
+    * shuffle carries one bounded sketch per partition at any scale. Unlike
+    * HLL/percentile this IS oracle-checkable here: with far fewer distinct
+    * items than the sketch's tracked capacity the counts are exact, so the
+    * DuckDB exact top-k matches value-for-value (the accuracy property that
+    * makes frequent-items sketches safe for low-cardinality columns). */
+  private val sketchTopK = Q(
+    "q_sketch_topk",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "events")
+      e.agg(expr("approx_top_k(event_type, 3)").as("tk"))
+        .select(explode(col("tk")).as("x"))
+        .select(col("x.item").as("item"), col("x.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item").asc)
+    },
+    Some("""SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+            |FROM events GROUP BY event_type
+            |ORDER BY cnt DESC, item ASC LIMIT 3""".stripMargin))
+
+  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK)
 }

@@ -37,6 +37,19 @@ class SimilarityProbeSpec extends GraftSuite {
     assert(r5 >= 0.4, s"5-probe recall $r5 below floor (index useless?); r1=$r1 r3=$r3")
   }
 
+  test("two-stage quantized retrieval recovers the exact top-3 (recall on the int8 shortlist)") {
+    // the declared q_sim_ann_quantized shape: int8-dequantized approx
+    // scores shortlist 8, exact cosine refines to 3 — with an 8-wide
+    // shortlist over ~1% quantization error the exact top-3 should survive
+    val quant = SparkEntry.queries("q_sim_ann_quantized")(spark, "/root/testdata/sf0.01")
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(
+        e, e.filter($"vec_id" < 5), "vec_id", "embedding", k)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val r = quant.intersect(exact).size.toDouble / exact.size
+    assert(r >= 0.8, s"two-stage recall $r below 0.8 (exact=$exact quant=$quant)")
+  }
+
   test("probing all hamming-1 neighbors strictly widens the candidate pool") {
     val n1 = annSet(1).size
     val nAll = annSet(nPlanes + 1).size

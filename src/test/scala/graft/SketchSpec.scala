@@ -16,6 +16,18 @@ class SketchSpec extends GraftSuite {
     }
   }
 
+  test("approx_top_k finds a planted heavy hitter among high-cardinality noise") {
+    import spark.implicits._
+    // 10k singleton ids + one item planted 500 times: the frequent-items
+    // sketch must surface it at rank 1 with a count inside its error bound
+    val df = ((1 to 10000).map(_.toString) ++ Seq.fill(500)("HOT")).toDF("s")
+    val top = df.agg(expr("approx_top_k(s, 1)").as("tk"))
+      .select(explode($"tk").as("x"))
+      .select($"x.item", $"x.count").as[(String, Long)].head()
+    assert(top._1 === "HOT")
+    assert(top._2 >= 400L && top._2 <= 600L, s"count ${top._2} outside bound")
+  }
+
   test("approx percentile within 5% of exact median") {
     val rows = SparkEntry.queries("q_sketch_percentile")(spark, sfDir).collect()
     rows.foreach { r =>
