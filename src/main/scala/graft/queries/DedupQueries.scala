@@ -129,7 +129,9 @@ object DedupQueries {
           expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"),
           g => stable_hash64(g)))).as("grams"))
         .withColumn("n_grams", size(col("grams")))
-        .persist()  // consumed by the band explode and both confirm joins
+        .persist()  // consumed by the band explode and both confirm joins (persist, not
+        // localCheckpoint: measured faster for this WIDE array frame, unlike
+        // the narrow iterative CC frames where checkpoint wins)
       val bands = grams.select(col("lang"), col("doc_id"),
         explode(lshBands(minhashFromHashes(col("grams"), k), nBands, rPerBand)).as("bk"))
       val salted = graft.ops.Dedup.saltSplit(bands, Seq("lang", "bk"), "doc_id", cap)

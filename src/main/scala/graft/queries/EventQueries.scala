@@ -210,10 +210,50 @@ object EventQueries {
             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
             |ORDER BY l.user_id, l.event_id LIMIT 500""".stripMargin))
 
+  /** Pinot FUNNEL_COUNT analog: ordered view→click→purchase conversion.
+    * Stage k = users with a step-k event AT OR AFTER their stage-(k−1)
+    * first match. Each stage is one filtered aggregate joined to the
+    * previous stage's per-user min — |users|-row frames, broadcast-or-hash
+    * joined by AQE; the events scan stays filtered and column-pruned.
+    * Timestamps compare as integer epoch micros in BOTH engines (events.ts
+    * is nanos parquet; Spark reads it truncated to micros, so the oracle
+    * must truncate too or sub-microsecond orderings diverge). */
+  val eventsFunnel = Q(
+    "q_events_funnel",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("tus") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("tus") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    },
+    Some("""WITH ev AS (
+            |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+            |), v AS (
+            |  SELECT user_id, min(tus) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1
+            |), c AS (
+            |  SELECT e.user_id, min(tus) AS t2 FROM ev e JOIN v USING (user_id)
+            |  WHERE event_type = 'click' AND tus >= t1 GROUP BY 1
+            |), p AS (
+            |  SELECT e.user_id, min(tus) AS t3 FROM ev e JOIN c USING (user_id)
+            |  WHERE event_type = 'purchase' AND tus >= t2 GROUP BY 1
+            |)
+            |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+            |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+            |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
 
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
-    eventsTumbling, eventsSliding, eventsSessions, eventsAsof)
+    eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel)
 }
