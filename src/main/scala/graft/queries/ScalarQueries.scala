@@ -216,5 +216,42 @@ object ScalarQueries {
               SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
             ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 30"""))
 
-  val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs, explodeMv)
+  /** C8 URL family over a deterministically synthesized URL column (the
+    * fixtures carry no URL field): parse_url HOST/PATH/QUERY-param against
+    * a regexp-replica oracle. Map-only plus one small host aggregate. */
+  private val urlFuncs = Q(
+    "q_scalar_url",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"))
+      d.withColumn("url", url)
+        .select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+        .groupBy(col("host"))
+        .agg(
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("lang_param")).as("n_langs"),
+          min(col("path")).as("first_path"))
+        .orderBy(col("host"))
+    },
+    Some("""WITH u AS (
+            |  SELECT 'https://' || source || '.example.com/docs/' ||
+            |         CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+            |  FROM documents
+            |), parsed AS (
+            |  SELECT regexp_extract(url, '^https://([^/?]+)', 1) AS host,
+            |         regexp_extract(url, '^https://[^/?]+([^?]*)', 1) AS path,
+            |         regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+            |  FROM u
+            |)
+            |SELECT host, count(*) AS n_urls,
+            |       count(DISTINCT lang_param) AS n_langs,
+            |       min(path) AS first_path
+            |FROM parsed GROUP BY host ORDER BY host""".stripMargin))
+
+  val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
+    explodeMv, urlFuncs)
 }

@@ -174,6 +174,32 @@ object WindowQueries {
               FROM customer
             ) GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile"""))
 
+  /** W1 distribution ranks: percent_rank + cume_dist side by side (both
+    * deterministic given the total order; doubles rounded to a fixed grid
+    * since k/n ratios are exact in both engines). */
+  private val winDist = Q(
+    "q_win_dist",
+    (spark, dir) => {
+      val cust = Tables.t(spark, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      cust
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_mktsegment"), col("pr"), col("cd"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment, pr, cd FROM (
+            |  SELECT c_custkey, c_mktsegment,
+            |         round(percent_rank() OVER (PARTITION BY c_mktsegment
+            |               ORDER BY c_acctbal DESC, c_custkey ASC), 6) AS pr,
+            |         round(cume_dist() OVER (PARTITION BY c_mktsegment
+            |               ORDER BY c_acctbal DESC, c_custkey ASC), 6) AS cd
+            |  FROM customer
+            |) WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    winTopN, winRank, winRunning, winLeadLag, winFirstLast, winRange, winNtile)
+    winTopN, winRank, winRunning, winLeadLag, winFirstLast, winRange, winNtile,
+    winDist)
 }
