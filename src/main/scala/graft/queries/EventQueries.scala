@@ -223,11 +223,16 @@ object EventQueries {
     (spark, dir) => {
       val ev = Tables.t(spark, dir, "events")
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      // each stage frame is consumed twice (next stage's join + its own
+      // count): persist the tiny per-user mins so the events scan runs
+      // once per stage instead of re-deriving the whole chain
       val v = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+        .persist()
       val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
         .filter(col("tus") >= col("t1"))
         .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+        .persist()
       val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
         .filter(col("tus") >= col("t2"))
         .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
