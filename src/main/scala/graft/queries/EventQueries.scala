@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -255,10 +256,60 @@ object EventQueries {
             |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
             |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin))
 
+  /** Pinot GAPFILL analog: complete hourly spine per event_type (explode a
+    * sequence between the observed min/max hour — bounds travel as a
+    * broadcast one-row aggregate, never a collect), left-join the actual
+    * hourly sums, and fill gaps by carry-forward (`last(ignoreNulls)`
+    * window) with 0 before the first observation. The spine size is
+    * #types × #hours — bounded by the time range, not the data volume. */
+  val eventsGapfill = Q(
+    "q_events_gapfill",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      val b = ev.select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"), col("value"))
+      val actual = b.groupBy(col("event_type"), col("h"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val bounds = b.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val spine = b.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(actual, Seq("event_type", "h"), "left")
+        .withColumn("v_filled",
+          round(coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)), 2))
+        .withColumn("was_gap", col("v").isNull)
+        .select(col("event_type"), col("h"), col("v_filled"), col("was_gap"))
+        .orderBy(col("event_type"), col("h"))
+        .limit(500)
+    },
+    Some("""WITH b AS (
+            |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS h, value
+            |  FROM events
+            |), actual AS (
+            |  SELECT event_type, h, round(sum(value), 2) AS v FROM b GROUP BY 1, 2
+            |), bounds AS (
+            |  SELECT min(h) AS h0, max(h) AS h1 FROM b
+            |), spine AS (
+            |  SELECT event_type, unnest(generate_series(h0, h1)) AS h
+            |  FROM (SELECT DISTINCT event_type FROM b), bounds
+            |), joined AS (
+            |  SELECT s.event_type, s.h, a.v
+            |  FROM spine s LEFT JOIN actual a USING (event_type, h)
+            |)
+            |SELECT event_type, h,
+            |       round(coalesce(last_value(v IGNORE NULLS) OVER (
+            |         PARTITION BY event_type ORDER BY h
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 2) AS v_filled,
+            |       v IS NULL AS was_gap
+            |FROM joined ORDER BY event_type, h LIMIT 500""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
 
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
-    eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel)
+    eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
+    eventsGapfill)
 }
