@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Planted-data semantics for the funnel and gapfill operators (the oracle
+  * proves fixture parity; these prove the behaviors the fixture can't
+  * isolate: out-of-order steps don't convert, gaps carry the LAST value). */
+class EventAnalyticsSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Write a tiny events-shaped parquet dir readable by Tables.t — which
+    * expects `ts` as a NANOS long (it reads with nanosAsLong and converts
+    * via `ts DIV 1000`), so plant ts as epoch-nanos INT64. */
+  private def eventsDir(rows: Seq[(Long, String, Long, String, Double, String)]): String = {
+    val dir = Files.createTempDirectory("graft-ev").toString
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", unix_micros(to_timestamp($"tss", "yyyy-MM-dd HH:mm:ss")) * lit(1000L))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel: a click BEFORE the first view does not convert") {
+    val dir = eventsDir(Seq(
+      // user 1: proper order view -> click -> purchase
+      (1L, "2024-05-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-05-01 10:05:00", 1L, "click", 1.0, "{}"),
+      (3L, "2024-05-01 10:10:00", 1L, "purchase", 1.0, "{}"),
+      // user 2: click precedes the only view -> stalls at stage 1
+      (4L, "2024-05-01 09:00:00", 2L, "click", 1.0, "{}"),
+      (5L, "2024-05-01 10:00:00", 2L, "view", 1.0, "{}"),
+      (6L, "2024-05-01 09:30:00", 2L, "purchase", 1.0, "{}"),
+      // user 3: view only
+      (7L, "2024-05-01 08:00:00", 3L, "view", 1.0, "{}")))
+    val r = SparkEntry.queries("q_events_funnel")(spark, dir).head()
+    assert(r.getAs[Long]("n_view") === 3L)
+    assert(r.getAs[Long]("n_view_click") === 1L)
+    assert(r.getAs[Long]("n_full_funnel") === 1L)
+  }
+
+  test("funnel: same-timestamp step counts (inclusive >=)") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-05-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-05-01 10:00:00", 1L, "click", 1.0, "{}")))
+    val r = SparkEntry.queries("q_events_funnel")(spark, dir).head()
+    assert(r.getAs[Long]("n_view") === 1L)
+    assert(r.getAs[Long]("n_view_click") === 1L)
+    assert(r.getAs[Long]("n_full_funnel") === 0L)
+  }
+
+  test("gapfill: missing hours carry the LAST observed value, 0 before first") {
+    val dir = eventsDir(Seq(
+      // type A: hours 0 and 3 observed -> hours 1,2 carry 5.0; nothing before
+      (1L, "2024-05-01 00:30:00", 1L, "A", 5.0, "{}"),
+      (2L, "2024-05-01 03:30:00", 1L, "A", 7.0, "{}"),
+      // type B: only hour 2 observed -> hours 0,1 fill 0.0 (nothing to carry)
+      (3L, "2024-05-01 02:30:00", 2L, "B", 9.0, "{}")))
+    val rows = SparkEntry.queries("q_events_gapfill")(spark, dir)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val h0 = rows.keys.map(_._2).min
+    def at(t: String, off: Long) = rows((t, h0 + off))
+    assert(at("A", 0) === ((5.0, false)))
+    assert(at("A", 1) === ((5.0, true)))   // carried
+    assert(at("A", 2) === ((5.0, true)))   // carried
+    assert(at("A", 3) === ((7.0, false)))
+    assert(at("B", 0) === ((0.0, true)))   // before first observation
+    assert(at("B", 1) === ((0.0, true)))
+    assert(at("B", 2) === ((9.0, false)))
+  }
+}
