@@ -20,18 +20,18 @@ object Dedup {
     Seq(stable_hash64(col(keyCol), 0L).as("key_h1"),
         stable_hash64(col(keyCol), 1L).as("key_h2"))
 
-  /** Distinct 64-bit hashes of a document's token n-grams (whitespace
-    * tokens, n-token shingles joined by ' '). A sub-n-token doc yields its
-    * whole token list as one gram — NOT sequence(1, 0), which in Spark is
-    * the DESCENDING sequence [1,0], not empty. Hashing keeps downstream
-    * exploded shuffle rows at 16 B regardless of gram text length. */
+  /** Distinct 64-bit hashes of a document's token n-grams, computed
+    * entirely in hash space by the ShingleHash64 kernel (one hash per
+    * token + a rolling fold per window — no per-gram string is ever
+    * allocated, unlike an array_join formulation which copies O(len·n)
+    * bytes per doc). A sub-n-token doc contributes its whole token list
+    * as one gram via the same fold family (fold_hash64), so short docs
+    * are represented, not dropped. Downstream exploded shuffle rows are
+    * 16 B regardless of gram text length. */
   def tokenGramHashes(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val toks = split(textCol, " ")
-    array_distinct(transform(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => array_join(slice(toks, i, lit(n)), " ")),
-      g => stable_hash64(g)))
+    when(size(toks) >= n, array_distinct(shingleHashes(toks, n)))
+      .otherwise(array(fold_hash64(transform(toks, t => stable_hash64(t)))))
   }
 
   /** Exact dedup: keep the smallest `idCol` row per identical `keyCol`.

@@ -241,31 +241,42 @@ object DedupQueries {
         .orderBy(col("source"))
     },
     Some {
-      val gh = DuckDbSql.hash64("g", 0L)
-      s"""WITH toks AS (
-         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      // shingle replica (same fold family as DedupOracles.minhashSql,
+      // widened to 5 tokens): per-token hash64, rolling FNV fold per
+      // window, SplitMix finalize; whole-list fold for sub-5-token docs
+      import DuckDbSql.{u, wadd, wmul, mix, hash64U, foldHash64U}
+      val prime = u(0x100000001b3L)
+      val offset = u(0xcbf29ce484222325L)
+      val golden = u(0x9e3779b97f4a7c15L)
+      val acc = (0 until 5).foldLeft(offset)((a, j) => wadd(wmul(a, prime), s"th[si+$j]"))
+      val shingle = mix(wadd(acc, golden))
+      s"""WITH th AS (
+         |  SELECT doc_id, source,
+         |         list_transform(string_split(text, ' '), tk -> ${hash64U("tk")}) AS th
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN len(th) >= 5 THEN
+         |           list_distinct(list_transform(range(1, greatest(len(th) - 4, 0) + 1), si -> $shingle))
+         |         ELSE [${foldHash64U("th")}] END AS gs
+         |  FROM th
          |), eg AS (
-         |  SELECT doc_id, source, ($gh) AS g_h
-         |  FROM (
-         |    SELECT doc_id, source,
-         |           unnest(list_distinct(list_transform(
-         |             generate_series(1, greatest(len(t) - 4, 1)),
-         |             i -> array_to_string(t[i:i+4], ' ')))) AS g
-         |    FROM toks
-         |  )
-         |), freq AS (
-         |  SELECT g_h, count(*) AS df FROM eg GROUP BY g_h
-         |), per_doc AS (
-         |  SELECT e.doc_id, e.source,
-         |         count(*) AS n_grams,
-         |         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_dup
-         |  FROM eg e JOIN freq f USING (g_h) GROUP BY 1, 2
+         |  SELECT source, unnest(gs) AS g FROM grams
+         |), uniqg AS (
+         |  SELECT min(source) AS source FROM eg GROUP BY g HAVING count(*) = 1
+         |), uniq AS (
+         |  SELECT source, count(*) AS n_unique FROM uniqg GROUP BY source
+         |), totals AS (
+         |  SELECT source, count(*) AS n_grams FROM eg GROUP BY source
+         |), docs AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
          |)
-         |SELECT source, count(*) AS n_docs,
-         |       CAST(sum(n_dup) AS BIGINT) AS n_dup_grams,
-         |       CAST(sum(n_grams) AS BIGINT) AS n_grams,
-         |       round(CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE), 4) AS dup_rate
-         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+         |SELECT d.source, d.n_docs,
+         |       CAST(t.n_grams - coalesce(q.n_unique, 0) AS BIGINT) AS n_dup_grams,
+         |       CAST(t.n_grams AS BIGINT) AS n_grams,
+         |       round(CAST(t.n_grams - coalesce(q.n_unique, 0) AS DOUBLE) / t.n_grams, 4) AS dup_rate
+         |FROM docs d JOIN totals t USING (source) LEFT JOIN uniq q USING (source)
+         |ORDER BY d.source""".stripMargin
     })
 
   val all: Seq[Q] = Seq(

@@ -268,10 +268,13 @@ object EventQueries {
       val ev = Tables.t(spark, dir, "events")
       val b = ev.select(col("event_type"),
         expr("unix_micros(ts) DIV 3600000000").as("h"), col("value"))
+      // bounds and the series list both derive from the TINY hourly
+      // aggregate, so the events table is scanned exactly once
       val actual = b.groupBy(col("event_type"), col("h"))
         .agg(round(sum(col("value")), 2).as("v"))
-      val bounds = b.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      val spine = b.select(col("event_type")).distinct()
+        .persist()
+      val bounds = actual.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val spine = actual.select(col("event_type")).distinct()
         .crossJoin(broadcast(bounds))
         .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("h"))

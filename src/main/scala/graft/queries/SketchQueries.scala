@@ -59,10 +59,15 @@ object SketchQueries {
     "q_sketch_topk",
     (spark, dir) => {
       val e = Tables.t(spark, dir, "events")
-      e.agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      // ask the sketch for MORE than the emitted k (10 ≥ the column's
+      // cardinality): approx_top_k's pick among equal counts at the k-th
+      // boundary is unspecified, so the deterministic (cnt desc, item)
+      // cut happens here, not inside the sketch
+      e.agg(expr("approx_top_k(event_type, 10)").as("tk"))
         .select(explode(col("tk")).as("x"))
         .select(col("x.item").as("item"), col("x.count").as("cnt"))
         .orderBy(col("cnt").desc, col("item").asc)
+        .limit(3)
     },
     Some("""SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
             |FROM events GROUP BY event_type
