@@ -302,8 +302,42 @@ object AggQueries {
             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_exact
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Pinot EXPR_MIN/EXPR_MAX (a.k.a. ARG_MIN/ARG_MAX): the row-attribute at
+    * the extreme of a measure. `max_by`/`min_by` with a STRUCT ordering key
+    * — (price, orderkey, linenumber) is a total order, so ties cannot make
+    * the answer nondeterministic; the oracle replicates the same tiebreak
+    * with a window rank. One partial+final aggregate, no window on the
+    * Spark side. */
+  private val aggArgMinMax = Q(
+    "q_agg_argminmax",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      val ord = struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          max_by(col("l_orderkey"), ord).as("max_price_order"),
+          min_by(col("l_orderkey"), ord).as("min_price_order"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(min(col("l_extendedprice")), 2).as("min_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH ranked AS (
+            |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+            |         row_number() OVER (PARTITION BY l_returnflag
+            |           ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rx,
+            |         row_number() OVER (PARTITION BY l_returnflag
+            |           ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+            |  FROM lineitem
+            |)
+            |SELECT l_returnflag,
+            |       max(CASE WHEN rx = 1 THEN l_orderkey END) AS max_price_order,
+            |       max(CASE WHEN rn = 1 THEN l_orderkey END) AS min_price_order,
+            |       round(max(l_extendedprice), 2) AS max_price,
+            |       round(min(l_extendedprice), 2) AS min_price
+            |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(
     aggBasic, aggCount, aggMinMax, aggStats, aggPercentile, aggHistogram,
     aggMode, aggFirstLast, aggHaving, aggFilterClause, distinctRows,
-    aggRollup, aggCube, aggGroupingSets, aggSumPrecision)
+    aggRollup, aggCube, aggGroupingSets, aggSumPrecision, aggArgMinMax)
 }
