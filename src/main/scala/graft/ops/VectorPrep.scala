@@ -29,16 +29,28 @@ object VectorPrep {
   def int8Scale(c: Column): Column =
     aggregate(xd(c), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
 
+  /** Zero-safe divisor: an all-zero embedding has scale 0; dividing by it
+    * diverges between engines (Spark Inf/NaN vs DuckDB NULL/error). NULL
+    * the divisor and coalesce the element back to 0.0 — the exact answer
+    * for a zero vector (oracles mirror with nullif(scale, 0)). */
+  private def safeScale(scale: Column): Column =
+    when(scale === 0.0, lit(null).cast("double")).otherwise(scale)
+
   /** Mean |x − floor(x/scale)·scale| reconstruction error of int8
     * quantization at the given scale (floor, not round: floor has
     * identical semantics everywhere; per-element error is < scale). */
-  def quantError(c: Column, scale: Column, dim: Int): Column =
-    seqSum(transform(xd(c), x => abs(x - floor(x / scale) * scale))) / dim.toDouble
+  def quantError(c: Column, scale: Column, dim: Int): Column = {
+    val s = safeScale(scale)
+    seqSum(transform(xd(c), x =>
+      coalesce(abs(x - floor(x / s) * s), lit(0.0)))) / dim.toDouble
+  }
 
   /** Dequantized int8 approximation of a float-array column (float64
     * elements) — what a scanner reconstructs from the compressed index. */
-  def dequantized(c: Column, scale: Column): Column =
-    transform(c, x => floor(x.cast("double") / scale) * scale)
+  def dequantized(c: Column, scale: Column): Column = {
+    val s = safeScale(scale)
+    transform(c, x => coalesce(floor(x.cast("double") / s) * s, lit(0.0)))
+  }
 
   /** Cosine over two float64-array columns, sequential folds (bit-exact
     * vs DuckDB list_reduce — rankings on it agree across engines). */

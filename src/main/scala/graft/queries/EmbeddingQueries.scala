@@ -77,8 +77,8 @@ object EmbeddingQueries {
     Some {
       // max is order-independent (exact comparison), so list_max suffices;
       // the error SUM is a sequential fold to match Spark's aggregate()
-      val errs = "list_transform(embedding, x -> " +
-        "abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale) * scale))"
+      val errs = "list_transform(embedding, x -> coalesce(" +
+        "abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / nullif(scale, 0)) * nullif(scale, 0)), 0.0))"
       s"""WITH scaled AS (
          |  SELECT label,
          |         embedding,

@@ -209,8 +209,11 @@ object PipelineQueries {
     "q_sample_mixture",
     (spark, dir) => {
       val d = Tables.t(spark, dir, "documents")
-      // srcN keeps 100/50/25/10 % by N mod 4 — a fixed mixture spec
-      val idx = substring(col("source"), 4, 10).cast("int")
+      // srcN keeps 100/50/25/10 % by N mod 4 — a fixed mixture spec.
+      // try_cast, not cast: ANSI mode would otherwise throw on any source
+      // value not shaped like src<digits>; null idx falls to the default
+      // rate via the final .otherwise (oracle mirrors with TRY_CAST).
+      val idx = expr("try_cast(substring(source, 4, 10) AS int)")
       val rate = when(pmod(idx, lit(4)) === 0, 100)
         .when(pmod(idx, lit(4)) === 1, 50)
         .when(pmod(idx, lit(4)) === 2, 25)
@@ -231,7 +234,7 @@ object PipelineQueries {
          |  SELECT source,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |         ((($h) % 100) + 100) % 100 <
-         |           CASE CAST(substr(source, 4) AS INT) % 4
+         |           CASE TRY_CAST(substr(source, 4) AS INT) % 4
          |             WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END AS kept
          |  FROM documents
          |)

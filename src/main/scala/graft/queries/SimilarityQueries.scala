@@ -226,7 +226,7 @@ object SimilarityQueries {
          |  FROM embeddings
          |), dq AS (
          |  SELECT vec_id, embedding,
-         |         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale) * scale) AS v
+         |         list_transform(embedding, x -> coalesce(floor(CAST(x AS DOUBLE) / nullif(scale, 0)) * nullif(scale, 0), 0.0)) AS v
          |  FROM scaled
          |), pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.embedding AS qe, c.embedding AS ce,

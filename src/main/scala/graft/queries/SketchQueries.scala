@@ -16,37 +16,75 @@ import org.apache.spark.sql.functions._
   */
 object SketchQueries {
 
-  /** A5: DISTINCTCOUNTHLL — HLL++ approximate distinct users/parts, with the
-    * exact value alongside (small-SF sanity visible in the output). */
+  /** A5: DISTINCTCOUNTHLL — HLL++ approximate distinct parts/orders.
+    *
+    * Hard-oracle form (round-3 verdict item #2): the hashed output carries
+    * the EXACT counts plus deterministic error-bound booleans; the raw HLL
+    * estimates stay out of the output because they are engine-specific.
+    * DuckDB computes the exact side and the literal TRUE bound, so the hash
+    * matches while the Spark side still runs (and checks) the real sketch —
+    * an estimate drifting past 5% (rsd is 2%) flips a boolean and fails the
+    * gate. Tighter per-run accuracy is asserted in SketchSpec. */
   private val sketchHll = Q(
     "q_sketch_hll",
     (spark, dir) => {
       val li = Tables.t(spark, dir, "lineitem")
+      val relErr = (approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
+        abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
       li.groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ao"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          col("exact_orders"),
+          (relErr(col("ap"), col("exact_parts")) <= 0.05).as("parts_within_5pct"),
+          (relErr(col("ao"), col("exact_orders")) <= 0.05).as("orders_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
-    None,
-    doc = "HLL++ approximate distinct (A5); accuracy asserted in SketchSpec")
+    Some("""SELECT l_returnflag,
+            |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+            |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+            |       TRUE AS parts_within_5pct,
+            |       TRUE AS orders_within_5pct
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
-  /** A7: PERCENTILEEST/TDIGEST — approximate percentiles with bounded error,
-    * exact interpolated values alongside. */
+  /** A7: PERCENTILEEST/TDIGEST — approximate percentiles with bounded error.
+    *
+    * Same hard-oracle shape as q_sketch_hll: exact interpolated percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear interpolation)
+    * in the hashed output, sketch estimates folded into deterministic
+    * within-bound booleans. accuracy=1000 gives ~0.1% rank error; 5% value
+    * slack keeps the boolean stable under any partition merge order. */
   private val sketchPercentile = Q(
     "q_sketch_percentile",
     (spark, dir) => {
       val li = Tables.t(spark, dir, "lineitem")
+      val relErr = (approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
+        abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
       li.groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50_exact"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
+          percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
+          percentile(col("l_extendedprice"), lit(0.99)).as("e99"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"))
+        .select(
+          col("l_returnflag"),
+          round(col("e50"), 2).as("p50_exact"),
+          round(col("e99"), 2).as("p99_exact"),
+          (relErr(col("a50"), col("e50")) <= 0.05).as("p50_within_5pct"),
+          (relErr(col("a99"), col("e99")) <= 0.05).as("p99_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
-    None,
-    doc = "approximate percentile sketch (A7); accuracy asserted in SketchSpec")
+    Some("""SELECT l_returnflag,
+            |       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 2) AS p50_exact,
+            |       round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 2) AS p99_exact,
+            |       TRUE AS p50_within_5pct,
+            |       TRUE AS p99_within_5pct
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Heavy hitters (Pinot FREQUENTSTRINGSSKETCH analog): DataSketches
     * frequent-items via Spark's `approx_top_k`. Mergeable sketch — the

@@ -25,12 +25,20 @@ object Tables {
     // silently serving stale bucketed data.
     val bucketedFacts = spark.conf.get("graft.bucketed.facts", "")
     val bucketedDir = spark.conf.get("graft.bucketed.sfdir", "")
-    if (bucketedFacts.nonEmpty && bucketedDir == sfDir &&
+    if (bucketedFacts.nonEmpty && bucketedDir == normPath(sfDir) &&
         bucketedFacts.split(",").contains(name))
       spark.table(bucketedTableName(name, spark.conf.get("graft.bucketed.fp")))
     else if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Canonical spelling of an sfDir: routing compares normalized absolute
+    * paths, so `/root/testdata/sf0.1/` and a relative spelling of the same
+    * directory still hit the bucketed copy the session registered (advisor
+    * round-3: raw string equality silently lost the shuffle-free plan). */
+  private[graft] def normPath(dir: String): String =
+    try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    catch { case _: Throwable => dir }
 
   /** Table name carries a fingerprint of (sfDir, buckets) so a re-register
     * with different inputs can never collide with (and silently reuse) a
@@ -40,7 +48,7 @@ object Tables {
 
   private[graft] def fingerprint(sfDir: String, buckets: Int): String =
     java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$sfDir|$buckets") & 0xffffffffL)
+      scala.util.hashing.MurmurHash3.stringHash(s"${normPath(sfDir)}|$buckets") & 0xffffffffL)
 
   /** Default bucketing spec for the fact tables: both sides of the big
     * orders⋈lineitem edge bucketed on the join key (SCALE.md: the layout
@@ -57,7 +65,8 @@ object Tables {
       sfDir: String,
       buckets: Int = 8,
       facts: Map[String, String] = defaultFactBuckets): Unit = {
-    val fp = fingerprint(sfDir, buckets)
+    val dir = normPath(sfDir)
+    val fp = fingerprint(dir, buckets)
     facts.foreach { case (name, key) =>
       val tbl = bucketedTableName(name, fp)
       if (!spark.catalog.tableExists(tbl)) {
@@ -68,7 +77,7 @@ object Tables {
       }
     }
     spark.conf.set("graft.bucketed.facts", facts.keys.mkString(","))
-    spark.conf.set("graft.bucketed.sfdir", sfDir)
+    spark.conf.set("graft.bucketed.sfdir", dir)
     spark.conf.set("graft.bucketed.fp", fp)
   }
 
