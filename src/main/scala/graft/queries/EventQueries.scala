@@ -256,6 +256,55 @@ object EventQueries {
             |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
             |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin))
 
+  /** Pinot FUNNEL_COUNT generalized (round-3 verdict item #3): the n-step,
+    * time-WINDOWED form via ops/Funnel — arbitrary step list (4 here:
+    * view→click→purchase→signup) plus a 72 h funnel window anchored at each
+    * user's first step-1 event; every later step must land inside it.
+    * Window semantics are the greedy-min chain documented on ops/Funnel;
+    * FunnelSpec plants a user whose completion falls just outside the
+    * window to pin the cut-off. q_events_funnel (the original 3-step
+    * unwindowed chain) is unchanged. */
+  val eventsFunnelWindow = Q(
+    "q_events_funnel_window",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      graft.ops.Funnel
+        .funnelCounts(
+          ev,
+          userCol = "user_id",
+          tsCol = unix_micros(col("ts")),
+          steps = Seq("view", "click", "purchase", "signup")
+            .map(t => col("event_type") === t),
+          maxDuration = Some(72L * 3600L * 1000000L))
+        .orderBy(col("step"))
+    },
+    Some {
+      val d = 72L * 3600L * 1000000L
+      val chain = Seq("view", "click", "purchase", "signup")
+      val ctes = chain.zipWithIndex.map { case (t, i) =>
+        if (i == 0)
+          s"""s1 AS (
+             |  SELECT user_id, min(tus) AS t, min(tus) AS t0
+             |  FROM ev WHERE event_type = '$t' GROUP BY 1
+             |)""".stripMargin
+        else
+          s"""s${i + 1} AS (
+             |  SELECT e.user_id, min(tus) AS t, min(t0) AS t0
+             |  FROM ev e JOIN s$i USING (user_id)
+             |  WHERE event_type = '$t' AND tus >= s$i.t AND tus <= s$i.t0 + $d
+             |  GROUP BY 1
+             |)""".stripMargin
+      }.mkString(", ")
+      val counts = chain.indices.map { i =>
+        s"SELECT CAST(${i + 1} AS INT) AS step, CAST((SELECT count(*) FROM s${i + 1}) AS BIGINT) AS n_users"
+      }.mkString(" UNION ALL ")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+         |), $ctes
+         |SELECT * FROM ($counts) ORDER BY step""".stripMargin
+    })
+
   /** Pinot GAPFILL analog: complete hourly spine per event_type (explode a
     * sequence between the observed min/max hour — bounds travel as a
     * broadcast one-row aggregate, never a collect), left-join the actual
@@ -308,11 +357,52 @@ object EventQueries {
             |       v IS NULL AS was_gap
             |FROM joined ORDER BY event_type, h LIMIT 500""".stripMargin))
 
+  /** Pinot GAPFILL FILL_DEFAULT_VALUE mode (round-3 verdict item #4) via
+    * the generalized ops/Gapfill: explicit hourly bucket width, gaps — both
+    * before and after a key's first observation — plugged with the constant
+    * −1.0 instead of carried forward (the sentinel makes filled buckets
+    * visibly distinct from real zero-sum buckets). GapfillSpec plants a
+    * key whose first buckets are empty to pin the before-first semantics.
+    * q_events_gapfill (carry-forward mode) is unchanged. */
+  val eventsGapfillDefault = Q(
+    "q_events_gapfill_default",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      graft.ops.Gapfill
+        .gapfill(
+          ev,
+          keyCol = "event_type",
+          tsMicros = unix_micros(col("ts")),
+          value = col("value"),
+          bucketMicros = 3600000000L,
+          fill = graft.ops.Gapfill.FillDefault(-1.0))
+        .orderBy(col("event_type"), col("bucket"))
+        .limit(500)
+    },
+    Some("""WITH b AS (
+            |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS bucket, value
+            |  FROM events
+            |), actual AS (
+            |  SELECT event_type, bucket, round(sum(value), 2) AS v FROM b GROUP BY 1, 2
+            |), bounds AS (
+            |  SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b
+            |), spine AS (
+            |  SELECT event_type, unnest(generate_series(b0, b1)) AS bucket
+            |  FROM (SELECT DISTINCT event_type FROM b), bounds
+            |), joined AS (
+            |  SELECT s.event_type, s.bucket, a.v
+            |  FROM spine s LEFT JOIN actual a USING (event_type, bucket)
+            |)
+            |SELECT event_type, bucket,
+            |       round(coalesce(v, -1.0), 2) AS v_filled,
+            |       v IS NULL AS was_gap
+            |FROM joined ORDER BY event_type, bucket LIMIT 500""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
 
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
-    eventsGapfill)
+    eventsFunnelWindow, eventsGapfill, eventsGapfillDefault)
 }

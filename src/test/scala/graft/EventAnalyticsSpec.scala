@@ -49,6 +49,49 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(r.getAs[Long]("n_full_funnel") === 0L)
   }
 
+  test("windowed funnel: a step past the 72h anchor window does not convert") {
+    // q_events_funnel_window: view→click→purchase→signup, window anchored
+    // at each user's FIRST view; every later step must land inside it
+    val dir = eventsDir(Seq(
+      // user 1: all four steps within hours of the anchor -> full funnel
+      (1L, "2024-05-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-05-01 11:00:00", 1L, "click", 1.0, "{}"),
+      (3L, "2024-05-01 12:00:00", 1L, "purchase", 1.0, "{}"),
+      (4L, "2024-05-01 13:00:00", 1L, "signup", 1.0, "{}"),
+      // user 2: click at +71h (inside), purchase at +73h (OUTSIDE the
+      // window anchored at the first view) -> stalls at step 2
+      (5L, "2024-05-01 10:00:00", 2L, "view", 1.0, "{}"),
+      (6L, "2024-05-04 09:00:00", 2L, "click", 1.0, "{}"),
+      (7L, "2024-05-04 11:00:00", 2L, "purchase", 1.0, "{}"),
+      // user 3: click at +96h -> stalls at step 1 despite correct order
+      (8L, "2024-05-01 10:00:00", 3L, "view", 1.0, "{}"),
+      (9L, "2024-05-05 10:00:00", 3L, "click", 1.0, "{}")))
+    val rows = SparkEntry.queries("q_events_funnel_window")(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    assert(rows === Map(1 -> 3L, 2 -> 2L, 3 -> 1L, 4 -> 1L))
+  }
+
+  test("gapfill default mode: gaps fill the constant, ALSO before first observation") {
+    val dir = eventsDir(Seq(
+      (1L, "2024-05-01 00:30:00", 1L, "A", 5.0, "{}"),
+      (2L, "2024-05-01 03:30:00", 1L, "A", 7.0, "{}"),
+      // type B starts at hour 2: hours 0,1 get the CONSTANT (carry mode
+      // would give 0.0 — the planted difference between the two modes)
+      (3L, "2024-05-01 02:30:00", 2L, "B", 9.0, "{}")))
+    val rows = SparkEntry.queries("q_events_gapfill_default")(spark, dir)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val b0 = rows.keys.map(_._2).min
+    def at(t: String, off: Long) = rows((t, b0 + off))
+    assert(at("A", 0) === ((5.0, false)))
+    assert(at("A", 1) === ((-1.0, true)))  // constant, not carried 5.0
+    assert(at("A", 2) === ((-1.0, true)))
+    assert(at("A", 3) === ((7.0, false)))
+    assert(at("B", 0) === ((-1.0, true)))  // before first observation
+    assert(at("B", 1) === ((-1.0, true)))
+    assert(at("B", 2) === ((9.0, false)))
+  }
+
   test("gapfill: missing hours carry the LAST observed value, 0 before first") {
     val dir = eventsDir(Seq(
       // type A: hours 0 and 3 observed -> hours 1,2 carry 5.0; nothing before
