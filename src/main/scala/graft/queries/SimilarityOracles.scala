@@ -87,6 +87,45 @@ object SimilarityOracles {
        |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Oracle for q_sim_ann_quantized_lsh: the composed two-stage int8
+    * retrieval over the SRP(8) bucket candidate stream
+    * (Similarity.annTopKQuantized) — bucket join, int8-dequantized approx
+    * shortlist of 8 (sequential float64 folds, bit-exact), exact float
+    * cosine refine to top-3. Queries vec_id < 20, single probe. */
+  lazy val annQuantizedLshSql: String = {
+    def dqel(col: String)(i: String): String = s"$col[$i]"
+    val adot = dot(dqel("q.qv"), dqel("c.v"))
+    val anq = dot(dqel("q.qv"), dqel("q.qv"))
+    val anc = dot(dqel("c.v"), dqel("c.v"))
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${srpBucket("embedding", 8)} AS bucket,
+       |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings
+       |), dq AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         list_transform(embedding, x -> coalesce(floor(CAST(x AS DOUBLE) / nullif(scale, 0)) * nullif(scale, 0), 0.0)) AS v
+       |  FROM bucketed
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qe, v AS qv, bucket FROM dq WHERE vec_id < 20
+       |), s1 AS (
+       |  SELECT q.qid, c.vec_id AS nid, q.qe, c.embedding AS ce,
+       |         ($adot) / (sqrt($anq) * sqrt($anc)) AS asim
+       |  FROM dq c JOIN q USING (bucket) WHERE c.vec_id <> q.qid
+       |), short AS (
+       |  SELECT qid, nid, qe, ce,
+       |         row_number() OVER (PARTITION BY qid ORDER BY asim DESC, nid ASC) AS arn
+       |  FROM s1
+       |), refined AS (
+       |  SELECT qid, nid, round(${cos("qe", "ce")}, 4) AS sim
+       |  FROM short WHERE arn <= 8
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+       |  FROM refined
+       |)
+       |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Oracle for q_sim_ann_multiprobe: SRP(8) ANN with 3-probe queries —
     * own bucket + the two buckets across the nearest hyperplanes (flip bits
     * ranked by |dot| asc, mask asc), replicating srpProbeBuckets. */
