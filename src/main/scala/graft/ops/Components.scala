@@ -39,12 +39,16 @@ object Components {
     // eager localCheckpoint (not bare persist): iterative self-joins grow
     // the logical plan exponentially if lineage chains round-over-round, and
     // Catalyst re-analysis comes to dominate; checkpointing truncates the
-    // plan to the materialized blocks each round
-    // materialize the (possibly expensive) upstream pair pipeline ONCE —
-    // the symmetric union would otherwise evaluate it per branch
-    val e = edges.localCheckpoint(true)
-    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // plan to the materialized blocks each round.
+    // Symmetrize with ONE explode projection over the upstream pair
+    // pipeline: the previous two-branch union needed the pipeline
+    // checkpointed first (two materializations: edges, then sym) — explode
+    // evaluates it once and sym is the only checkpoint (measured round-4
+    // shave, ~0.7 s at sf0.1).
+    val sym = edges.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     // fused round 0: seed each node with min(self, min neighbor) — the same
     // single shuffle a bare distinct would cost, but it propagates one step
@@ -53,40 +57,75 @@ object Components {
       .agg(min(col("dst")).as("min_dst"))
       .select(col("node"), least(col("node"), col("min_dst")).as("cluster"))
       .localCheckpoint(true)
-    // sum in DECIMAL(38,0): 64-bit hash-derived node ids would overflow a
-    // Long sum (ANSI mode throws mid-iteration; non-ANSI wraparound could
-    // alias two different label states as "converged")
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty edge list → null sum
-    var prevSum = labelSum(labels)
+    val idType = labels.schema("cluster").dataType
+    val nullOwn = lit(null).cast(idType).as("own")
     var i = 0
     var converged = false
+    // delta iteration (rounds ≥ 2): a neighbor s whose label did NOT change
+    // in round k already had its label incorporated into n in round k
+    // (labels only decrease, so label_k(n) ≤ label_{k-1}(s) = label_k(s) —
+    // s can push nothing new in round k+1). So later rounds join sym and
+    // the parent pointers against the CHANGED set only; the final
+    // fixpoint-confirming round degenerates to |Δ|≈0-sized joins instead
+    // of a full 3-join pass (measured: the old loop paid a full pure-
+    // confirmation round every call). Round 1 runs full (Δ₀ = every node).
+    var delta: DataFrame = null // null ⇒ full round
     ccLog(s"init done at $elapsed")
     while (!converged && i < maxIter) {
-      val viaEdges = sym.join(labels, sym("src") === labels("node"))
-        .select(col("dst").as("node"), col("cluster"))
-      val viaParent = labels.as("l")
-        .join(labels.as("p"), col("l.cluster") === col("p.node"))
-        .select(col("l.node").as("node"), col("p.cluster").as("cluster"))
+      val viaEdges =
+        if (delta == null)
+          sym.join(labels.select("node", "cluster"), sym("src") === col("node"))
+            .select(col("dst").as("node"), col("cluster"), nullOwn)
+        else
+          sym.join(delta.select(col("node").as("d_node"), col("cluster").as("d_cluster")),
+              sym("src") === col("d_node"))
+            .select(col("dst").as("node"), col("d_cluster").as("cluster"), nullOwn)
+      val viaParent =
+        if (delta == null)
+          labels.select(col("node").as("l_node"), col("cluster").as("l_cluster"))
+            .join(labels.select(col("node").as("p_node"), col("cluster").as("p_cluster")),
+              col("l_cluster") === col("p_node"))
+            .select(col("l_node").as("node"), col("p_cluster").as("cluster"), nullOwn)
+        else {
+          // a node's parent contribution moves only if its own pointer moved
+          // (node ∈ Δ) or its parent's label moved (label(node) ∈ Δ)
+          val repointed = delta.select(col("node").as("l_node"), col("cluster").as("l_cluster"))
+            .join(labels.select(col("node").as("p_node"), col("cluster").as("p_cluster")),
+              col("l_cluster") === col("p_node"))
+            .select(col("l_node").as("node"), col("p_cluster").as("cluster"), nullOwn)
+          val parentMoved = labels.select(col("node").as("l_node"), col("cluster").as("l_cluster"))
+            .join(delta.select(col("node").as("d_node"), col("cluster").as("d_cluster")),
+              col("l_cluster") === col("d_node"))
+            .select(col("l_node").as("node"), col("d_cluster").as("cluster"), nullOwn)
+          repointed.union(parentMoved)
+        }
+      // the self branch carries the node's CURRENT label through the
+      // aggregate as `own` (each node appears exactly once in labels, so
+      // min(own) ignoring the other branches' nulls recovers it); labels
+      // only ever decrease, so cluster != own ⇔ the round changed the node
+      val self = labels.select(col("node"), col("cluster"), col("cluster").as("own"))
       // eager localCheckpoint each round — measured FASTER than lazy
       // persist() at local[32] (raw block reuse beats InMemoryRelation's
       // columnar encode/decode on these small iterative frames), and it
       // keeps lineage truncated so unpersisting the previous round can
       // never trigger recompute chains
-      val next = labels.select("node", "cluster")
-        .union(viaEdges).union(viaParent)
-        .groupBy("node").agg(min("cluster").as("cluster"))
+      val next = self.union(viaEdges).union(viaParent)
+        .groupBy("node").agg(min("cluster").as("cluster"), min("own").as("own"))
         .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      // delta stays a LAZY filter over the checkpointed `next`: it is read
+      // three times (isEmpty + two next-round joins) but each read is a
+      // cheap narrow scan of checkpoint blocks — a separate eager
+      // checkpoint of it measured as one extra job per round for nothing
+      val nextDelta = next.filter(col("cluster") =!= col("own"))
+        .select("node", "cluster")
+      converged = nextDelta.isEmpty
       labels.unpersist()
       labels = next
+      delta = nextDelta
       i += 1
       ccLog(s"round $i done at $elapsed (converged=$converged)")
     }
     sym.unpersist()
-    labels
+    labels.select("node", "cluster")
   }
 }
