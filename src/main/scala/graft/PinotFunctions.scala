@@ -288,9 +288,16 @@ object PinotFunctions {
   /** Register every alias on a session (names Spark already defines with the
     * same semantics — UPPER, LOWER, MD5, CRC32, REGEXP_LIKE, MODE, … — are
     * left to the native registry). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     registry.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // Pinot's implicit LIMIT 10 (O2) — conf-guarded, off unless the session
+    // opts in with graft.pinot.implicitLimit=true; see PinotImplicitLimitRule
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PinotImplicitLimitRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PinotImplicitLimitRule
+    }
+  }
 }

@@ -220,4 +220,29 @@ class PinotCompatSpec extends GraftSuite {
          |""".stripMargin)
     assert(!r.getBoolean(0) && !r.getBoolean(1))
   }
+
+  test("opt-in implicit LIMIT 10 (O2): bare SELECTs take the broker default, explicit limits win") {
+    val total = pinot.sql("SELECT count(*) AS c FROM lineitem").collect().head.getLong(0)
+    assert(total > 10, s"fixture too small for the test to mean anything ($total rows)")
+    // default mode (conf unset): full ANSI result — the documented divergence
+    assert(pinot.sql("SELECT l_orderkey FROM lineitem").collect().length === total)
+    pinot.conf.set(graft.plans.PinotImplicitLimitRule.confKey, "true")
+    try {
+      // bare SELECT → broker-default 10 rows; also applies to group-bys
+      // (Pinot limits every query shape)
+      assert(pinot.sql("SELECT l_orderkey FROM lineitem").collect().length === 10)
+      assert(pinot.sql(
+        "SELECT l_returnflag, count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linenumber")
+        .collect().length === 10)
+      // an explicit LIMIT is never overridden
+      assert(pinot.sql("SELECT l_orderkey FROM lineitem LIMIT 3").collect().length === 3)
+      // subqueries are NOT truncated: the inner unlimited SELECT must feed
+      // the outer aggregate in full
+      val subq = pinot.sql(
+        "SELECT count(*) AS c FROM (SELECT l_orderkey FROM lineitem)")
+        .collect().head.getLong(0)
+      assert(subq === total, s"inner query truncated: $subq != $total")
+    } finally pinot.conf.set(graft.plans.PinotImplicitLimitRule.confKey, "false")
+    assert(pinot.sql("SELECT l_orderkey FROM lineitem").collect().length === total)
+  }
 }

@@ -18,6 +18,9 @@ class SqlEndpointSpec extends GraftSuite {
     val pinotSession = spark.newSession()
     PinotFunctions.register(pinotSession)
     server.SqlEndpoint.publishGlobalViews(pinotSession, sfDir)
+    // bare-name views for the declared-parity test (singleSession=true, so
+    // the server's parent-session temp views answer on the wire)
+    Tables.registerViews(pinotSession, sfDir)
     server.SqlEndpoint.start(pinotSession, port = 10777)
   }
 
@@ -73,6 +76,39 @@ class SqlEndpointSpec extends GraftSuite {
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
     assert(errors.isEmpty, s"concurrent client failures: ${errors.toArray.mkString("; ")}")
+  }
+
+  test("declared-query parity: the endpoint answers 10 declared queries identically to the DataFrame path") {
+    // round-3 verdict item #9: the broker-analogue path must answer the
+    // DECLARED surface, not just hand-written SQL. These 10 queries span
+    // agg/filter/join/window/top-k/set-ops/CTE; each one's recorded SQL
+    // form is pure ANSI (no DuckDB idiom, no Pinot-shadowed name), so the
+    // text runs on the endpoint and must reproduce the DataFrame results
+    // cell-for-cell (every declared query is totally ordered).
+    val names = Seq(
+      "q_agg_having", "q_filter_predicates", "q_join_inner", "q_join_multi",
+      "q_win_rank", "q_topk_revenue", "q_union_all", "q_intersect",
+      "q_limit_offset", "q_sql_cte")
+    def norm(v: Any): String = v match {
+      case null => "NULL"
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case other => other.toString
+    }
+    val conn = connect()
+    try {
+      names.foreach { name =>
+        val expected = SparkEntry.queries(name)(spark, sfDir).collect()
+          .map(r => (0 until r.length).map(i => norm(r.get(i))).mkString("|"))
+          .toList
+        val rs = conn.createStatement().executeQuery(SparkEntry.oracleSql(name))
+        val nCols = rs.getMetaData.getColumnCount
+        val got = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (1 to nCols).map(i => norm(r.getObject(i))).mkString("|"))
+          .toList
+        assert(got === expected,
+          s"$name: endpoint answer differs from the DataFrame path")
+      }
+    } finally conn.close()
   }
 
   test("Pinot compat vocabulary answers over JDBC (DATETIMECONVERT/JSONEXTRACTSCALAR)") {
