@@ -82,4 +82,32 @@ object Funnel {
         f.agg(count(lit(1)).as("n_users")).select(lit(i + 1).as("step"), col("n_users"))
       }
       .reduce(_.unionAll(_))
+
+  /** Pinot FUNNEL_MAX_STEP analog: distribution of users by the FURTHEST
+    * step they reached — exclusive counts via stage k minus stage k+1 over
+    * the (already tiny, n_steps-row) cumulative counts; the unpartitioned
+    * lead window is over those n_steps rows, never the data. */
+  def maxStepDistribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      steps: Seq[Column],
+      maxDuration: Option[Long] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    funnelCounts(events, userCol, tsCol, steps, maxDuration)
+      .withColumn("n_excl",
+        col("n_users") - coalesce(lead(col("n_users"), 1).over(w), lit(0L)))
+      .select(col("step").as("max_step"), col("n_excl").as("n_users"))
+  }
+
+  /** Pinot FUNNEL_COMPLETE_COUNT analog: users who completed EVERY step
+    * (within the window, when set) — the last stage frame's cardinality. */
+  def completeCount(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      steps: Seq[Column],
+      maxDuration: Option[Long] = None): DataFrame =
+    stageFrames(events, userCol, tsCol, steps, maxDuration).last
+      .agg(count(lit(1)).as("n_complete"))
 }

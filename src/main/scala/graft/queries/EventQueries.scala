@@ -279,31 +279,63 @@ object EventQueries {
           maxDuration = Some(72L * 3600L * 1000000L))
         .orderBy(col("step"))
     },
-    Some {
-      val d = 72L * 3600L * 1000000L
-      val chain = Seq("view", "click", "purchase", "signup")
-      val ctes = chain.zipWithIndex.map { case (t, i) =>
-        if (i == 0)
-          s"""s1 AS (
-             |  SELECT user_id, min(tus) AS t, min(tus) AS t0
-             |  FROM ev WHERE event_type = '$t' GROUP BY 1
-             |)""".stripMargin
-        else
-          s"""s${i + 1} AS (
-             |  SELECT e.user_id, min(tus) AS t, min(t0) AS t0
-             |  FROM ev e JOIN s$i USING (user_id)
-             |  WHERE event_type = '$t' AND tus >= s$i.t AND tus <= s$i.t0 + $d
-             |  GROUP BY 1
-             |)""".stripMargin
-      }.mkString(", ")
-      val counts = chain.indices.map { i =>
-        s"SELECT CAST(${i + 1} AS INT) AS step, CAST((SELECT count(*) FROM s${i + 1}) AS BIGINT) AS n_users"
-      }.mkString(" UNION ALL ")
-      s"""WITH ev AS (
-         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
-         |), $ctes
-         |SELECT * FROM ($counts) ORDER BY step""".stripMargin
-    })
+    Some(funnelChainSql(
+      """SELECT * FROM (%COUNTS%) ORDER BY step""")))
+
+  /** Shared DuckDB replica of the windowed greedy-min funnel chain
+    * (view→click→purchase→signup, 72 h): per-stage CTEs plus a per-step
+    * count list, with the caller's final SELECT substituted over
+    * `%COUNTS%` (a (step, n_users) UNION ALL list). */
+  private def funnelChainSql(finalSelect: String): String = {
+    val d = 72L * 3600L * 1000000L
+    val chain = Seq("view", "click", "purchase", "signup")
+    val ctes = chain.zipWithIndex.map { case (t, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(tus) AS t, min(tus) AS t0
+           |  FROM ev WHERE event_type = '$t' GROUP BY 1
+           |)""".stripMargin
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(tus) AS t, min(t0) AS t0
+           |  FROM ev e JOIN s$i USING (user_id)
+           |  WHERE event_type = '$t' AND tus >= s$i.t AND tus <= s$i.t0 + $d
+           |  GROUP BY 1
+           |)""".stripMargin
+    }.mkString(", ")
+    val counts = chain.indices.map { i =>
+      s"SELECT CAST(${i + 1} AS INT) AS step, CAST((SELECT count(*) FROM s${i + 1}) AS BIGINT) AS n_users"
+    }.mkString(" UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+       |), $ctes
+       |${finalSelect.replace("%COUNTS%", counts)}""".stripMargin
+  }
+
+  /** Pinot FUNNEL_MAX_STEP analog over the same windowed chain: the
+    * per-user FURTHEST stage, reported as a distribution (how many users
+    * stalled at each step — the view a growth dashboard actually plots).
+    * Exclusive counts derive from the cumulative stage counts (stage k
+    * minus stage k+1) — no extra pass over events. */
+  val eventsFunnelMaxstep = Q(
+    "q_events_funnel_maxstep",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      graft.ops.Funnel
+        .maxStepDistribution(
+          ev,
+          userCol = "user_id",
+          tsCol = unix_micros(col("ts")),
+          steps = Seq("view", "click", "purchase", "signup")
+            .map(t => col("event_type") === t),
+          maxDuration = Some(72L * 3600L * 1000000L))
+        .orderBy(col("max_step"))
+    },
+    Some(funnelChainSql(
+      """SELECT CAST(step AS INT) AS max_step,
+        |       CAST(n_users - coalesce(lead(n_users) OVER (ORDER BY step), 0) AS BIGINT) AS n_users
+        |FROM (%COUNTS%) ORDER BY max_step""".stripMargin)))
 
   /** Pinot GAPFILL analog: complete hourly spine per event_type (explode a
     * sequence between the observed min/max hour — bounds travel as a
@@ -404,5 +436,5 @@ object EventQueries {
 
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
-    eventsFunnelWindow, eventsGapfill, eventsGapfillDefault)
+    eventsFunnelWindow, eventsFunnelMaxstep, eventsGapfill, eventsGapfillDefault)
 }

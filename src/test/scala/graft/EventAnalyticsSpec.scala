@@ -71,6 +71,31 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(rows === Map(1 -> 3L, 2 -> 2L, 3 -> 1L, 4 -> 1L))
   }
 
+  test("funnel max-step distribution and complete count over the planted window fixture") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val dir = eventsDir(Seq(
+      (1L, "2024-05-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-05-01 11:00:00", 1L, "click", 1.0, "{}"),
+      (3L, "2024-05-01 12:00:00", 1L, "purchase", 1.0, "{}"),
+      (4L, "2024-05-01 13:00:00", 1L, "signup", 1.0, "{}"),
+      (5L, "2024-05-01 10:00:00", 2L, "view", 1.0, "{}"),
+      (6L, "2024-05-04 09:00:00", 2L, "click", 1.0, "{}"),
+      (7L, "2024-05-04 11:00:00", 2L, "purchase", 1.0, "{}"),  // +73h: outside
+      (8L, "2024-05-01 10:00:00", 3L, "view", 1.0, "{}"),
+      (9L, "2024-05-05 10:00:00", 3L, "click", 1.0, "{}")))    // +96h: outside
+    // user 1 reaches step 4, user 2 stalls at 2, user 3 at 1
+    val dist = SparkEntry.queries("q_events_funnel_maxstep")(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    assert(dist === Map(1 -> 1L, 2 -> 1L, 3 -> 0L, 4 -> 1L))
+    val ev = sources.Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val complete = ops.Funnel.completeCount(
+      ev, "user_id", unix_micros(col("ts")),
+      Seq("view", "click", "purchase", "signup").map(t => col("event_type") === t),
+      maxDuration = Some(72L * 3600L * 1000000L)).head().getLong(0)
+    assert(complete === 1L)
+  }
+
   test("gapfill default mode: gaps fill the constant, ALSO before first observation") {
     val dir = eventsDir(Seq(
       (1L, "2024-05-01 00:30:00", 1L, "A", 5.0, "{}"),
