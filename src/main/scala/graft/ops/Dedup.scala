@@ -88,7 +88,9 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 256): DataFrame = {
     require(bands * rowsPerBand == k, s"bands($bands) x rows($rowsPerBand) must equal k($k)")
-    val base = df.select(
+    // fanOut: shingle hashing + minhash is the CPU hot spot; a single-row-
+    // group source would run it on one task (no-op at scale — ops/Par)
+    val base = Par.fanOut(df).select(
         col(idCol).as("doc_id"),
         array_distinct(shingleHashes(tokens(col(textCol)), shingleN)).as("shingles"))
       .withColumn("sig", minhashFromHashes(col("shingles"), k))
@@ -144,7 +146,8 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 8,
       maxBucket: Int = 256): DataFrame = {
-    val fp = df.select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig")).persist()
+    val fp = Par.fanOut(df)
+      .select(col(idCol).as("doc_id"), simhash64(tokens(col(textCol))).as("sig")).persist()
     val bandsDf = saltSplit(
       fp.select(
         col("doc_id"), col("sig"),

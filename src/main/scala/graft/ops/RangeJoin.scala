@@ -22,7 +22,10 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       binWidth: Double): DataFrame = {
-    val pBinned = points.withColumn("__bin",
+    // fan the points side out first: when the interval side broadcasts,
+    // points never hit a shuffle, so an under-parallelized scan would run
+    // the whole bin-assign + join + refine chain on one task (ops/Par)
+    val pBinned = Par.fanOut(points).withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
     val iBinned = intervals.withColumn("__bin",
       explode(sequence(

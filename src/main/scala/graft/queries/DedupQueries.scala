@@ -119,7 +119,10 @@ object DedupQueries {
       val nBands = 4
       val rPerBand = 2
       val cap = 64
-      val d = Tables.t(spark, dir, "documents")
+      // fanOut: the gram hashing + sort below is the pipeline's CPU hot
+      // spot; a single-row-group documents file would run it on one task
+      // (no-op when the scan is already parallel — ops/Par)
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
       // gram sets as SORTED stable 64-bit hashes: sorting once per doc lets
       // every pair use the allocation-free two-pointer intersect kernel
       // (sorted_intersect_count) instead of a hash set per pair
@@ -234,7 +237,7 @@ object DedupQueries {
       // which min(source) recovers for free inside the df aggregate. So
       // dup_grams(source) = total_grams(source) − unique_grams(source):
       // one 16 B-row shuffle on the gram hash plus two ~|sources|-row aggs
-      val d = Tables.t(spark, dir, "documents")
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
       val eg = d.select(col("source"),
           explode(graft.ops.Dedup.tokenGramHashes(col("text"), 5)).as("g"))
         .persist()  // hash once; feeds the df agg and the per-source totals

@@ -83,7 +83,7 @@ object TextQueries {
   private val textLangId = Q(
     "q_text_langid",
     (spark, dir) => {
-      val d = Tables.t(spark, dir, "documents")
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
       val toks = split(col("text"), " ")
       val scores = langProfiles.map { case (langName, words) =>
         struct(
@@ -123,7 +123,9 @@ object TextQueries {
   private val textTfidf = Q(
     "q_text_tfidf",
     (spark, dir) => {
-      val d = Tables.t(spark, dir, "documents")
+      // fanOut: the token explode is the CPU hot spot; a single-row-group
+      // documents file would run it on one task (no-op at scale — ops/Par)
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
       // total doc count as a broadcast scalar — no driver-side action
       val total = d.agg(count(lit(1)).cast("double").as("n_docs_total"))
       val exploded = d.select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -163,7 +165,7 @@ object TextQueries {
   private val textRepetition = Q(
     "q_text_repetition",
     (spark, dir) => {
-      val d = Tables.t(spark, dir, "documents")
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
       val perTok = d.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("doc_id"), col("lang"), col("tok")).agg(count(lit(1)).as("n"))
       val perDoc = perTok.groupBy(col("doc_id"), col("lang"))
