@@ -14,14 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** X3 token counting: whitespace tokens + a BPE-ish subword count
-    * (alternating letter-digit boundaries + fixed 4-char chunks ≈ upper
-    * bound of subword splits) per language. */
+  /** X3 token counting: whitespace tokens, a BPE-ish PRE-TOKEN count (the
+    * GPT-2-style pre-tokenizer split — optional-leading-space letter runs /
+    * digit runs / punctuation runs, via a regex that means the same thing
+    * in Java regex and DuckDB's RE2: alternation + char classes only), and
+    * a fixed 4-char subword upper bound — per language. Pre-token count is
+    * the budget number a training pipeline actually packs against. */
   private val textTokens = Q(
     "q_text_tokens",
     (spark, dir) => {
       val d = Tables.t(spark, dir, "documents")
+      val pretokPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
       d.withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_pretokens",
+          size(expr(s"regexp_extract_all(text, '$pretokPattern', 0)")))
         .withColumn("n_subwords", ceil(length(col("text")).cast("double") / 4.0).cast("long"))
         .groupBy(col("lang"))
         .agg(
@@ -29,6 +35,7 @@ object TextQueries {
           sum(col("n_tokens")).as("total_tokens"),
           round(avg(col("n_tokens")), 4).as("avg_tokens"),
           max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_pretokens")).as("total_pretokens"),
           sum(col("n_subwords")).as("total_subwords"))
         .orderBy(col("lang"))
     },
@@ -36,6 +43,7 @@ object TextQueries {
             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
             round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
             CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens,
+            CAST(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS total_pretokens,
             CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_subwords
             FROM documents GROUP BY lang ORDER BY lang"""))
 
