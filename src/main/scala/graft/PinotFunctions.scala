@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
@@ -209,6 +209,48 @@ object PinotFunctions {
       if (args.length >= 4)
         If(EqualTo(base, Literal("")), args(3), base)
       else base
+    }),
+    // ---- geospatial points (C9) ----
+    // Pinot's geography point surface (ST_Point(x=lon, y=lat [, isGeog]),
+    // ST_Distance → METERS via great-circle): points are (x, y) double
+    // structs, distance is the haversine with the shared EarthRadiusMeters
+    // constant — identical math to graft.functions.haversine_meters, so the
+    // SQL-surface and Column-surface agree bit-for-bit. Polygon ops are out
+    // of scope (no geo data anywhere in the reference model, SURVEY.md C9);
+    // the point family is what the reference's event-analytics shape uses.
+    "st_point" -> (args =>
+      CreateNamedStruct(Seq(
+        Literal("x"), Cast(args(0), DoubleType),
+        Literal("y"), Cast(args(1), DoubleType)))),
+    "st_x" -> (args => UnresolvedExtractValue(args(0), Literal("x"))),
+    "st_y" -> (args => UnresolvedExtractValue(args(0), Literal("y"))),
+    "st_astext" -> (args => Concat(Seq(
+      Literal("POINT ("),
+      Cast(UnresolvedExtractValue(args(0), Literal("x")), StringType),
+      Literal(" "),
+      Cast(UnresolvedExtractValue(args(0), Literal("y")), StringType),
+      Literal(")")))),
+    "st_geogfromtext" -> (args => {
+      val num = "([-+0-9.eE]+)"
+      val pat = Literal(s"POINT \\($num $num\\)")
+      CreateNamedStruct(Seq(
+        Literal("x"), Cast(RegExpExtract(args(0), pat, Literal(1)), DoubleType),
+        Literal("y"), Cast(RegExpExtract(args(0), pat, Literal(2)), DoubleType)))
+    }),
+    "st_distance" -> (args => {
+      def x(e: Expression) = UnresolvedExtractValue(e, Literal("x"))
+      def y(e: Expression) = UnresolvedExtractValue(e, Literal("y"))
+      def rad(e: Expression) = Multiply(Cast(e, DoubleType), Literal(math.Pi / 180.0))
+      val dLat = Subtract(rad(y(args(1))), rad(y(args(0))))
+      val dLon = Subtract(rad(x(args(1))), rad(x(args(0))))
+      val s1 = Sin(Divide(dLat, Literal(2.0)))
+      val s2 = Sin(Divide(dLon, Literal(2.0)))
+      // association mirrors haversine_meters exactly (((cosA·cosB)·s2)·s2)
+      // so SQL-surface and Column-surface distances are bit-identical
+      val h = Add(
+        Multiply(s1, s1),
+        Multiply(Multiply(Multiply(Cos(rad(y(args(0)))), Cos(rad(y(args(1))))), s2), s2))
+      Multiply(Literal(2.0 * graft.functions.EarthRadiusMeters), Asin(Sqrt(h)))
     }),
     // ---- binary/hash (C7) ----
     "tobase64" -> (args => Base64(args(0))),

@@ -50,6 +50,26 @@ package object functions {
   /** Hamming distance between two 64-bit fingerprints — pure built-ins. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Mean Earth radius in meters (IUGG R1) — the constant behind the
+    * geography ST_DISTANCE analog; shared with the Pinot registry entry so
+    * SQL and Column paths agree bit-for-bit. */
+  val EarthRadiusMeters: Double = 6371008.8
+
+  /** Great-circle (haversine) distance in METERS between two lat/lon pairs
+    * in degrees — the semantics of Pinot's ST_Distance on geography points
+    * (SURVEY.md C9). Pure built-in double math (radians/sin/cos/asin/sqrt),
+    * so DuckDB replicates it with the identical formula; trig libm
+    * differences are ≤1 ulp and vanish under any output rounding. */
+  def haversine_meters(latA: Column, lonA: Column, latB: Column, lonB: Column): Column = {
+    val dLat = radians(latB.cast("double")) - radians(latA.cast("double"))
+    val dLon = radians(lonB.cast("double")) - radians(lonA.cast("double"))
+    val s1 = sin(dLat / 2.0)
+    val s2 = sin(dLon / 2.0)
+    val a = s1 * s1 +
+      cos(radians(latA.cast("double"))) * cos(radians(latB.cast("double"))) * s2 * s2
+    lit(2.0 * EarthRadiusMeters) * asin(sqrt(a))
+  }
+
   /** Whitespace tokenizer (the documents fixture is space-separated). */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -252,6 +252,54 @@ object ScalarQueries {
             |       min(path) AS first_path
             |FROM parsed GROUP BY host ORDER BY host""".stripMargin))
 
+  /** C9 geospatial point family (Pinot ST_Point/ST_Distance surface; the
+    * fixtures carry no geo column, so deterministic lat/lon derive from
+    * customer columns): per-customer synthetic coordinates, great-circle
+    * METERS to a fixed reference point via graft.functions.haversine_meters
+    * — the identical formula (same literal constant, same association
+    * order) runs in DuckDB, trig ulp differences vanish under round(…, 2).
+    * Map-only; one top-k sort. */
+  private val geoFuncs = Q(
+    "q_scalar_geo",
+    (spark, dir) => {
+      import graft.functions.haversine_meters
+      val c = Tables.t(spark, dir, "customer")
+      // pmod keeps the synthesis well-defined for negative acctbal; the
+      // oracle replicates Spark's pmod branch (r<0 ? r+m : r) exactly
+      val lon = (pmod(col("c_acctbal").cast("double"), lit(360.0)) - 180.0).as("lon")
+      val lat = (pmod(col("c_custkey").cast("double") * 7.0, lit(180.0)) - 90.0).as("lat")
+      c.select(col("c_custkey"), lon, lat)
+        .withColumn("dist_m",
+          round(haversine_meters(col("lat"), col("lon"), lit(40.7128), lit(-74.006)), 2))
+        .select(col("c_custkey"), round(col("lon"), 4).as("lon"),
+          round(col("lat"), 4).as("lat"), col("dist_m"))
+        .orderBy(col("c_custkey"))
+        .limit(100)
+    },
+    Some("""WITH r AS (
+            |  SELECT c_custkey,
+            |         CAST(c_acctbal AS DOUBLE) % 360.0 AS rlon,
+            |         CAST(c_custkey AS DOUBLE) * 7.0 % 180.0 AS rlat
+            |  FROM customer
+            |), pts AS (
+            |  -- Spark pmod replica: r = x % m; r < 0 ? r + m : r (NOT the
+            |  -- ((x%m)+m)%m folk form, whose extra ops can differ in the ulp)
+            |  SELECT c_custkey,
+            |         (CASE WHEN rlon < 0 THEN rlon + 360.0 ELSE rlon END) - 180.0 AS lon,
+            |         (CASE WHEN rlat < 0 THEN rlat + 180.0 ELSE rlat END) - 90.0 AS lat
+            |  FROM r
+            |), d AS (
+            |  SELECT c_custkey, lon, lat,
+            |         round((2 * 6371008.8) * asin(sqrt(
+            |           sin((radians(40.7128) - radians(lat)) / 2.0) * sin((radians(40.7128) - radians(lat)) / 2.0)
+            |           + cos(radians(lat)) * cos(radians(40.7128))
+            |             * sin((radians(-74.006) - radians(lon)) / 2.0) * sin((radians(-74.006) - radians(lon)) / 2.0)
+            |         )), 2) AS dist_m
+            |  FROM pts
+            |)
+            |SELECT c_custkey, round(lon, 4) AS lon, round(lat, 4) AS lat, dist_m
+            |FROM d ORDER BY c_custkey LIMIT 100""".stripMargin))
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
-    explodeMv, urlFuncs)
+    explodeMv, urlFuncs, geoFuncs)
 }

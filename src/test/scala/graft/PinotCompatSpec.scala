@@ -221,6 +221,32 @@ class PinotCompatSpec extends GraftSuite {
     assert(!r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("ST_* point family (C9): point round-trip, WKT parse, haversine meters") {
+    val r = one(
+      """SELECT ST_X(ST_POINT(-74.006, 40.7128)) AS x,
+        |       ST_Y(ST_POINT(-74.006, 40.7128)) AS y,
+        |       ST_ASTEXT(ST_POINT(-74.006, 40.7128)) AS wkt,
+        |       ST_X(ST_GEOGFROMTEXT('POINT (2.3522 48.8566)')) AS px,
+        |       ST_DISTANCE(ST_POINT(0.0, 0.0), ST_POINT(0.0, 1.0)) AS one_deg_lat,
+        |       ST_DISTANCE(ST_POINT(-74.006, 40.7128), ST_POINT(2.3522, 48.8566)) AS nyc_paris
+        |""".stripMargin)
+    assert(r.getAs[Double]("x") === -74.006)
+    assert(r.getAs[Double]("y") === 40.7128)
+    assert(r.getAs[String]("wkt") === "POINT (-74.006 40.7128)")
+    assert(r.getAs[Double]("px") === 2.3522)
+    // 1 degree of latitude = pi/180 * R = 111,195 m with R = 6371008.8
+    assert(math.abs(r.getAs[Double]("one_deg_lat") - 111194.93) < 1.0)
+    // NYC -> Paris great-circle ~ 5,837 km
+    assert(math.abs(r.getAs[Double]("nyc_paris") - 5837000.0) < 10000.0)
+    // SQL surface and Column surface are the same formula, bit-for-bit
+    val viaColumn = spark.range(1).select(
+      graft.functions.haversine_meters(
+        org.apache.spark.sql.functions.lit(40.7128), org.apache.spark.sql.functions.lit(-74.006),
+        org.apache.spark.sql.functions.lit(48.8566), org.apache.spark.sql.functions.lit(2.3522)))
+      .head().getDouble(0)
+    assert(r.getAs[Double]("nyc_paris") === viaColumn)
+  }
+
   test("opt-in implicit LIMIT 10 (O2): bare SELECTs take the broker default, explicit limits win") {
     val total = pinot.sql("SELECT count(*) AS c FROM lineitem").collect().head.getLong(0)
     assert(total > 10, s"fixture too small for the test to mean anything ($total rows)")
