@@ -190,6 +190,49 @@ object EventIngest {
   /** T4 superset: watermarked tumbling-window revenue aggregation (the Spark
     * form of the reference's query-time DATETRUNC windows, plus late-data
     * bounds Pinot lacks). */
+  /** Pinot UPSERT realtime-table analog (T-family superset; Pinot upsert
+    * tables serve the LATEST row per primary key at query time —
+    * `upsertConfig.mode=FULL` in Pinot table configs; the reference's table
+    * is append-only, so this is the engine's extension form like T6):
+    * latest-EVENT-TIME-wins per key via `mapGroupsWithState`. A redelivered
+    * or out-of-order event with an older `ts` can never regress the served
+    * row — exactly the comparison-column semantics of Pinot's upsert
+    * metadata map. State is ONE (micros, payload) pair per key, so state
+    * size tracks key cardinality, not stream length — the 100 TB posture.
+    *
+    * Emits one updated `(k, event_micros, payload)` row per key per
+    * micro-batch (Update output mode); `upsertSnapshot` turns the
+    * accumulated update log into the queryable latest-per-key table. */
+  def upsertLatest(events: DataFrame, keyCol: String): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = events
+      .select(
+        col(keyCol).cast("string").as("k"),
+        unix_micros(col("ts")).as("tus"),
+        to_json(struct(events.columns.map(col): _*)).as("payload"))
+      .as[(String, Long, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, String), (String, Long, String)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val newest = rows.foldLeft(state.getOption.getOrElse((Long.MinValue, ""))) {
+            case (best, (_, tus, payload)) => if (tus > best._1) (tus, payload) else best
+          }
+          state.update(newest)
+          (key, newest._1, newest._2)
+      }
+      .toDF("k", "event_micros", "payload")
+  }
+
+  /** Queryable snapshot over an upsert update log: the latest row per key
+    * (ties on event time keep one row deterministically). */
+  def upsertSnapshot(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("event_micros").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   def windowedRevenue(events: DataFrame, window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
