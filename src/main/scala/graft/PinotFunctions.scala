@@ -108,6 +108,17 @@ object PinotFunctions {
     }),
     "todatetime" -> (args => DateFormatClass(MillisToTimestamp(args(0)), args(1))),
     "fromdatetime" -> (args => UnixMillis(new ParseToTimestamp(args(0), args(1)))),
+    // Pinot now() returns LONG epoch millis (not a timestamp);
+    // ago('PT1H') = now() minus an ISO-8601 period, also millis
+    "now" -> (_ => UnixMillis(CurrentTimestamp())),
+    "ago" -> (args => {
+      val period = args(0) match {
+        case Literal(s, StringType) => java.time.Duration.parse(s.toString).toMillis
+        case other => throw new IllegalArgumentException(
+          s"ago() period must be an ISO-8601 string literal, got $other")
+      }
+      Subtract(UnixMillis(CurrentTimestamp()), Literal(period))
+    }),
     // ---- JSON (C4) ----
     "jsonextractscalar" -> (args => {
       val extracted = GetJsonObject(args(0), args(1))
@@ -199,6 +210,8 @@ object PinotFunctions {
       if (args.length == 3) ConcatWs(args(2) +: args.take(2))
       else Concat(args)),
     "toutf8" -> (args => Encode(args(0), Literal("UTF-8"))),
+    "encodeurl" -> fwd("url_encode"),
+    "decodeurl" -> fwd("url_decode"),
     // REGEXP_EXTRACT(value, regex[, group[, default]]) — Pinot returns the
     // default (or null) on no-match where Spark returns ''; the empty-string
     // sentinel conflates a matched-empty group with no-match (documented

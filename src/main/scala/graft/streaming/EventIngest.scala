@@ -224,6 +224,81 @@ object EventIngest {
       .toDF("k", "event_micros", "payload")
   }
 
+  /** Per-column merge strategies for partial upsert — the Pinot
+    * `partialUpsertStrategies` surface (`upsertConfig.mode=PARTIAL`):
+    * OVERWRITE is the default for unlisted columns. */
+  sealed trait MergeStrategy
+  /** Incoming value replaces the stored one (Pinot OVERWRITE). */
+  case object Overwrite extends MergeStrategy
+  /** Stored value wins once set (Pinot IGNORE — first-value semantics). */
+  case object Ignore extends MergeStrategy
+  /** Numeric running sum of stored + incoming (Pinot INCREMENT). */
+  case object Increment extends MergeStrategy
+
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Merge two payload JSONs column-by-column under the strategy map. */
+  private[streaming] def mergeJson(
+      oldJson: String, newJson: String,
+      strategies: Map[String, MergeStrategy]): String = {
+    val tref = new com.fasterxml.jackson.core.`type`.TypeReference[
+      java.util.LinkedHashMap[String, Object]] {}
+    val oldM = jsonMapper.readValue(oldJson, tref)
+    val newM = jsonMapper.readValue(newJson, tref)
+    val out = new java.util.LinkedHashMap[String, Object](oldM)
+    newM.forEach { (k, v) =>
+      strategies.getOrElse(k, Overwrite) match {
+        case Overwrite => out.put(k, v)
+        case Ignore => if (!out.containsKey(k) || out.get(k) == null) out.put(k, v)
+        case Increment => (out.get(k), v) match {
+          case (a: Number, b: Number)
+              if !a.isInstanceOf[java.lang.Double] && !a.isInstanceOf[java.lang.Float] &&
+                 !b.isInstanceOf[java.lang.Double] && !b.isInstanceOf[java.lang.Float] =>
+            out.put(k, java.lang.Long.valueOf(a.longValue() + b.longValue()))
+          case (a: Number, b: Number) =>
+            out.put(k, java.lang.Double.valueOf(a.doubleValue() + b.doubleValue()))
+          case _ => out.put(k, v)
+        }
+      }
+    }
+    jsonMapper.writeValueAsString(out)
+  }
+
+  /** Pinot PARTIAL upsert analog (`upsertConfig.mode=PARTIAL`): incoming
+    * rows MERGE into the stored row column-by-column under per-column
+    * strategies instead of replacing it wholesale. Ordering semantics match
+    * Pinot's comparison column: within and across batches events apply in
+    * event-time order, and an event OLDER than the stored comparison value
+    * is dropped entirely (never merged). Same one-state-row-per-key posture
+    * as [[upsertLatest]]. */
+  def upsertPartial(
+      events: DataFrame,
+      keyCol: String,
+      strategies: Map[String, MergeStrategy]): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = events
+      .select(
+        col(keyCol).cast("string").as("k"),
+        unix_micros(col("ts")).as("tus"),
+        to_json(struct(events.columns.map(col): _*)).as("payload"))
+      .as[(String, Long, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, String), (String, Long, String)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var (curTus, curJson) = state.getOption.getOrElse((Long.MinValue, null: String))
+          rows.toSeq.sortBy(_._2).foreach { case (_, tus, payload) =>
+            if (tus >= curTus) {
+              curJson = if (curJson == null) payload else mergeJson(curJson, payload, strategies)
+              curTus = tus
+            } // older than the stored comparison value → dropped (Pinot semantics)
+          }
+          state.update((curTus, curJson))
+          (key, curTus, curJson)
+      }
+      .toDF("k", "event_micros", "payload")
+  }
+
   /** Queryable snapshot over an upsert update log: the latest row per key
     * (ties on event time keep one row deterministically). */
   def upsertSnapshot(log: DataFrame): DataFrame = {

@@ -221,6 +221,21 @@ class PinotCompatSpec extends GraftSuite {
     assert(!r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("NOW()/AGO() return epoch millis; ENCODEURL/DECODEURL round-trip") {
+    val before = System.currentTimeMillis()
+    val r = one(
+      """SELECT NOW() AS now_ms, AGO('PT1H') AS hour_ago,
+        |       ENCODEURL('a b&c=d') AS enc,
+        |       DECODEURL(ENCODEURL('a b&c=d')) AS roundtrip""".stripMargin)
+    val after = System.currentTimeMillis()
+    val nowMs = r.getAs[Long]("now_ms")
+    assert(nowMs >= before && nowMs <= after + 1000, s"NOW() $nowMs outside [$before, $after]")
+    assert(math.abs(nowMs - r.getAs[Long]("hour_ago") - 3600000L) < 5000L)
+    assert(r.getAs[String]("enc") === "a+b%26c%3Dd")
+    assert(r.getAs[String]("roundtrip") === "a b&c=d")
+    intercept[Exception](one("SELECT AGO('not a period') AS bad"))
+  }
+
   test("ST_* point family (C9): point round-trip, WKT parse, haversine meters") {
     val r = one(
       """SELECT ST_X(ST_POINT(-74.006, 40.7128)) AS x,

@@ -47,4 +47,40 @@ class StreamingUpsertSpec extends GraftSuite {
       assert(spark.table("upsert_log").count() === 4)
     } finally q.stop()
   }
+
+  test("partial upsert merges per column: INCREMENT sums, IGNORE keeps first, default overwrites") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val decoded = EventIngest.decode(
+      mem.toDF().select(from_json(col("value"), EventIngest.rawSchema).as("j"))
+        .select(col("j.*")))
+    val q = EventIngest.upsertPartial(decoded, "userID", Map(
+        "price" -> EventIngest.Increment,
+        "campaign" -> EventIngest.Ignore))
+      .writeStream.format("memory").queryName("upsert_partial_log")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        s"""{"userID":"u1","productName":"p","color":"red","department":"d","product":"x","campaign":"FIRST","price":10,"creationTimestamp":"2024-05-01 10:00:00"}""")
+      q.processAllAvailable()
+      mem.addData(
+        // newer: price increments 10+5, campaign keeps FIRST, color overwrites
+        s"""{"userID":"u1","productName":"p","color":"blue","department":"d","product":"x","campaign":"SECOND","price":5,"creationTimestamp":"2024-05-01 11:00:00"}""",
+        // older than stored comparison value: dropped entirely
+        s"""{"userID":"u1","productName":"p","color":"green","department":"d","product":"x","campaign":"STALE","price":100,"creationTimestamp":"2024-05-01 09:00:00"}""")
+      q.processAllAvailable()
+
+      val r = EventIngest.upsertSnapshot(spark.table("upsert_partial_log"))
+        .select(
+          get_json_object(col("payload"), "$.price").cast("long").as("price"),
+          get_json_object(col("payload"), "$.campaign").as("campaign"),
+          get_json_object(col("payload"), "$.color").as("color"))
+        .collect().head
+      assert(r.getAs[Long]("price") === 15L, r.toString)
+      assert(r.getAs[String]("campaign") === "FIRST", r.toString)
+      assert(r.getAs[String]("color") === "blue", r.toString)
+    } finally q.stop()
+  }
 }
