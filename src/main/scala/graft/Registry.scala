@@ -20,7 +20,8 @@ object Registry {
     TextQueries.all,
     EmbeddingQueries.all,
     PipelineQueries.all,
-    MultimodalQueries.all)
+    MultimodalQueries.all,
+    StarTreeQueries.all)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten
