@@ -111,5 +111,67 @@ object SketchQueries {
             |FROM events GROUP BY event_type
             |ORDER BY cnt DESC, item ASC LIMIT 3""".stripMargin))
 
-  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK)
+  /** A5+: Pinot DISTINCT_COUNT_THETA_SKETCH set-operation surface
+    * (SET_UNION / SET_INTERSECT / SET_DIFF over filtered sub-populations —
+    * e.g. "distinct parts that ship in qty-1 orders AND in qty-2 orders").
+    *
+    * Spark-first mapping: per-predicate HyperLogLog++ sketches built in ONE
+    * scan over the raw rows (mergeable partials — no per-key state, the
+    * 100 TB sketch posture), union answered by a third conditioned sketch,
+    * intersection by inclusion-exclusion |A∩B| = |A|+|B|−|A∪B| (the standard
+    * HLL set-algebra; theta sketches do this natively, HLL compounds the
+    * rsd, hence the wider bound below). Same hard-oracle shape as
+    * q_sketch_hll: the hashed output carries the EXACT set-op counts (from a
+    * per-key flag aggregation) plus deterministic within-bound booleans —
+    * HLL register-merge is max(), commutative/associative, so the estimates
+    * and booleans are stable under any partition merge order.
+    *
+    * Bound math at sf0.1: σ ≈ rsd·√(|A|²+|B|²+|U|²) ≈ 0.01·19k ≈ 190 ≈ 4.7%
+    * of the exact 4019 intersection — 20% is a >4σ envelope; 5% on the
+    * directly-sketched union is 5σ. */
+  private val sketchTheta = Q(
+    "q_sketch_theta",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      val inA = col("l_quantity") === 1
+      val inB = col("l_quantity") === 2
+      // exact side: one per-key shuffle carrying two int flags
+      val exact = li.groupBy(col("l_partkey"))
+        .agg(
+          max(when(inA, 1).otherwise(0)).as("a"),
+          max(when(inB, 1).otherwise(0)).as("b"))
+        .agg(
+          sum(col("a")).cast("long").as("exact_q1"),
+          sum(col("b")).cast("long").as("exact_q2"),
+          sum(col("a") * col("b")).cast("long").as("exact_both"),
+          sum(when(col("a") === 1 || col("b") === 1, 1).otherwise(0)).cast("long").as("exact_either"),
+          sum(when(col("a") === 1 && col("b") === 0, 1).otherwise(0)).cast("long").as("exact_q1_only"))
+      // sketch side: map-side mergeable HLLs over raw rows, no keyed state
+      val approx = li.agg(
+        approx_count_distinct(when(inA, col("l_partkey")), rsd = 0.01).as("ha"),
+        approx_count_distinct(when(inB, col("l_partkey")), rsd = 0.01).as("hb"),
+        approx_count_distinct(when(inA || inB, col("l_partkey")), rsd = 0.01).as("hu"))
+      val estBoth = col("ha").cast("double") + col("hb").cast("double") - col("hu").cast("double")
+      exact.crossJoin(approx).select(
+        col("exact_q1"), col("exact_q2"), col("exact_both"),
+        col("exact_either"), col("exact_q1_only"),
+        (abs(col("hu").cast("double") - col("exact_either").cast("double")) /
+          col("exact_either").cast("double") <= 0.05).as("union_within_5pct"),
+        (abs(estBoth - col("exact_both").cast("double")) /
+          col("exact_both").cast("double") <= 0.20).as("intersect_within_20pct"))
+    },
+    Some("""WITH f AS (SELECT l_partkey,
+            |  max(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) AS a,
+            |  max(CASE WHEN l_quantity = 2 THEN 1 ELSE 0 END) AS b
+            |  FROM lineitem GROUP BY l_partkey)
+            |SELECT CAST(sum(a) AS BIGINT) AS exact_q1,
+            |       CAST(sum(b) AS BIGINT) AS exact_q2,
+            |       CAST(sum(a*b) AS BIGINT) AS exact_both,
+            |       CAST(sum(CASE WHEN a=1 OR b=1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_either,
+            |       CAST(sum(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q1_only,
+            |       TRUE AS union_within_5pct,
+            |       TRUE AS intersect_within_20pct
+            |FROM f""".stripMargin))
+
+  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta)
 }

@@ -1,0 +1,147 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+/** The reference's ACTUAL broker wire protocol (SURVEY.md §2.1 S11): HTTP
+  * `POST /query/sql` with a `{"sql": "..."}` body, answered in the Pinot
+  * broker response shape — `resultTable.dataSchema.{columnNames,
+  * columnDataTypes}` + `resultTable.rows` + `exceptions` + counters
+  * (`/root/reference/lib/apache-pinot-solution-stack.ts:714-728`: ALB →
+  * broker port 8099, health-check path `/query/sql`). The Thrift JDBC server
+  * ([[SqlEndpoint]]) covers S12/Tableau; this endpoint is what the
+  * reference's Query-console and REST users (`README.md:110`) speak.
+  *
+  * Built on the JDK's HttpServer (no extra dependency) over a shared
+  * SparkSession — `spark.sql` is thread-safe, so a cached thread pool gives
+  * broker-style concurrency; Spark itself schedules the underlying jobs
+  * FAIR/FIFO across them. Serialized result rows are capped (`maxRows`) the
+  * way any broker bounds its response payload; the cap is reported via the
+  * `numRowsResultSet` vs `truncated` fields rather than silently.
+  */
+object HttpSqlEndpoint {
+
+  private val mapper = new ObjectMapper()
+
+  /** Pinot `columnDataTypes` name for a Spark SQL type (the broker's
+    * response vocabulary — LONG/INT/FLOAT/DOUBLE/STRING/BOOLEAN/TIMESTAMP/
+    * BYTES/BIG_DECIMAL and their _ARRAY forms). */
+  private[server] def pinotType(dt: DataType): String = dt match {
+    case LongType => "LONG"
+    case IntegerType | ShortType | ByteType => "INT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "STRING"
+    case BooleanType => "BOOLEAN"
+    case TimestampType | TimestampNTZType | DateType => "TIMESTAMP"
+    case BinaryType => "BYTES"
+    case _: DecimalType => "BIG_DECIMAL"
+    case ArrayType(e, _) => pinotType(e) + "_ARRAY"
+    case _ => "JSON"
+  }
+
+  /** Row cell → Jackson value (timestamps/dates as strings, like the Pinot
+    * broker; binary as hex; arrays/structs recursively). */
+  private def jsonCell(node: ArrayNode, v: Any): Unit = v match {
+    case null => node.addNull()
+    case b: Boolean => node.add(b)
+    case i: Int => node.add(i)
+    case l: Long => node.add(l)
+    case s: Short => node.add(s.toInt)
+    case b: Byte => node.add(b.toInt)
+    case f: Float => node.add(f)
+    case d: Double => node.add(d)
+    case d: java.math.BigDecimal => node.add(d)
+    case d: scala.math.BigDecimal => node.add(d.bigDecimal)
+    case s: String => node.add(s)
+    case b: Array[Byte] => node.add(b.map("%02x".format(_)).mkString)
+    case seq: scala.collection.Seq[_] =>
+      val arr = node.addArray(); seq.foreach(jsonCell(arr, _))
+    case other => node.add(other.toString) // Timestamp, Date, Row, Map
+  }
+
+  private def errorResponse(code: Int, msg: String): ObjectNode = {
+    val root = mapper.createObjectNode()
+    root.putObject("resultTable") // empty table keeps clients shape-stable
+      .putObject("dataSchema").putArray("columnNames")
+    val ex = root.putArray("exceptions").addObject()
+    ex.put("errorCode", code)
+    ex.put("message", msg)
+    root.put("numRowsResultSet", 0)
+    root
+  }
+
+  /** Execute `sql` on `spark` and render the Pinot broker response JSON. */
+  private[server] def answer(spark: SparkSession, sql: String, maxRows: Int): ObjectNode =
+    try {
+      val t0 = System.nanoTime()
+      val df = spark.sql(sql)
+      val rows = df.limit(maxRows + 1).collect()
+      val truncated = rows.length > maxRows
+      val emit = if (truncated) rows.take(maxRows) else rows
+      val root = mapper.createObjectNode()
+      val table = root.putObject("resultTable")
+      val schema = table.putObject("dataSchema")
+      val names = schema.putArray("columnNames")
+      val types = schema.putArray("columnDataTypes")
+      df.schema.fields.foreach { f => names.add(f.name); types.add(pinotType(f.dataType)) }
+      val out = table.putArray("rows")
+      emit.foreach { r =>
+        val rowNode = out.addArray()
+        (0 until r.length).foreach(i => jsonCell(rowNode, r.get(i)))
+      }
+      root.putArray("exceptions")
+      root.put("numRowsResultSet", emit.length)
+      root.put("truncated", truncated)
+      root.put("timeUsedMs", (System.nanoTime() - t0) / 1000000L)
+      root
+    } catch {
+      // Pinot SQL errors come back in-band as QueryException entries, not
+      // as HTTP failures — error code 150 = SQL parsing/execution
+      case e: Exception => errorResponse(150, String.valueOf(e.getMessage))
+    }
+
+  private def respond(ex: HttpExchange, status: Int, body: ObjectNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** Start the broker endpoint; `port = 0` binds an ephemeral port. Returns
+    * the running server (stop with `server.stop(0)`); the bound port is
+    * `server.getAddress.getPort`. */
+  def start(spark: SparkSession, port: Int = 8099, maxRows: Int = 100000): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("localhost", port), 0)
+    server.createContext("/query/sql", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          ex.getRequestMethod match {
+            case "POST" =>
+              val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+              val sqlNode = mapper.readTree(body).get("sql")
+              if (sqlNode == null || !sqlNode.isTextual)
+                respond(ex, 400, errorResponse(150, "request body must be {\"sql\": \"...\"}"))
+              else respond(ex, 200, answer(spark, sqlNode.asText(), maxRows))
+            case _ =>
+              // the reference ALB health-checks GET /query/sql
+              // (apache-pinot-solution-stack.ts:725-727) — answer 200
+              respond(ex, 200, errorResponse(0, "healthy: POST {\"sql\": ...} to query"))
+          }
+        } catch {
+          case e: Exception => respond(ex, 500, errorResponse(500, String.valueOf(e.getMessage)))
+        }
+    })
+    server.setExecutor(Executors.newCachedThreadPool())
+    server.start()
+    server
+  }
+}

@@ -200,28 +200,40 @@ object EventIngest {
     * metadata map. State is ONE (micros, payload) pair per key, so state
     * size tracks key cardinality, not stream length — the 100 TB posture.
     *
-    * Emits one updated `(k, event_micros, payload)` row per key per
+    * Emits one updated `(k, event_micros, payload, deleted)` row per key per
     * micro-batch (Update output mode); `upsertSnapshot` turns the
-    * accumulated update log into the queryable latest-per-key table. */
-  def upsertLatest(events: DataFrame, keyCol: String): DataFrame = {
+    * accumulated update log into the queryable latest-per-key table.
+    *
+    * `deleteCol` is Pinot's `upsertConfig.deleteRecordColumn`: a truthy
+    * value in that column makes the record a TOMBSTONE — the key stops
+    * being served (`upsertSnapshot` drops it) while still participating in
+    * comparison-column ordering, so a NEWER regular record revives the key
+    * and an OLDER late delete can never retro-kill a newer row. */
+  def upsertLatest(events: DataFrame, keyCol: String, deleteCol: Option[String] = None): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    val delFlag = deleteCol
+      .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
     val typed = events
       .select(
         col(keyCol).cast("string").as("k"),
         unix_micros(col("ts")).as("tus"),
-        to_json(struct(events.columns.map(col): _*)).as("payload"))
-      .as[(String, Long, String)]
+        to_json(struct(events.columns.map(col): _*)).as("payload"),
+        delFlag.as("del"))
+      .as[(String, Long, String, Boolean)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState[(Long, String), (String, Long, String)](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[(Long, String, Boolean), (String, Long, String, Boolean)](
+        GroupStateTimeout.NoTimeout) {
         case (key, rows, state) =>
-          val newest = rows.foldLeft(state.getOption.getOrElse((Long.MinValue, ""))) {
-            case (best, (_, tus, payload)) => if (tus > best._1) (tus, payload) else best
+          val newest = rows.foldLeft(state.getOption.getOrElse((Long.MinValue, "", false))) {
+            case (best, (_, tus, payload, del)) =>
+              if (tus > best._1) (tus, payload, del) else best
           }
           state.update(newest)
-          (key, newest._1, newest._2)
+          (key, newest._1, newest._2, newest._3)
       }
-      .toDF("k", "event_micros", "payload")
+      .toDF("k", "event_micros", "payload", "deleted")
   }
 
   /** Per-column merge strategies for partial upsert — the Pinot
@@ -270,42 +282,63 @@ object EventIngest {
     * Pinot's comparison column: within and across batches events apply in
     * event-time order, and an event OLDER than the stored comparison value
     * is dropped entirely (never merged). Same one-state-row-per-key posture
-    * as [[upsertLatest]]. */
+    * and `deleteRecordColumn` tombstone semantics as [[upsertLatest]]; after
+    * a delete, later records merge from a fresh row (no resurrection of
+    * pre-delete column values — Pinot's documented partial-upsert+delete
+    * interaction). */
   def upsertPartial(
       events: DataFrame,
       keyCol: String,
-      strategies: Map[String, MergeStrategy]): DataFrame = {
+      strategies: Map[String, MergeStrategy],
+      deleteCol: Option[String] = None): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    val delFlag = deleteCol
+      .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
     val typed = events
       .select(
         col(keyCol).cast("string").as("k"),
         unix_micros(col("ts")).as("tus"),
-        to_json(struct(events.columns.map(col): _*)).as("payload"))
-      .as[(String, Long, String)]
+        to_json(struct(events.columns.map(col): _*)).as("payload"),
+        delFlag.as("del"))
+      .as[(String, Long, String, Boolean)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState[(Long, String), (String, Long, String)](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[(Long, String, Boolean), (String, Long, String, Boolean)](
+        GroupStateTimeout.NoTimeout) {
         case (key, rows, state) =>
-          var (curTus, curJson) = state.getOption.getOrElse((Long.MinValue, null: String))
-          rows.toSeq.sortBy(_._2).foreach { case (_, tus, payload) =>
+          var (curTus, curJson, curDel) =
+            state.getOption.getOrElse((Long.MinValue, null: String, false))
+          rows.toSeq.sortBy(_._2).foreach { case (_, tus, payload, del) =>
             if (tus >= curTus) {
-              curJson = if (curJson == null) payload else mergeJson(curJson, payload, strategies)
+              if (del) {
+                // tombstone: stored row is gone; later records merge from scratch
+                curJson = payload; curDel = true
+              } else {
+                curJson = if (curJson == null || curDel) payload
+                          else mergeJson(curJson, payload, strategies)
+                curDel = false
+              }
               curTus = tus
             } // older than the stored comparison value → dropped (Pinot semantics)
           }
-          state.update((curTus, curJson))
-          (key, curTus, curJson)
+          state.update((curTus, curJson, curDel))
+          (key, curTus, curJson, curDel)
       }
-      .toDF("k", "event_micros", "payload")
+      .toDF("k", "event_micros", "payload", "deleted")
   }
 
   /** Queryable snapshot over an upsert update log: the latest row per key
-    * (ties on event time keep one row deterministically). */
+    * (ties on event time keep one row deterministically). Keys whose latest
+    * record is a delete tombstone are not served — Pinot's
+    * `deleteRecordColumn` query-time behavior. */
   def upsertSnapshot(log: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("event_micros").desc)
-    log.withColumn("__rn", row_number().over(w))
+    val latest = log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    if (log.columns.contains("deleted")) latest.filter(!col("deleted")).drop("deleted")
+    else latest
   }
 
   def windowedRevenue(events: DataFrame, window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame =

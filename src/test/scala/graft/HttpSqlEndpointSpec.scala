@@ -1,0 +1,112 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.sources.Tables
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** End-to-end S11 over the reference's REAL wire protocol: HTTP
+  * `POST /query/sql` answered in the Pinot broker response shape
+  * (resultTable.dataSchema + rows + exceptions), including the ALB
+  * health-check GET on the same path
+  * (`/root/reference/lib/apache-pinot-solution-stack.ts:714-728`). */
+class HttpSqlEndpointSpec extends GraftSuite {
+
+  private val mapper = new ObjectMapper()
+  private lazy val httpServer = {
+    Tables.registerViews(spark, sfDir)
+    server.HttpSqlEndpoint.start(spark, port = 0, maxRows = 1000)
+  }
+  private lazy val base = s"http://localhost:${httpServer.getAddress.getPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(sql: String): com.fasterxml.jackson.databind.JsonNode = {
+    val body = mapper.createObjectNode()
+    body.put("sql", sql)
+    val req = HttpRequest.newBuilder(URI.create(s"$base/query/sql"))
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+      .header("Content-Type", "application/json")
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() === 200, resp.body())
+    mapper.readTree(resp.body())
+  }
+
+  test("POST /query/sql answers in the Pinot broker response shape") {
+    val r = post("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    assert(r.get("exceptions").size() === 0)
+    val schema = r.get("resultTable").get("dataSchema")
+    assert(schema.get("columnNames").get(0).asText() === "l_returnflag")
+    assert(schema.get("columnNames").get(1).asText() === "n")
+    assert(schema.get("columnDataTypes").get(0).asText() === "STRING")
+    assert(schema.get("columnDataTypes").get(1).asText() === "LONG")
+    val rows = r.get("resultTable").get("rows")
+    assert(rows.size() === 3)
+    assert((0 until 3).map(i => rows.get(i).get(0).asText()) === Seq("A", "N", "R"))
+    val total = (0 until 3).map(i => rows.get(i).get(1).asLong()).sum
+    assert(total === Tables.t(spark, sfDir, "lineitem").count())
+    assert(r.get("numRowsResultSet").asInt() === 3)
+    assert(!r.get("truncated").asBoolean())
+  }
+
+  test("declared-query parity over HTTP: endpoint cells match the DataFrame path") {
+    val names = Seq("q_agg_having", "q_join_inner", "q_win_rank", "q_union_all")
+    names.foreach { name =>
+      val expected = SparkEntry.queries(name)(spark, sfDir).collect()
+      val rows = post(SparkEntry.oracleSql(name)).get("resultTable").get("rows")
+      assert(rows.size() === expected.length, s"$name row count")
+      expected.zipWithIndex.foreach { case (er, i) =>
+        (0 until er.length).foreach { c =>
+          val got = rows.get(i).get(c)
+          val want = er.get(c)
+          val same = (got, want) match {
+            case (g, null) => g.isNull
+            case (g, w: java.lang.Number) => math.abs(g.asDouble() - w.doubleValue()) < 1e-6
+            case (g, w) => g.asText() === w.toString
+          }
+          assert(same, s"$name row $i col $c: $got vs $want")
+        }
+      }
+    }
+  }
+
+  test("SQL errors come back in-band as Pinot-style exceptions, not HTTP failures") {
+    val r = post("SELECT definitely_not_a_column FROM lineitem")
+    assert(r.get("exceptions").size() === 1)
+    assert(r.get("exceptions").get(0).get("errorCode").asInt() === 150)
+    assert(r.get("numRowsResultSet").asInt() === 0)
+  }
+
+  test("row cap reports truncation instead of silently clipping") {
+    val r = post("SELECT l_orderkey FROM lineitem")
+    assert(r.get("truncated").asBoolean())
+    assert(r.get("numRowsResultSet").asInt() === 1000)
+    assert(r.get("resultTable").get("rows").size() === 1000)
+  }
+
+  test("ALB health check: GET /query/sql returns 200") {
+    val req = HttpRequest.newBuilder(URI.create(s"$base/query/sql")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() === 200)
+  }
+
+  test("concurrent HTTP clients get correct answers (broker concurrency)") {
+    val expected = Tables.t(spark, sfDir, "orders").count()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        try {
+          (1 to 3).foreach { _ =>
+            val r = post("SELECT count(*) AS n FROM orders")
+            assert(r.get("resultTable").get("rows").get(0).get(0).asLong() === expected)
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent failures: ${errors.toArray.mkString("; ")}")
+  }
+}

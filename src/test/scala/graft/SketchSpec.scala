@@ -43,6 +43,17 @@ class SketchSpec extends GraftSuite {
     assert(top._2 >= 400L && top._2 <= 600L, s"count ${top._2} outside bound")
   }
 
+  test("q_sketch_theta set-operation bounds hold and exact side obeys inclusion-exclusion") {
+    val r = SparkEntry.queries("q_sketch_theta")(spark, sfDir).collect().head
+    assert(r.getAs[Boolean]("union_within_5pct"), r.toString)
+    assert(r.getAs[Boolean]("intersect_within_20pct"), r.toString)
+    val (a, b) = (r.getAs[Long]("exact_q1"), r.getAs[Long]("exact_q2"))
+    val (both, either) = (r.getAs[Long]("exact_both"), r.getAs[Long]("exact_either"))
+    assert(a + b - both === either, "inclusion-exclusion identity")
+    assert(r.getAs[Long]("exact_q1_only") === a - both)
+    assert(both > 0 && both < a && both < b, "fixture overlap is genuinely partial")
+  }
+
   test("q_sketch_percentile bound booleans hold and raw sketch is within 5% of exact median") {
     val rows = SparkEntry.queries("q_sketch_percentile")(spark, sfDir).collect()
     assert(rows.nonEmpty)

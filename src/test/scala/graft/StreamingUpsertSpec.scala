@@ -48,6 +48,73 @@ class StreamingUpsertSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("deleteRecordColumn: tombstone hides the key, older late delete is ignored, newer record revives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    // delete marker rides on an existing field: campaign=DELETE_ME (the
+    // Pinot deleteRecordColumn is just a truthy column on the record)
+    val decoded = EventIngest.decode(
+      mem.toDF().select(from_json(col("value"), EventIngest.rawSchema).as("j"))
+        .select(col("j.*")))
+      .withColumn("is_delete", col("campaign") === "DELETE_ME")
+    val q = EventIngest.upsertLatest(decoded, "userID", deleteCol = Some("is_delete"))
+      .writeStream.format("memory").queryName("upsert_del_log")
+      .outputMode("update").start()
+    def served(): Map[String, Int] =
+      EventIngest.upsertSnapshot(spark.table("upsert_del_log"))
+        .select(col("k"), get_json_object(col("payload"), "$.price").cast("int").as("price"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    def del(user: String, ts: String): String =
+      s"""{"userID":"$user","productName":"p","color":"c","department":"d",""" +
+        s""""product":"x","campaign":"DELETE_ME","price":0,"creationTimestamp":"$ts"}"""
+    try {
+      mem.addData(ev("u1", 42, "2024-05-01 10:00:00"), ev("u2", 10, "2024-05-01 10:05:00"))
+      q.processAllAvailable()
+      assert(served() === Map("u1" -> 42, "u2" -> 10))
+      // u1: NEWER tombstone → key disappears; u2: OLDER late tombstone → ignored
+      mem.addData(del("u1", "2024-05-01 11:00:00"), del("u2", "2024-05-01 09:00:00"))
+      q.processAllAvailable()
+      assert(served() === Map("u2" -> 10), "newer tombstone hides u1; older delete cannot retro-kill u2")
+      // a record NEWER than the tombstone revives the key
+      mem.addData(ev("u1", 77, "2024-05-01 12:00:00"))
+      q.processAllAvailable()
+      assert(served() === Map("u1" -> 77, "u2" -> 10), "newer record revives a deleted key")
+    } finally q.stop()
+  }
+
+  test("partial upsert + delete: post-revival merge starts fresh (no resurrection of pre-delete values)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val decoded = EventIngest.decode(
+      mem.toDF().select(from_json(col("value"), EventIngest.rawSchema).as("j"))
+        .select(col("j.*")))
+      .withColumn("is_delete", col("campaign") === "DELETE_ME")
+    val q = EventIngest.upsertPartial(decoded, "userID",
+        Map("price" -> EventIngest.Increment), deleteCol = Some("is_delete"))
+      .writeStream.format("memory").queryName("upsert_pdel_log")
+      .outputMode("update").start()
+    try {
+      mem.addData(ev("u1", 10, "2024-05-01 10:00:00"), ev("u1", 5, "2024-05-01 10:30:00"))
+      q.processAllAvailable() // accumulated price = 15
+      mem.addData(
+        s"""{"userID":"u1","productName":"p","color":"c","department":"d","product":"x","campaign":"DELETE_ME","price":0,"creationTimestamp":"2024-05-01 11:00:00"}""")
+      q.processAllAvailable() // tombstoned
+      assert(EventIngest.upsertSnapshot(spark.table("upsert_pdel_log")).count() === 0)
+      mem.addData(ev("u1", 3, "2024-05-01 12:00:00"))
+      q.processAllAvailable()
+      val r = EventIngest.upsertSnapshot(spark.table("upsert_pdel_log"))
+        .select(get_json_object(col("payload"), "$.price").cast("long").as("price"))
+        .collect()
+      assert(r.length === 1)
+      assert(r.head.getAs[Long]("price") === 3L,
+        "INCREMENT must restart from the post-delete record, not resume 15+3")
+    } finally q.stop()
+  }
+
   test("partial upsert merges per column: INCREMENT sums, IGNORE keeps first, default overwrites") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
