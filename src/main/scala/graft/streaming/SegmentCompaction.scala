@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Segment compaction — the Pinot minion MergeTask analog (Pinot's
+  * `MergeRollupTask`/`SegmentGenerationAndPush` maintenance family rewrites
+  * many small realtime-flushed segments into few large ones; the reference's
+  * table would accrue one segment per 2-minute flush,
+  * `kinesisTableConfigFile.json:23-25`). Our sealed sink
+  * ([[EventIngest.sealedSink]]) likewise lands one parquet file per
+  * micro-batch per `dt` partition — at 100 TB that is millions of tiny
+  * files, and small files are THE classic object-store scan killer (listing
+  * cost + per-file open overhead + no intra-file parallelism). This job
+  * rewrites each day partition's files into `ceil(bytes/targetBytes)`
+  * right-sized files.
+  *
+  * Concurrency contract (the minion model): each partition's input set is
+  * SNAPSHOTTED up front and exactly those files are replaced — files landed
+  * by a concurrent writer after the snapshot survive untouched. The rewrite
+  * itself goes through a `.compact_tmp` staging dir which holds a full copy
+  * of the partition until the swap completes, so a crash mid-swap is
+  * recoverable by hand (re-run or restore from staging).
+  *
+  * Ownership handoff: by default the streaming sink's `_spark_metadata` log
+  * is dropped (`dropSinkLog = true`), converting the table from
+  * sink-log-tracked to plain listing-tracked reads — the same ownership
+  * transfer Pinot's segment-replacement protocol performs when minion output
+  * supersedes realtime segments. Run compaction once the writer for this
+  * directory is decommissioned (or point readers at
+  * `spark.sql.streaming.fileStreamSink.ignoreMetadata=true` and keep the
+  * log); a still-running writer would resurrect a log that no longer lists
+  * the compacted files.
+  *
+  * Everything speaks the Hadoop FileSystem API, so file:// in tests and
+  * s3a:// in production take the same code path (SURVEY.md §2.1 S8).
+  */
+object SegmentCompaction {
+
+  final case class PartitionStats(partition: String, files: Int, bytes: Long)
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def dataFiles(fs: FileSystem, dir: Path): Array[FileStatus] =
+    fs.listStatus(dir).filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+
+  /** Per-partition file count + bytes (observability / task scheduling: a
+    * production compactor triggers off these, like Pinot's task generator
+    * watching segment counts). */
+  def stats(spark: SparkSession, tableDir: String): Seq[PartitionStats] = {
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        val files = dataFiles(fs, d.getPath)
+        PartitionStats(d.getPath.getName, files.length, files.map(_.getLen).sum)
+      }
+      .sortBy(_.partition).toSeq
+  }
+
+  /** Compact every partition holding at least `minFiles` data files into
+    * `ceil(bytes / targetBytes)` files. Returns post-compaction stats for
+    * the partitions that were rewritten. */
+  def compact(
+      spark: SparkSession,
+      tableDir: String,
+      targetBytes: Long = 512L * 1024 * 1024,
+      minFiles: Int = 4,
+      dropSinkLog: Boolean = true): Seq[PartitionStats] = {
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    val done = Seq.newBuilder[PartitionStats]
+    val partDirs =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      else Array.empty[FileStatus]
+    partDirs.foreach { d =>
+      val snapshot = dataFiles(fs, d.getPath) // only these are replaced
+      if (snapshot.length >= minFiles) {
+        val bytes = snapshot.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val tmp = new Path(root, s".compact_tmp_${d.getPath.getName}")
+        spark.read.parquet(snapshot.map(_.getPath.toString): _*)
+          .coalesce(nOut)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = dataFiles(fs, tmp)
+        // swap: drop exactly the snapshotted inputs, then move staged files
+        // in under collision-proof names (a concurrent micro-batch landing
+        // between snapshot and swap keeps its files)
+        snapshot.foreach(s => fs.delete(s.getPath, false))
+        val stamp = System.currentTimeMillis()
+        staged.zipWithIndex.foreach { case (s, i) =>
+          fs.rename(s.getPath, new Path(d.getPath, s"compacted-$stamp-$i.parquet"))
+        }
+        fs.delete(tmp, true)
+        val after = dataFiles(fs, d.getPath)
+        done += PartitionStats(d.getPath.getName, after.length, after.map(_.getLen).sum)
+      }
+    }
+    if (dropSinkLog) fs.delete(new Path(root, "_spark_metadata"), true)
+    done.result()
+  }
+}
