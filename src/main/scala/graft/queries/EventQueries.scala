@@ -430,11 +430,52 @@ object EventQueries {
             |       v IS NULL AS was_gap
             |FROM joined ORDER BY event_type, bucket LIMIT 500""".stripMargin))
 
+  /** Cohort retention matrix — the product-analytics companion to the
+    * funnel family (the standard Pinot-console query over an events table:
+    * cohort = week of first signup, cell = distinct cohort users active N
+    * weeks later). Scale shape: the (user, week) activity grid is collapsed
+    * by a distinct BEFORE the join (rows ∝ users × weeks, never raw
+    * events), the cohort side is one row per user, and the join shuffles on
+    * user_id only — each side partition-pruned and partial-agged first, so
+    * nothing here grows with event volume at 100 TB. */
+  val eventsCohort = Q(
+    "q_events_cohort",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+        .distinct()
+      cohort.join(activity, "user_id")
+        .filter(col("activity_week") >= col("cohort_week"))
+        .groupBy(
+          col("cohort_week"),
+          floor(datediff(col("activity_week"), col("cohort_week")) / 7.0).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH su AS (
+            |  SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+            |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+            |), act AS (
+            |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+            |  FROM events
+            |)
+            |SELECT su.cohort_week,
+            |       CAST(floor(date_diff('day', su.cohort_week, act.activity_week)/7.0) AS INT) AS week_offset,
+            |       CAST(count(DISTINCT su.user_id) AS BIGINT) AS users
+            |FROM su JOIN act USING (user_id)
+            |WHERE act.activity_week >= su.cohort_week
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
 
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
-    eventsFunnelWindow, eventsFunnelMaxstep, eventsGapfill, eventsGapfillDefault)
+    eventsFunnelWindow, eventsFunnelMaxstep, eventsGapfill, eventsGapfillDefault,
+    eventsCohort)
 }

@@ -137,4 +137,25 @@ class EventAnalyticsSpec extends GraftSuite {
     assert(at("B", 1) === ((0.0, true)))
     assert(at("B", 2) === ((9.0, false)))
   }
+
+  test("cohort retention: offsets count from FIRST signup week; pre-signup activity excluded") {
+    val dir = eventsDir(Seq(
+      // user 1 signs up week of May 6 (Mon), active weeks 0 and 2, plus a
+      // PRE-signup view that must not create a negative offset
+      (1L, "2024-05-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-05-07 10:00:00", 1L, "signup", 1.0, "{}"),
+      (3L, "2024-05-08 10:00:00", 1L, "view", 1.0, "{}"),
+      (4L, "2024-05-21 10:00:00", 1L, "purchase", 1.0, "{}"),
+      // user 2: same cohort week, active week 0 only; a SECOND signup later
+      // must not move the cohort (min ts wins)
+      (5L, "2024-05-06 09:00:00", 2L, "signup", 1.0, "{}"),
+      (6L, "2024-05-20 09:00:00", 2L, "signup", 1.0, "{}"),
+      // user 3: never signs up -> not in any cohort
+      (7L, "2024-05-07 12:00:00", 3L, "view", 1.0, "{}")))
+    val rows = SparkEntry.queries("q_events_cohort")(spark, dir)
+      .select(col("week_offset"), col("users")).as[(Int, Long)].collect().toMap
+    // week 0: u1 (signup) + u2 (signup) = 2; week 2: u1 purchase + u2's
+    // late second signup = 2; no other offsets, nothing negative
+    assert(rows === Map(0 -> 2L, 2 -> 2L), rows.toString)
+  }
 }
