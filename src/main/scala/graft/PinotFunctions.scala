@@ -316,6 +316,10 @@ object PinotFunctions {
     "distinctcounthll" -> fwd("approx_count_distinct"),
     "distinctcountsmarthll" -> fwd("approx_count_distinct"),
     "distinctcountthetasketch" -> fwd("approx_count_distinct"),
+    // raw serialized sketch out (Pinot returns the sketch bytes for
+    // client-side merging; ours is the DataSketches HLL binary — mergeable
+    // with hll_union/hll_union_agg, estimable with hll_sketch_estimate)
+    "distinctcountrawhll" -> fwd("hll_sketch_agg"),
     "minmaxrange" -> (args => Subtract(
       Max(args(0)).toAggregateExpression(), Min(args(0)).toAggregateExpression())),
     "sumprecision" -> (args =>

@@ -173,5 +173,46 @@ object SketchQueries {
             |       TRUE AS intersect_within_20pct
             |FROM f""".stripMargin))
 
-  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta)
+  /** Raw-sketch-column rollup (Pinot DISTINCTCOUNTRAWHLL + the star-tree
+    * HLL-measure pattern): store ONE serialized DataSketches HLL per
+    * (day, event_type) cell — the per-segment sketch column Pinot keeps —
+    * then answer coarser windows by MERGING stored sketches
+    * (`hll_union_agg`) instead of re-scanning raw rows. This is the 100 TB
+    * rollup workflow: the daily table is ~|days|×|types| rows of ≤4 KB
+    * sketches regardless of event volume, weekly/monthly/all-time distincts
+    * come from sketch unions, and the merge is associative so partial
+    * aggregation applies at every level.
+    *
+    * Hard-oracle shape as the rest of the family: exact weekly distincts
+    * (from raw rows, for the gate) + a within-5% boolean on the
+    * sketch-merged estimate (lgConfigK=12 → ~1.6% rse; merge order cannot
+    * change the union, so the boolean is deterministic). */
+  private val sketchRollup = Q(
+    "q_sketch_rollup",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "events")
+      // segment-level rollup: one mergeable sketch per (day, type) cell
+      val daily = e.groupBy(
+          date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      // query-time merge to weekly granularity — touches only rollup rows
+      val weeklyEst = daily.groupBy(
+          date_trunc("week", col("day")).as("week"), col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val weeklyExact = e.groupBy(
+          date_trunc("week", col("ts")).as("week"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      weeklyExact.join(weeklyEst, Seq("week", "event_type"))
+        .select(
+          col("week"), col("event_type"), col("exact_users"),
+          (abs(col("est").cast("double") - col("exact_users").cast("double")) /
+            col("exact_users").cast("double") <= 0.05).as("within_5pct"))
+        .orderBy(col("week"), col("event_type"))
+    },
+    Some("""SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+            |       TRUE AS within_5pct
+            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta, sketchRollup)
 }

@@ -77,6 +77,20 @@ class PinotCompatSpec extends GraftSuite {
     assert(math.abs(hll - r.getAs[Long]("dc")) / r.getAs[Long]("dc") < 0.1)
   }
 
+  test("DISTINCTCOUNTRAWHLL returns a mergeable sketch: per-type sketches union to the global estimate") {
+    // the Pinot raw-sketch workflow: store per-group sketch bytes, merge
+    // downstream — estimate(union(per-type sketches)) ≈ global distinct
+    val r = one(
+      """SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est
+        |FROM (SELECT event_type, DISTINCTCOUNTRAWHLL(user_id) AS sk
+        |      FROM events GROUP BY event_type)""".stripMargin)
+    import org.apache.spark.sql.functions._
+    val exact = Tables.t(spark, sfDir, "events")
+      .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(r.getAs[Long]("est").toDouble - exact) / exact < 0.05,
+      s"merged estimate ${r.getAs[Long]("est")} vs exact $exact")
+  }
+
   test("FIRSTWITHTIME / LASTWITHTIME") {
     val r = one(
       """SELECT FIRSTWITHTIME(event_type, ts) AS first_t,
