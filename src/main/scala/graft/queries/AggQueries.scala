@@ -336,8 +336,39 @@ object AggQueries {
             |       round(min(l_extendedprice), 2) AS min_price
             |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Pinot SEGMENT_PARTITIONED_DISTINCT_COUNT: when the table is partitioned
+    * on the counted column (segmentPartitionConfig), every segment's distinct
+    * set is DISJOINT, so the exact global distinct count is just the sum of
+    * per-segment local distinct counts — no value set ever merges or
+    * shuffles. Spark-native form: hash-repartition on the column (standing in
+    * for the ingest-time partitioning), then a per-partition local distinct
+    * count via mapPartitions and a tiny scalar sum. Each executor ships ONE
+    * long upward; at 100 TB the merge traffic is `numPartitions × 8 bytes`
+    * regardless of cardinality, vs countDistinct's shuffle of every distinct
+    * value. Oracle: plain COUNT(DISTINCT) — equality IS the disjointness
+    * proof. */
+  private val aggSegPartDistinct = Q(
+    "q_agg_segpart_distinct",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.t(spark, dir, "events")
+      val perPartition = ev.select(col("user_id"))
+        .repartition(32, col("user_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          val seen = new java.util.HashSet[Long]()
+          var n = 0L
+          while (it.hasNext) { if (seen.add(it.next())) n += 1 }
+          Iterator.single(n)
+        }
+      perPartition.toDF("partial")
+        .agg(sum(col("partial")).as("n_distinct_users"))
+    },
+    Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users FROM events"""))
+
   val all: Seq[Q] = Seq(
     aggBasic, aggCount, aggMinMax, aggStats, aggPercentile, aggHistogram,
     aggMode, aggFirstLast, aggHaving, aggFilterClause, distinctRows,
-    aggRollup, aggCube, aggGroupingSets, aggSumPrecision, aggArgMinMax)
+    aggRollup, aggCube, aggGroupingSets, aggSumPrecision, aggArgMinMax,
+    aggSegPartDistinct)
 }

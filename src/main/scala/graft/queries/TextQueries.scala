@@ -197,5 +197,45 @@ object TextQueries {
                    round(max(max_n * 1.0 / total_n), 4) AS max_repetition
             FROM per_doc GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textTfidf, textRepetition)
+  /** X5 context-window chunking (`ops/Chunker`): overlapping 32-token
+    * windows advancing by 24 (8-token overlap), per-language chunk stats +
+    * chunk-level exact-dup count (distinct md5 of chunk text) — the
+    * window prep + chunk dedup step of a training/RAG pipeline. Map-side
+    * explode only; output rows ∝ tokens/stride, never corpus². */
+  private val textChunks = Q(
+    "q_text_chunks",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      graft.ops.Chunker.chunks(d, col("text"), chunkSize = 32, stride = 24)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(md5(col("chunk_text"))).as("n_unique_chunks"),
+          sum(col("chunk_tokens")).cast("long").as("total_chunk_tokens"),
+          max(col("chunk_tokens")).as("max_chunk_tokens"),
+          round(avg(col("chunk_tokens")), 4).as("avg_chunk_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+              FROM documents
+            ), starts AS (
+              SELECT lang, t, n,
+                     unnest(generate_series(0, CAST(ceil(greatest(n-32,0)/24.0) AS BIGINT)*24, 24)) AS s
+              FROM toks
+            ), chunks AS (
+              SELECT lang,
+                     array_to_string(t[s+1 : s+32], ' ') AS chunk_text,
+                     least(32, n - s) AS chunk_tokens
+              FROM starts
+            )
+            SELECT lang, count(*) AS n_chunks,
+                   count(DISTINCT md5(chunk_text)) AS n_unique_chunks,
+                   CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+                   CAST(max(chunk_tokens) AS INT) AS max_chunk_tokens,
+                   round(avg(chunk_tokens), 4) AS avg_chunk_tokens
+            FROM chunks GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textTfidf,
+    textRepetition, textChunks)
 }
