@@ -144,22 +144,10 @@ object PinotFunctions {
         case other => throw new IllegalArgumentException(
           s"TEXT_MATCH query must be a string literal, got $other")
       }
-      def clause(c: String): Expression = {
-        val t = c.trim
-        if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
-          Contains(Lower(args(0)), Literal(t.substring(1, t.length - 1).toLowerCase))
-        else if (t.endsWith("*"))
-          RLike(args(0), Literal("(?i)\\b\\Q" + t.dropRight(1) + "\\E"))
-        else
-          RLike(args(0), Literal("(?i)\\b\\Q" + t + "\\E\\b"))
-      }
-      val hasAnd = query.contains(" AND ")
-      val hasOr = query.contains(" OR ")
-      if (hasAnd && hasOr) throw new IllegalArgumentException(
-        s"TEXT_MATCH: mixed AND/OR not supported without parentheses: $query")
-      val parts = query.split(if (hasAnd) " AND " else " OR ").toSeq
-      val exprs = parts.map(clause)
-      if (hasAnd) exprs.reduce(And) else exprs.reduce(Or)
+      // parse + predicate shared with the index-accelerated path
+      // (graft.sources.TextIndex), which derives candidates from the same
+      // clause structure and re-applies this exact predicate
+      graft.expressions.TextMatchBuilder.predicate(args(0), query)
     }),
     // JSON_MATCH(col, '"$.path" <op> value'): =, !=/<>, </<=/>/>=,
     // IS [NOT] NULL over one JSON path (numbers compare numerically,

@@ -57,8 +57,15 @@ object SortedLayout {
             b.getColumns.asScala.find(_.getPath.toDotString == sortCol).map(_.getStatistics)
           }
           require(stats.nonEmpty, s"no footer stats for $sortCol in ${s.getPath}")
-          val mins = stats.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
-          val maxs = stats.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
+          // BYTE_ARRAY stats surface as parquet Binary — unwrap to String so
+          // probes compare naturally (UTF-8 byte order ≡ String order for
+          // the ASCII domains used here)
+          def unwrap(v: Any): Comparable[Any] = (v match {
+            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+            case o => o
+          }).asInstanceOf[Comparable[Any]]
+          val mins = stats.map(s => unwrap(s.genericGetMin))
+          val maxs = stats.map(s => unwrap(s.genericGetMax))
           FileRange(
             s.getPath.toString,
             mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b),

@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.expressions.TextMatchBuilder
+import graft.expressions.TextMatchBuilder.{Clause, Phrase, Prefix, Term}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBridge
+
+/** Pinot text-index analog (tableIndexConfig `textIndexColumns`, a Lucene
+  * inverted index per segment): TEXT_MATCH normally needs a full scan of the
+  * text column; with the index, the engine resolves query terms against
+  * term→docId postings and touches only candidate documents.
+  *
+  * Spark-native form: a postings table `(term, id)` — one row per distinct
+  * lowercase word-run (`[a-z0-9_]+`, i.e. regex `\w+` post-lowercase) per
+  * document — laid out via [[SortedLayout]] on `term`, so a term lookup
+  * footer-prunes to the one file owning that term range and a `foo*` prefix
+  * becomes a contiguous range scan. Candidate doc-ids then LEFT SEMI join
+  * the base table, and the EXACT full-scan predicate
+  * ([[TextMatchBuilder.predicate]] — the same expression the non-indexed
+  * path runs) is re-applied, so index recall bugs can cost recall only if
+  * the candidate set misses a true match; [[candidateWords]] is constructed
+  * to be a superset:
+  *
+  *  - plain `\w+` term → docs holding exactly that token (word-boundary
+  *    match ⟺ maximal-run match for `\w+` terms);
+  *  - hyphenated/multi-run term or "phrase" → AND over its word runs
+  *    (adjacency/order checked by the re-applied exact predicate);
+  *  - `stem*` prefix → range scan `[stem, stem + MAX_CHAR)` on the last run
+  *    (earlier runs exact); a stem ending in a non-word char keeps all runs
+  *    exact;
+  *  - a clause with no word runs at all → `None` → transparent fallback to
+  *    the full-scan predicate.
+  *
+  * Scale posture: the postings table is ≈ distinct-terms-per-doc rows of
+  * ~(term, 8 B) — a fraction of the text column it indexes — written once;
+  * each term lookup reads ~1 file chosen from footer metadata; the semi-join
+  * ships only candidate ids (8 B), never text. The fallback path is the
+  * same full scan the engine runs today, so the index is purely an
+  * accelerator.
+  */
+object TextIndex {
+
+  private val wordRun = "[a-z0-9_]+".r
+
+  /** Distinct lowercase word-runs of a text column — the tokenizer. Matches
+    * TEXT_MATCH's `\b`-boundary semantics: a `\w+` term matches iff it is a
+    * maximal word-character run of the text. */
+  def termsOf(textColName: String): Column =
+    array_distinct(regexp_extract_all(lower(col(textColName)), lit("[a-z0-9_]+"), lit(0)))
+
+  /** Build the postings layout: (term, id), range-sorted on term. */
+  def build(df: DataFrame, dir: String, idCol: String, textCol: String, nFiles: Int = 8): Unit = {
+    val postings = df
+      .select(col(idCol).as("id"), explode(termsOf(textCol)).as("term"))
+      .select(col("term"), col("id"))
+    SortedLayout.write(postings, dir, "term", nFiles)
+  }
+
+  /** The word-runs a document MUST contain for this clause to match
+    * ((exactTerms, prefixStem)); None when the clause constrains no word
+    * runs and only a full scan can answer it. */
+  private[sources] def candidateWords(c: Clause): Option[(Seq[String], Option[String])] = {
+    def runs(s: String): Seq[String] = wordRun.findAllIn(s.toLowerCase).toSeq
+    c match {
+      case Phrase(s) =>
+        val r = runs(s); if (r.isEmpty) None else Some((r, None))
+      case Term(s) =>
+        val r = runs(s); if (r.isEmpty) None else Some((r, None))
+      case Prefix(stem) =>
+        val r = runs(stem)
+        if (r.isEmpty) None
+        else if (stem.nonEmpty && wordRun.matches(stem.takeRight(1).toLowerCase))
+          Some((r.init, Some(r.last))) // last run is an open prefix
+        else Some((r, None)) // stem ends on a delimiter: all runs exact
+    }
+  }
+
+  private def cmp(s: String): Comparable[Any] = s.asInstanceOf[Comparable[Any]]
+
+  private def lookupExact(spark: SparkSession, dir: String, term: String): DataFrame =
+    SortedLayout.prunedRead(spark, dir, "term", cmp(term), cmp(term)).select("id")
+
+  private def lookupPrefix(spark: SparkSession, dir: String, stem: String): DataFrame =
+    SortedLayout.prunedRead(spark, dir, "term", cmp(stem), cmp(stem + Character.MAX_VALUE))
+      .filter(col("term").startsWith(stem))
+      .select("id").distinct()
+
+  /** Candidate doc-ids for `query`, or None when any clause needs a full
+    * scan. Always a SUPERSET of the true match set. */
+  def candidateIds(spark: SparkSession, dir: String, query: String): Option[DataFrame] = {
+    val (isAnd, clauses) = TextMatchBuilder.parse(query)
+    val perClause: Seq[Option[DataFrame]] = clauses.map { c =>
+      candidateWords(c).map { case (exact, prefix) =>
+        val lookups = exact.map(lookupExact(spark, dir, _)) ++
+          prefix.map(lookupPrefix(spark, dir, _))
+        lookups.reduce((a, b) => a.join(b, "id")).distinct()
+      }
+    }
+    if (perClause.exists(_.isEmpty)) None
+    else {
+      val frames = perClause.flatten
+      Some(
+        if (isAnd) frames.reduce((a, b) => a.join(b, "id")).distinct()
+        else frames.reduce(_ union _).distinct())
+    }
+  }
+
+  /** Index-accelerated TEXT_MATCH: semi-join the candidate ids, then apply
+    * the exact full-scan predicate (bit-identical to the non-indexed path);
+    * transparently falls back to the full scan when the index cannot help. */
+  def textMatch(df: DataFrame, idCol: String, textCol: String,
+      indexDir: String, query: String): DataFrame = {
+    val pred = GraftBridge.column(
+      TextMatchBuilder.predicate(GraftBridge.expression(col(textCol)), query))
+    candidateIds(df.sparkSession, indexDir, query) match {
+      case Some(ids) =>
+        df.join(ids.withColumnRenamed("id", "__tm_id"),
+            col(idCol) === col("__tm_id"), "left_semi")
+          .filter(pred)
+      case None => df.filter(pred)
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.expressions.TextMatchBuilder
+import graft.sources.{SortedLayout, Tables, TextIndex}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBridge
+
+/** Pinot text-index analog: term-sorted postings answer TEXT_MATCH through
+  * footer-pruned term lookups + an exact re-applied predicate. Every query
+  * form must return bit-identical rows to the full-scan path, and term
+  * lookups must NOT touch most postings files. */
+class TextIndexSpec extends GraftSuite {
+
+  private lazy val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+  private lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("graft-textindex").toString
+    TextIndex.build(docs, dir, "doc_id", "text", nFiles = 8)
+    dir
+  }
+
+  private def fullScan(df: DataFrame, query: String): Set[Long] =
+    df.filter(GraftBridge.column(
+        TextMatchBuilder.predicate(GraftBridge.expression(col("text")), query)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def indexed(df: DataFrame, query: String): Set[Long] =
+    TextIndex.textMatch(df, "doc_id", "text", indexDir, query)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("index path ≡ full scan for term / AND / OR / phrase / prefix queries") {
+    val queries = Seq(
+      "spark",
+      "spark AND window",
+      "spark OR merge",
+      "\"batch batch\"",
+      "win*",
+      "scan AND jo*")
+    queries.foreach { q =>
+      val expected = fullScan(docs, q)
+      val got = indexed(docs, q)
+      assert(got === expected, s"query [$q]: index ${got.size} vs scan ${expected.size}")
+      assert(expected.nonEmpty, s"query [$q] matched nothing — test has no teeth")
+    }
+  }
+
+  test("term lookup prunes to a fraction of the postings files") {
+    val ranges = SortedLayout.fileRanges(spark, indexDir, "term")
+    assert(ranges.size >= 4, "postings should span several files")
+    val probe = "spark".asInstanceOf[Comparable[Any]]
+    val hit = SortedLayout.pruneFiles(ranges, probe, probe)
+    assert(hit.size < ranges.size / 2 + 1,
+      s"term lookup touched ${hit.size}/${ranges.size} postings files — no pruning")
+  }
+
+  test("multi-run term (hyphenated) and delimiter-heavy clauses stay exact via fallback predicate") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "send an e-mail to the team"),
+      (2L, "we mail letters"),
+      (3L, "email is different"),
+      (4L, "the e mail gap differs from e-mail"),
+      (5L, "!!! ???")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-textindex-planted").toString
+    TextIndex.build(planted, dir, "doc_id", "text", nFiles = 2)
+
+    // "e-mail" word-runs are [e, mail]: doc 2 has "mail" but no "e" token;
+    // doc 4 has both tokens AND the literal substring — candidates {1,4}
+    // both truly match; doc 3's "email" is one run, excluded
+    val got = TextIndex.textMatch(planted, "doc_id", "text", dir, "e-mail")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 4L))
+
+    // phrase adjacency: candidates need both tokens, exact predicate keeps
+    // only true adjacency
+    val phrase = TextIndex.textMatch(planted, "doc_id", "text", dir, "\"e mail\"")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(phrase === Set(4L)) // only doc 4 has literal "e mail"
+
+    // a clause with no word runs cannot use the index: transparent full scan
+    val none = TextIndex.candidateIds(spark, dir, "\"!!!\"")
+    assert(none.isEmpty)
+    val fallback = TextIndex.textMatch(planted, "doc_id", "text", dir, "\"!!!\"")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fallback === Set(5L))
+  }
+
+  test("prefix stem ending on a delimiter keeps all runs exact") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "foo-bar baz"),
+      (2L, "foobar baz"),
+      (3L, "foo alone")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-textindex-prefix").toString
+    TextIndex.build(planted, dir, "doc_id", "text", nFiles = 2)
+    // "foo-*" → regex \bfoo-  : doc 1 only (doc 2's foobar has no boundary
+    // after foo; doc 3 has no hyphen)
+    val got = TextIndex.textMatch(planted, "doc_id", "text", dir, "foo-*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L))
+  }
+
+  test("candidate sets are supersets: refined result never exceeds candidates") {
+    val Some(cand) = TextIndex.candidateIds(spark, indexDir, "\"batch stream\"")
+    val candidates = cand.collect().map(_.getLong(0)).toSet
+    val truth = fullScan(docs, "\"batch stream\"")
+    assert(truth.subsetOf(candidates),
+      s"candidates missed ${truth.diff(candidates).size} true matches")
+  }
+}
