@@ -158,36 +158,10 @@ object PinotFunctions {
         case other => throw new IllegalArgumentException(
           s"JSON_MATCH filter must be a string literal, got $other")
       }
-      val m = """"([^"]+)"\s*(IS\s+NOT\s+NULL|IS\s+NULL|!=|<>|>=|<=|=|>|<)\s*(.*)""".r
-      filter match {
-        case m(path, op, rest) =>
-          val extracted = GetJsonObject(args(0), Literal(path))
-          op.replaceAll("\\s+", " ").toUpperCase match {
-            case "IS NOT NULL" => IsNotNull(extracted)
-            case "IS NULL" => IsNull(extracted)
-            case cmp =>
-              val v = rest.trim
-              val (left: Expression, right: Expression) =
-                if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
-                  (extracted, Literal(v.substring(1, v.length - 1).replace("''", "'")))
-                else
-                  // TRY cast: a non-numeric string at the JSON path yields
-                  // NULL → predicate false (Pinot's broker treats it as
-                  // non-matching), instead of an ANSI runtime throw
-                  (Cast(extracted, DoubleType, None, EvalMode.TRY),
-                    Literal(v.toDouble))
-              cmp match {
-                case "=" => EqualTo(left, right)
-                case "!=" | "<>" => Not(EqualTo(left, right))
-                case ">" => GreaterThan(left, right)
-                case ">=" => GreaterThanOrEqual(left, right)
-                case "<" => LessThan(left, right)
-                case "<=" => LessThanOrEqual(left, right)
-              }
-          }
-        case _ => throw new IllegalArgumentException(
-          s"""JSON_MATCH: expected '"$$.path" <op> value', got: $filter""")
-      }
+      // parse + predicate shared with the index-accelerated path
+      // (graft.sources.JsonIndex), which derives candidates from the same
+      // grammar and re-applies this exact predicate
+      graft.expressions.JsonMatchBuilder.predicate(args(0), filter)
     }),
     // ---- string (C1) ----
     "strpos" -> (args => Subtract(StringLocate(args(1), args(0), Literal(1)), Literal(1))),

@@ -294,7 +294,46 @@ object DedupQueries {
          |ORDER BY d.source""".stripMargin
     })
 
+  /** X1/X2 semantic dedup — the embedding-space near-dup pipeline END TO
+    * END: SRP(8)-bucket candidate pairs confirmed at cosine ≥ 0.9 become
+    * edges, distributed connected components (ops/Components) groups
+    * semantic duplicates, one keeper (min id) survives per cluster. The
+    * summary row audits the pipeline: vectors in, confirmed edges,
+    * clustered vectors, clusters, survivors out. Oracle replays SRP signs +
+    * raw-double cosine bit-exactly and resolves components with a
+    * recursive min-label CTE.
+    *
+    * Scale: bucket join is the capped-LSH shape (bucket sizes track dup
+    * density, never corpus size), Components is O(log diameter) rounds, and
+    * the final accounting is three scalar aggregates crossed — no value
+    * lists ever reach the driver. */
+  private val dedupSemantic = Q(
+    "q_dedup_semantic",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val withBucket = e
+        .withColumn("bucket", SimilarityQueries.srpBucket(col("embedding"), 8))
+        .persist() // both sides of the bucket self-join
+      val edges = withBucket.as("a")
+        .join(withBucket.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine_sim(col("a.embedding"), col("b.embedding")) >= 0.9)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .persist() // edge count + component input share the confirm join
+      val labelStats = graft.ops.Components.connectedComponents(edges)
+        .agg(
+          count(lit(1)).as("n_clustered"),
+          countDistinct(col("cluster")).as("n_clusters"))
+      e.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(labelStats)
+        .withColumn("n_survivors",
+          col("n_vectors") - (col("n_clustered") - col("n_clusters")))
+    },
+    Some(SimilarityOracles.dedupSemanticSql))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
-    dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring)
+    dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring,
+    dedupSemantic)
 }

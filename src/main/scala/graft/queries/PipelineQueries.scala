@@ -318,6 +318,50 @@ object PipelineQueries {
             |       round(avg(diversity), 4) AS avg_diversity
             |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin))
 
+  /** X5 weighted sampling (Efraimidis–Spirakis): priority = ln(u)/w with a
+    * hash-derived uniform u and weight w = token count, top-k per language
+    * by priority — the deterministic, engine-reproducible way to sample a
+    * corpus proportional to token mass (heavier docs win more often), used
+    * for weighted corpus subsampling without an RNG. Map-only scoring + one
+    * bounded per-lang window (|langs| partitions, k rows kept each).
+    * u ∈ (0,1) strictly via (m + 0.5)/2^53 so ln never sees 0; selection
+    * flips would need two priorities within one ulp of each other —
+    * 53-bit-hash improbable. */
+  private val sampleWeighted = Q(
+    "q_sample_weighted",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val m = pmod(stable_hash64(col("doc_id").cast("string"), 29L), lit(9007199254740992L))
+      val u = (m.cast("double") + 0.5) / 9007199254740992.0
+      val w = size(split(col("text"), " ")).cast("double")
+      val scored = d
+        .withColumn("w", w.cast("long"))
+        .withColumn("priority", log(u) / w)
+      val byPriority = Window.partitionBy(col("lang"))
+        .orderBy(col("priority").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(byPriority))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"), col("w"),
+          round(col("priority"), 6).as("priority"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some {
+      val h = DuckDbSql.hash64U("CAST(doc_id AS VARCHAR)", 29L)
+      s"""WITH scored AS (
+         |  SELECT lang, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |         ln((CAST(($h) % 9007199254740992 AS DOUBLE) + 0.5) / 9007199254740992)
+         |           / len(string_split(text, ' ')) AS priority
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT lang, doc_id, w, priority,
+         |         row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT lang, rk, doc_id, w, round(priority, 6) AS priority
+         |FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
-    splitContamination, sampleMixture, orderShuffle, curriculum)
+    splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted)
 }

@@ -68,6 +68,37 @@ object SimilarityOracles {
        |FROM pairs""".stripMargin
   }
 
+  /** Oracle for q_dedup_semantic: SRP(8)-bucketed cosine≥0.9 edges →
+    * recursive min-label connected components → survivor accounting
+    * (one keeper per cluster, singletons all survive). */
+  lazy val dedupSemanticSql: String = {
+    s"""WITH RECURSIVE bucketed AS (
+       |  SELECT vec_id, embedding, ${srpBucket("embedding", 8)} AS bucket FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.embedding", "b.embedding")} >= 0.9
+       |), sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach(node, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+       |  WHERE r.lbl < s.dst
+       |), labels AS (
+       |  SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+       |)
+       |SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+       |       (SELECT count(*) FROM pairs) AS n_edges,
+       |       count(*) AS n_clustered,
+       |       count(DISTINCT cluster) AS n_clusters,
+       |       (SELECT count(*) FROM embeddings) - (count(*) - count(DISTINCT cluster)) AS n_survivors
+       |FROM labels""".stripMargin
+  }
+
   /** Oracle for q_sim_ann_lsh: SRP(8)-bucketed ANN, queries vec_id < 20,
     * in-bucket top-3 by (rounded sim desc, nid). */
   lazy val annLshSql: String = {

@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.expressions.JsonMatchBuilder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBridge
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Pinot JSON index analog (tableIndexConfig `jsonIndexColumns`): Pinot
+  * flattens each JSON document into path→value postings so JSON_MATCH
+  * resolves against the index instead of parsing every document at query
+  * time.
+  *
+  * Spark-native form: one postings row per top-level scalar key of the JSON
+  * column, with THREE term encodings per entry, laid out term-sorted via
+  * [[SortedLayout]] (footer-pruned lookups, like [[TextIndex]]):
+  *
+  *  - `key  rawValue`   — string equality (`"$.k" = 'abc'`);
+  *  - `key  doubleValue` — numeric equality (`"$.k" = 87`); the
+  *    canonical rendering is produced by Spark's own double→string cast on
+  *    BOTH the build and probe sides, so `87`, `87.0`, `8.7e1` in the
+  *    source JSON all land on one term;
+  *  - `key `            — key-presence (`"$.k" IS NOT NULL`).
+  *
+  * [[jsonMatch]] answers =, numeric =, and IS NOT NULL from the index
+  * (candidate semi-join + the EXACT full-scan predicate re-applied — the
+  * same [[JsonMatchBuilder]] expression the non-indexed path runs), and
+  * transparently falls back to the full scan for every other op
+  * (!=/ranges/IS NULL need complements or numeric order the string-sorted
+  * postings cannot answer) and for nested paths. Like [[TextIndex]] and
+  * [[BloomLayout]], the index is purely an accelerator: recall comes from
+  * the posting construction, precision always from the re-applied
+  * predicate.
+  *
+  * Scale posture: postings ≈ keys-per-doc rows of (short term, 8 B id),
+  * built once in one scan; a JSON_MATCH equality then reads ~1 postings
+  * file (footer-pruned) and semi-joins ids instead of JSON-parsing the
+  * full table.
+  */
+object JsonIndex {
+
+  private val RawSep = "\u0001"
+  private val NumSep = "\u0002"
+  private val PresSep = "\u0003"
+
+  /** Build the postings layout from a column of FLAT JSON objects
+    * (top-level scalar values; nested objects/arrays are not indexed —
+    * queries on them fall back to the full scan). */
+  def build(df: DataFrame, dir: String, idCol: String, jsonCol: String, nFiles: Int = 8): Unit = {
+    val kv = df
+      .select(col(idCol).as("id"),
+        explode(from_json(col(jsonCol), MapType(StringType, StringType))).as(Seq("k", "v")))
+      .filter(col("v").isNotNull) // JSON null: absent for =, and GetJsonObject yields NULL
+    val raw = kv.select(concat(col("k"), lit(RawSep), col("v")).as("term"), col("id"))
+    val num = kv
+      // TRY cast: non-numeric values simply get no numeric posting (ANSI
+      // cast would throw on them)
+      .withColumn("d", expr("try_cast(v AS double)"))
+      .filter(col("d").isNotNull)
+      .select(concat(col("k"), lit(NumSep), col("d").cast("string")).as("term"), col("id"))
+    val pres = kv.select(concat(col("k"), lit(PresSep)).as("term"), col("id")).distinct()
+    SortedLayout.write(raw.union(num).union(pres), dir, "term", nFiles)
+  }
+
+  private def cmp(s: String): Comparable[Any] = s.asInstanceOf[Comparable[Any]]
+
+  private def lookup(spark: SparkSession, dir: String, term: String): DataFrame =
+    SortedLayout.prunedRead(spark, dir, "term", cmp(term), cmp(term)).select("id").distinct()
+
+  /** Spark's canonical double→string rendering, computed BY Spark so probe
+    * terms and build terms cannot diverge. */
+  private def canonicalDouble(spark: SparkSession, d: Double): String =
+    spark.range(1).select(lit(d).cast("double").cast("string")).head().getString(0)
+
+  /** Candidate doc-ids for `filter`, or None when only a full scan can
+    * answer it. Always a superset of the true match set. */
+  def candidateIds(spark: SparkSession, dir: String, filter: String): Option[DataFrame] = {
+    val p = JsonMatchBuilder.parse(filter)
+    if (!p.path.startsWith("$.") || p.path.drop(2).exists(c => c == '.' || c == '['))
+      return None // nested paths are not in the flat postings
+    val key = p.path.drop(2)
+    (p.op, p.value) match {
+      case ("IS NOT NULL", _) => Some(lookup(spark, dir, key + PresSep))
+      case ("=", Some(Left(s))) => Some(lookup(spark, dir, key + RawSep + s))
+      case ("=", Some(Right(d))) =>
+        Some(lookup(spark, dir, key + NumSep + canonicalDouble(spark, d)))
+      case _ => None // complements / ranges / IS NULL: full scan
+    }
+  }
+
+  /** Index-accelerated JSON_MATCH: semi-join candidates then apply the
+    * exact scan predicate; transparent full-scan fallback otherwise. */
+  def jsonMatch(df: DataFrame, idCol: String, jsonCol: String,
+      indexDir: String, filter: String): DataFrame = {
+    val pred = GraftBridge.column(
+      JsonMatchBuilder.predicate(GraftBridge.expression(col(jsonCol)), filter))
+    candidateIds(df.sparkSession, indexDir, filter) match {
+      case Some(ids) =>
+        df.join(ids.withColumnRenamed("id", "__jm_id"),
+            col(idCol) === col("__jm_id"), "left_semi")
+          .filter(pred)
+      case None => df.filter(pred)
+    }
+  }
+}

@@ -187,6 +187,23 @@ object EventIngest {
     events.filter(col("ts") >= cutoff)
   }
 
+  /** Pinot dedupConfig `metadataTTL` analog (T6 refinement): stream dedup
+    * whose per-key state is EVICTED once the event-time watermark passes the
+    * key's first-seen time + TTL — Pinot's TTL-bounded dedup metadata map.
+    * Spark-native form: `dropDuplicatesWithinWatermark(keys)` under a
+    * `withWatermark(ttl)` — duplicates arriving within the TTL are
+    * suppressed EVEN IF their event times differ (redelivery with a skewed
+    * timestamp), and a key re-arriving after its state expired is admitted
+    * again, exactly like Pinot after metadata TTL expiry.
+    *
+    * The 100 TB posture is the point: unbounded-retention dedup state grows
+    * with stream LIFETIME; TTL state tracks keys-per-TTL-window, making
+    * state size a function of throughput × TTL — a constant for a sized
+    * cluster. */
+  def dedupWithTtl(events: DataFrame, keys: Seq[String], ttl: String,
+      tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, ttl).dropDuplicatesWithinWatermark(keys)
+
   /** T4 superset: watermarked tumbling-window revenue aggregation (the Spark
     * form of the reference's query-time DATETRUNC windows, plus late-data
     * bounds Pinot lacks). */

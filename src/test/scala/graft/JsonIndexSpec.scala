@@ -1,0 +1,74 @@
+package graft
+
+import graft.expressions.JsonMatchBuilder
+import graft.sources.{JsonIndex, SortedLayout, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBridge
+
+/** Pinot JSON index analog: flattened path→value postings answer JSON_MATCH
+  * equality/presence through footer-pruned lookups + the exact re-applied
+  * predicate; everything else transparently full-scans. */
+class JsonIndexSpec extends GraftSuite {
+
+  private def fullScan(df: DataFrame, jsonCol: String, idCol: String, filter: String): Set[Long] =
+    df.filter(GraftBridge.column(
+        JsonMatchBuilder.predicate(GraftBridge.expression(col(jsonCol)), filter)))
+      .select(idCol).collect().map(_.getLong(0)).toSet
+
+  private def indexed(df: DataFrame, jsonCol: String, idCol: String,
+      dir: String, filter: String): Set[Long] =
+    JsonIndex.jsonMatch(df, idCol, jsonCol, dir, filter)
+      .select(idCol).collect().map(_.getLong(0)).toSet
+
+  test("numeric equality on the events props column: index ≡ scan, with file pruning") {
+    val ev = Tables.t(spark, sfDir, "events").select("event_id", "props")
+    val dir = Files.createTempDirectory("graft-jsonindex").toString
+    JsonIndex.build(ev, dir, "event_id", "props", nFiles = 8)
+
+    Seq("\"$.k\" = 42", "\"$.k\" = 87", "\"$.k\" IS NOT NULL").foreach { f =>
+      val expected = fullScan(ev, "props", "event_id", f)
+      assert(indexed(ev, "props", "event_id", dir, f) === expected, s"filter [$f]")
+      assert(expected.nonEmpty, s"filter [$f] matched nothing — test has no teeth")
+    }
+
+    // range/complement ops fall back but stay exact
+    Seq("\"$.k\" > 90", "\"$.k\" != 42", "\"$.k\" IS NULL").foreach { f =>
+      assert(JsonIndex.candidateIds(spark, dir, f).isEmpty, s"[$f] should full-scan")
+      assert(indexed(ev, "props", "event_id", dir, f) ===
+        fullScan(ev, "props", "event_id", f), s"filter [$f]")
+    }
+
+    // pruning evidence: an equality probe touches a strict minority of files
+    val ranges = SortedLayout.fileRanges(spark, dir, "term")
+    assert(ranges.size >= 4)
+    val probe = ("k\u000242.0")  /* the numeric term for k = 42 */.asInstanceOf[Comparable[Any]]
+    val hit = SortedLayout.pruneFiles(ranges, probe, probe)
+    assert(hit.size < ranges.size, s"no pruning: ${hit.size}/${ranges.size}")
+  }
+
+  test("string values, JSON nulls, numeric renderings, nested paths") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, """{"tag": "alpha", "n": 87}"""),
+      (2L, """{"tag": "beta", "n": 87.0}"""),
+      (3L, """{"tag": null, "n": 8.7e1}"""),
+      (4L, """{"n": "eightyseven"}"""),
+      (5L, """{"tag": "alpha beta", "nested": {"n": 87}}""")).toDF("id", "js")
+    val dir = Files.createTempDirectory("graft-jsonindex-planted").toString
+    JsonIndex.build(planted, dir, "id", "js", nFiles = 2)
+
+    // all three numeric renderings of 87 land on one canonical term
+    assert(indexed(planted, "js", "id", dir, "\"$.n\" = 87") === Set(1L, 2L, 3L))
+    // string equality is raw-text; "alpha" ≠ "alpha beta"
+    assert(indexed(planted, "js", "id", dir, "\"$.tag\" = 'alpha'") === Set(1L))
+    // JSON null is NOT presence (matches GetJsonObject semantics)
+    assert(indexed(planted, "js", "id", dir, "\"$.tag\" IS NOT NULL") === Set(1L, 2L, 5L))
+    // nested path: no index entry → fallback, still exact
+    assert(JsonIndex.candidateIds(spark, dir, "\"$.nested.n\" = 87").isEmpty)
+    assert(indexed(planted, "js", "id", dir, "\"$.nested.n\" = 87") === Set(5L))
+    // non-numeric value gets no numeric posting and never matches numerically
+    assert(indexed(planted, "js", "id", dir, "\"$.n\" = 0") === Set.empty[Long])
+  }
+}
