@@ -311,12 +311,19 @@ object DedupQueries {
     "q_dedup_semantic",
     (spark, dir) => {
       val e = Tables.t(spark, dir, "embeddings")
-      val withBucket = e
-        .withColumn("bucket", SimilarityQueries.srpBucket(col("embedding"), 8))
+      // salt-split cap (Dedup.saltSplit, same contract as the MinHash LSH
+      // pipeline): an overfull SRP bucket is deterministically split into
+      // id-mod sub-buckets, so candidate pairs are O(n·cap) — never
+      // bucket², the all-pairs failure mode at corpus scale. No effect at
+      // gate SF (buckets ≪ 256); the oracle replicates the split exactly.
+      val withBucket = graft.ops.Dedup.saltSplit(
+          e.withColumn("bucket", SimilarityQueries.srpBucket(col("embedding"), 8)),
+          Seq("bucket"), "vec_id", 256)
         .persist() // both sides of the bucket self-join
       val edges = withBucket.as("a")
         .join(withBucket.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub") &&
+            col("a.vec_id") < col("b.vec_id"))
         .filter(cosine_sim(col("a.embedding"), col("b.embedding")) >= 0.9)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
         .persist() // edge count + component input share the confirm join

@@ -74,10 +74,18 @@ object SimilarityOracles {
   lazy val dedupSemanticSql: String = {
     s"""WITH RECURSIVE bucketed AS (
        |  SELECT vec_id, embedding, ${srpBucket("embedding", 8)} AS bucket FROM embeddings
+       |), counted AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         count(*) OVER (PARTITION BY bucket) AS bk_n
+       |  FROM bucketed
+       |), salted AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         vec_id % CAST(ceil(bk_n / 256.0) AS BIGINT) AS sub
+       |  FROM counted
        |), pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM bucketed a JOIN bucketed b
-       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  FROM salted a JOIN salted b
+       |    ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
        |  WHERE ${cos("a.embedding", "b.embedding")} >= 0.9
        |), sym AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
