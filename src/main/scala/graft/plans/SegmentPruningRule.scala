@@ -1,0 +1,183 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.sources.SortedLayout
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+/** Transparent segment pruning — the Pinot BROKER behavior for sorted
+  * columns: the broker consults per-segment [min,max] metadata and routes a
+  * query only to the segments whose range can match; the query itself is
+  * unchanged (`/root/reference/README.md:22` "optimizes segment pruning").
+  * `sources/SortedLayout` provides the layout + explicit `prunedRead` API;
+  * this rule makes the same decision AUTOMATICALLY for any query shape.
+  *
+  * [[SegmentPruning.register]] reads the footer manifest once (bytes per
+  * file, like Pinot's segment metadata) and installs
+  * [[SegmentPruningRule]] on the session. The rule then rewrites
+  *
+  *   Filter(.. sortCol ⋈ literal .., scan(path))   ⋈ ∈ {=, >, >=, <, <=}
+  *
+  * into the same Filter over a scan whose file index lists ONLY the files
+  * whose [min,max] intersect the conjunct's bounds. The Filter stays in the
+  * plan (exact predicate, pushed to parquet row groups on the survivors),
+  * output attributes are reused verbatim, and any shape the rule does not
+  * recognize — disjunctions at the top level, non-literal comparisons,
+  * other columns — simply keeps the full scan. Pruning can only remove
+  * files the footer PROVES cannot match, so the rewrite is always safe.
+  *
+  * Session-gated like StarTree: only fact paths registered in THIS
+  * session's conf (`spark.graft.segprune.facts`) are rewritten, and the
+  * manifest is fingerprinted against the file listing (count+bytes+mtimes)
+  * at registration, so a rewritten/regenerated layout deregisters itself
+  * rather than serving stale prune decisions.
+  *
+  * Scale posture: the decision is O(|files|) over driver-resident (min,max)
+  * pairs — a few hundred KB at 100 TB — and turns point/range lookups from
+  * full-table scans into constant-file scans with NO query rewrite by the
+  * user, exactly what makes sorted columns Pinot's cheapest index.
+  */
+object SegmentPruning {
+
+  final case class Entry(
+      path: String,
+      sortCol: String,
+      ranges: Seq[SortedLayout.FileRange],
+      fingerprint: String)
+
+  private val registry = new ConcurrentHashMap[String, Entry]()
+
+  private[graft] val ConfFacts = "spark.graft.segprune.facts"
+
+  private[plans] def canon(p: String): String = StarTree.canon(p)
+
+  private def fingerprintOf(dir: String): String = {
+    val f = new java.io.File(canon(dir))
+    val sig = Option(f.listFiles).map(_.filter(_.isFile).sortBy(_.getName)
+      .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|")).getOrElse("absent")
+    java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL)
+  }
+
+  /** Read the footer manifest for a SortedLayout-written `dir` and enable
+    * transparent pruning on `sortCol` for this session. */
+  def register(spark: SparkSession, dir: String, sortCol: String): Entry = {
+    val entry = Entry(canon(dir), sortCol,
+      SortedLayout.fileRanges(spark, dir, sortCol), fingerprintOf(dir))
+    registry.put(entry.path, entry)
+    val enabled = spark.conf.get(ConfFacts, "")
+    if (!enabled.split(';').contains(entry.path))
+      spark.conf.set(ConfFacts, if (enabled.isEmpty) entry.path else s"$enabled;${entry.path}")
+    if (!spark.experimental.extraOptimizations.contains(SegmentPruningRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SegmentPruningRule
+    entry
+  }
+
+  /** Valid only while the layout on disk is the one the manifest described. */
+  private[plans] def entryFor(path: String): Option[Entry] =
+    Option(registry.get(path)).filter(e => e.fingerprint == fingerprintOf(e.path))
+
+  private[graft] def clear(): Unit = registry.clear()
+}
+
+object SegmentPruningRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = conf.getConfString(SegmentPruning.ConfFacts, "")
+    if (enabled.isEmpty) return plan
+    val facts = enabled.split(';').toSet
+    plan.transformUp {
+      case f @ Filter(cond, l: LogicalRelation) =>
+        prune(cond, l, facts).map(nl => Filter(cond, nl)).getOrElse(f)
+      case f @ Filter(cond, Project(p, l: LogicalRelation))
+          if p.forall(_.isInstanceOf[AttributeReference]) =>
+        prune(cond, l, facts).map(nl => Filter(cond, Project(p, nl))).getOrElse(f)
+      case f @ Project(p, Filter(cond, l: LogicalRelation))
+          if p.forall(_.isInstanceOf[AttributeReference]) =>
+        prune(cond, l, facts).map(nl => Project(p, Filter(cond, nl))).getOrElse(f)
+    }
+  }
+
+  private def scanPath(l: LogicalRelation): Option[(HadoopFsRelation, String)] = l.relation match {
+    case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 &&
+        fs.partitionSchema.isEmpty =>
+      Some((fs, SegmentPruning.canon(fs.location.rootPaths.head.toString)))
+    case _ => None
+  }
+
+  /** Conjuncts of the top-level AND. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Bounds [lo, hi] (None = unbounded) implied by one conjunct on `c`.
+    * Strict bounds are safe to relax to inclusive — pruning keeps a
+    * superset, the Filter decides exactly. */
+  private def boundsOf(e: Expression, c: String): Option[(Option[Any], Option[Any])] = {
+    def isCol(x: Expression) = x match {
+      case a: AttributeReference => a.name == c
+      case _ => false
+    }
+    e match {
+      case EqualTo(a, Literal(v, _)) if isCol(a) => Some((Some(v), Some(v)))
+      case EqualTo(Literal(v, _), a) if isCol(a) => Some((Some(v), Some(v)))
+      case GreaterThan(a, Literal(v, _)) if isCol(a) => Some((Some(v), None))
+      case GreaterThanOrEqual(a, Literal(v, _)) if isCol(a) => Some((Some(v), None))
+      case LessThan(a, Literal(v, _)) if isCol(a) => Some((None, Some(v)))
+      case LessThanOrEqual(a, Literal(v, _)) if isCol(a) => Some((None, Some(v)))
+      case GreaterThan(Literal(v, _), a) if isCol(a) => Some((None, Some(v)))
+      case GreaterThanOrEqual(Literal(v, _), a) if isCol(a) => Some((None, Some(v)))
+      case LessThan(Literal(v, _), a) if isCol(a) => Some((Some(v), None))
+      case LessThanOrEqual(Literal(v, _), a) if isCol(a) => Some((Some(v), None))
+      case _ => None
+    }
+  }
+
+  /** Align a literal with the manifest's stat type (parquet footers surface
+    * int32 as Integer, int64 as Long, strings as String via SortedLayout's
+    * unwrap); mismatched/unsupported pairs veto pruning, never break it. */
+  private def align(v: Any, sample: Any): Option[Comparable[Any]] = {
+    val out: Any = (v, sample) match {
+      case (x: java.lang.Number, _: java.lang.Long) => x.longValue()
+      case (x: java.lang.Number, _: java.lang.Integer) => x.intValue()
+      case (x: java.lang.Number, _: java.lang.Double) => x.doubleValue()
+      case (x: org.apache.spark.unsafe.types.UTF8String, _: String) => x.toString
+      case (x: String, _: String) => x
+      case _ => null
+    }
+    Option(out).map(_.asInstanceOf[Comparable[Any]])
+  }
+
+  private def prune(cond: Expression, l: LogicalRelation,
+      facts: Set[String]): Option[LogicalRelation] = {
+    for {
+      (fs, path) <- scanPath(l)
+      if facts.contains(path)
+      entry <- SegmentPruning.entryFor(path)
+      if entry.ranges.nonEmpty
+      bounds = conjuncts(cond).filter(_.deterministic)
+        .flatMap(boundsOf(_, entry.sortCol))
+      if bounds.nonEmpty
+      sample = entry.ranges.head.min: Any
+      lo = bounds.flatMap(_._1).flatMap(align(_, sample)) // tightest lower
+        .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b)
+      hi = bounds.flatMap(_._2).flatMap(align(_, sample))
+        .reduceOption((a, b) => if (a.compareTo(b) <= 0) a else b)
+      if lo.isDefined || hi.isDefined
+      keep = entry.ranges.filter(r =>
+        lo.forall(v => r.max.compareTo(v) >= 0) && hi.forall(v => r.min.compareTo(v) <= 0))
+      if keep.size < entry.ranges.size // only rewrite when pruning wins
+    } yield {
+      val session = l.relation.asInstanceOf[HadoopFsRelation].sparkSession
+      val newLoc = new InMemoryFileIndex(
+        session, keep.map(r => new Path(r.path)), Map.empty, Some(fs.dataSchema))
+      l.copy(relation = fs.copy(location = newLoc)(session))
+    }
+  }
+}

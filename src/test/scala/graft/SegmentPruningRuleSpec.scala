@@ -1,0 +1,89 @@
+package graft
+
+import graft.plans.SegmentPruning
+import graft.sources.{SortedLayout, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transparent broker-style segment pruning: after register(), ordinary
+  * queries over the sorted layout scan only the files whose footer range
+  * can match — no prunedRead call, no query rewrite by the user. */
+class SegmentPruningRuleSpec extends GraftSuite {
+
+  private def scanFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def find(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Some(f)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case other => other.children.view.flatMap(find(_)).headOption
+    }
+    find(df.queryExecution.executedPlan).get.metrics("numFiles").value
+  }
+
+  private lazy val layout: (String, Long) = {
+    val dir = Files.createTempDirectory("graft-segprune").toString
+    val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id", "value")
+    SortedLayout.write(ev, dir, "user_id", nFiles = 8)
+    val mid = SortedLayout.fileRanges(spark, dir, "user_id")
+      .sortBy(_.min.asInstanceOf[java.lang.Long].longValue())(Ordering.Long)
+      .apply(4).min.asInstanceOf[java.lang.Long].longValue()
+    (dir, mid)
+  }
+
+  test("point lookup through a registered session scans <=2 files, unregistered scans all") {
+    val (dir, probe) = layout
+    val s2 = spark.newSession()
+    SegmentPruning.register(s2, dir, "user_id")
+
+    val base = spark.read.parquet(dir).filter(col("user_id") === probe)
+    val routed = s2.read.parquet(dir).filter(col("user_id") === probe)
+    assert(scanFiles(base) === 8L, "unregistered session must see the full layout")
+    assert(scanFiles(routed) <= 2L, "registered session must footer-prune the point lookup")
+    assert(routed.collect().map(_.toString).sorted === base.collect().map(_.toString).sorted)
+    assert(routed.count() > 0)
+  }
+
+  test("range predicate and aggregate-on-top both prune; other columns do not") {
+    val (dir, probe) = layout
+    val s2 = spark.newSession()
+    SegmentPruning.register(s2, dir, "user_id")
+
+    val range = s2.read.parquet(dir)
+      .filter(col("user_id") >= probe - 1 && col("user_id") <= probe + 1)
+    val rangeFiles = scanFiles(range)
+    assert(rangeFiles < 8L, s"range lookup must prune, scanned $rangeFiles")
+    assert(range.count() ===
+      spark.read.parquet(dir)
+        .filter(col("user_id") >= probe - 1 && col("user_id") <= probe + 1).count())
+
+    // the Filter sits under an Aggregate here — still rewritten
+    val agg = s2.read.parquet(dir).filter(col("user_id") === probe)
+      .agg(sum(col("value")).as("s"))
+    assert(scanFiles(agg) <= 2L)
+
+    // predicate on a non-sort column: rule must not touch the scan
+    val other = s2.read.parquet(dir).filter(col("event_id") === 1L)
+    assert(scanFiles(other) === 8L)
+  }
+
+  test("stale layout deregisters itself: rewritten files stop pruning, results stay exact") {
+    val dir = Files.createTempDirectory("graft-segprune-stale").toString
+    val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id")
+    SortedLayout.write(ev, dir, "user_id", nFiles = 4)
+    val s2 = spark.newSession()
+    SegmentPruning.register(s2, dir, "user_id")
+
+    // regenerate the layout UNSORTED (hash spray): old manifest is now wrong
+    ev.repartition(4).write.mode("overwrite").parquet(dir)
+    val probe = ev.select("user_id").head().getLong(0)
+    val q = s2.read.parquet(dir).filter(col("user_id") === probe)
+    // fingerprint mismatch → no pruning → full scan, exact result
+    assert(scanFiles(q) === 4L)
+    assert(q.count() === ev.filter(col("user_id") === probe).count())
+  }
+}
