@@ -31,6 +31,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFil
   * other columns — simply keeps the full scan. Pruning can only remove
   * files the footer PROVES cannot match, so the rewrite is always safe.
   *
+  * [[SegmentPruning.registerBloom]] does the same for BloomLayout-written
+  * hash layouts: EqualTo literals on the indexed column prune through the
+  * per-file bloom bitsets (Pinot bloomFilterColumns at the broker); range
+  * predicates on hash layouts cannot prune and keep the full scan. The
+  * bloom probe hashes through a 1-row Spark job at planning time — the
+  * same driver-side metadata cost class as the footer compare.
+  *
   * Session-gated like StarTree: only fact paths registered in THIS
   * session's conf (`spark.graft.segprune.facts`) are rewritten, and the
   * manifest is fingerprinted against the file listing (count+bytes+mtimes)
@@ -44,10 +51,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFil
   */
 object SegmentPruning {
 
+  /** One registered prunable layout: footer ranges (sorted layout) and/or
+    * bloom bitsets (hash layout) for `col` — either list may be empty. */
   final case class Entry(
       path: String,
       sortCol: String,
       ranges: Seq[SortedLayout.FileRange],
+      blooms: Seq[graft.sources.BloomLayout.FileBloom],
       fingerprint: String)
 
   private val registry = new ConcurrentHashMap[String, Entry]()
@@ -64,10 +74,20 @@ object SegmentPruning {
   }
 
   /** Read the footer manifest for a SortedLayout-written `dir` and enable
-    * transparent pruning on `sortCol` for this session. */
-  def register(spark: SparkSession, dir: String, sortCol: String): Entry = {
-    val entry = Entry(canon(dir), sortCol,
-      SortedLayout.fileRanges(spark, dir, sortCol), fingerprintOf(dir))
+    * transparent range+equality pruning on `sortCol` for this session. */
+  def register(spark: SparkSession, dir: String, sortCol: String): Entry =
+    install(spark, Entry(canon(dir), sortCol,
+      SortedLayout.fileRanges(spark, dir, sortCol), Nil, fingerprintOf(dir)))
+
+  /** Build the per-file bloom manifest for a BloomLayout-written `dir` and
+    * enable transparent EQUALITY pruning on `col` for this session (hash
+    * layouts have no per-file order, so ranges cannot prune — the bloom
+    * answers point predicates instead). */
+  def registerBloom(spark: SparkSession, dir: String, col: String): Entry =
+    install(spark, Entry(canon(dir), col, Nil,
+      graft.sources.BloomLayout.buildManifest(spark, dir, col), fingerprintOf(dir)))
+
+  private def install(spark: SparkSession, entry: Entry): Entry = {
     registry.put(entry.path, entry)
     val enabled = spark.conf.get(ConfFacts, "")
     if (!enabled.split(';').contains(entry.path))
@@ -154,29 +174,63 @@ object SegmentPruningRule extends Rule[LogicalPlan] {
     Option(out).map(_.asInstanceOf[Comparable[Any]])
   }
 
+  /** Footer-range decision: files whose [min,max] intersects the conjuncts'
+    * tightest bounds on the sort column. */
+  private def rangeKeep(entry: SegmentPruning.Entry,
+      cs: Seq[Expression]): Option[Seq[String]] = {
+    val bounds = cs.flatMap(boundsOf(_, entry.sortCol))
+    if (bounds.isEmpty) return None
+    val sample = entry.ranges.head.min: Any
+    val lo = bounds.flatMap(_._1).flatMap(align(_, sample)) // tightest lower
+      .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b)
+    val hi = bounds.flatMap(_._2).flatMap(align(_, sample))
+      .reduceOption((a, b) => if (a.compareTo(b) <= 0) a else b)
+    if (lo.isEmpty && hi.isEmpty) None
+    else Some(entry.ranges.filter(r =>
+      lo.forall(v => r.max.compareTo(v) >= 0) && hi.forall(v => r.min.compareTo(v) <= 0))
+      .map(_.path))
+  }
+
+  /** Bloom decision: files whose bitset admits an EqualTo literal on the
+    * indexed column. The probe is hashed BY Spark (BloomLayout contract) so
+    * it cannot diverge from the build-side hashing. */
+  private def bloomKeep(entry: SegmentPruning.Entry, cs: Seq[Expression],
+      session: org.apache.spark.sql.SparkSession): Option[Seq[String]] = {
+    def isCol(x: Expression) = x match {
+      case a: AttributeReference => a.name == entry.sortCol
+      case _ => false
+    }
+    val eq = cs.collectFirst {
+      case EqualTo(a, Literal(v, _)) if isCol(a) => v
+      case EqualTo(Literal(v, _), a) if isCol(a) => v
+    }
+    eq.map { v =>
+      val probe: Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => other
+      }
+      val positions = graft.sources.BloomLayout.hashPositions(session, probe)
+      graft.sources.BloomLayout.pruneFiles(entry.blooms, positions).map(_.path)
+    }
+  }
+
   private def prune(cond: Expression, l: LogicalRelation,
       facts: Set[String]): Option[LogicalRelation] = {
     for {
       (fs, path) <- scanPath(l)
       if facts.contains(path)
       entry <- SegmentPruning.entryFor(path)
-      if entry.ranges.nonEmpty
-      bounds = conjuncts(cond).filter(_.deterministic)
-        .flatMap(boundsOf(_, entry.sortCol))
-      if bounds.nonEmpty
-      sample = entry.ranges.head.min: Any
-      lo = bounds.flatMap(_._1).flatMap(align(_, sample)) // tightest lower
-        .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b)
-      hi = bounds.flatMap(_._2).flatMap(align(_, sample))
-        .reduceOption((a, b) => if (a.compareTo(b) <= 0) a else b)
-      if lo.isDefined || hi.isDefined
-      keep = entry.ranges.filter(r =>
-        lo.forall(v => r.max.compareTo(v) >= 0) && hi.forall(v => r.min.compareTo(v) <= 0))
-      if keep.size < entry.ranges.size // only rewrite when pruning wins
+      session = l.relation.asInstanceOf[HadoopFsRelation].sparkSession
+      cs = conjuncts(cond).filter(_.deterministic)
+      total = if (entry.ranges.nonEmpty) entry.ranges.size else entry.blooms.size
+      keep <-
+        if (entry.ranges.nonEmpty) rangeKeep(entry, cs)
+        else if (entry.blooms.nonEmpty) bloomKeep(entry, cs, session)
+        else None
+      if keep.size < total // only rewrite when pruning wins
     } yield {
-      val session = l.relation.asInstanceOf[HadoopFsRelation].sparkSession
       val newLoc = new InMemoryFileIndex(
-        session, keep.map(r => new Path(r.path)), Map.empty, Some(fs.dataSchema))
+        session, keep.map(new Path(_)), Map.empty, Some(fs.dataSchema))
       l.copy(relation = fs.copy(location = newLoc)(session))
     }
   }

@@ -71,6 +71,33 @@ class SegmentPruningRuleSpec extends GraftSuite {
     assert(scanFiles(other) === 8L)
   }
 
+  test("bloom-registered hash layout prunes equality predicates, not ranges") {
+    import graft.sources.BloomLayout
+    val dir = Files.createTempDirectory("graft-segprune-bloom").toString
+    val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id", "value")
+    BloomLayout.write(ev, dir, "user_id", nFiles = 8)
+    val s2 = spark.newSession()
+    SegmentPruning.registerBloom(s2, dir, "user_id")
+    val nFiles = spark.read.parquet(dir).inputFiles.length.toLong
+
+    val probe = ev.select("user_id").head().getLong(0)
+    val eq = s2.read.parquet(dir).filter(col("user_id") === probe)
+    assert(scanFiles(eq) < nFiles, "bloom must skip files for an equality probe")
+    assert(eq.count() === ev.filter(col("user_id") === probe).count())
+    assert(eq.count() > 0)
+
+    // an absent key prunes to (almost) nothing and returns zero rows
+    val absent = s2.read.parquet(dir).filter(col("user_id") === -987654321L)
+    assert(absent.count() === 0L)
+
+    // ranges cannot use a bloom: full scan, exact result
+    val range = s2.read.parquet(dir)
+      .filter(col("user_id") >= probe - 1 && col("user_id") <= probe + 1)
+    assert(scanFiles(range) === nFiles)
+    assert(range.count() ===
+      ev.filter(col("user_id") >= probe - 1 && col("user_id") <= probe + 1).count())
+  }
+
   test("stale layout deregisters itself: rewritten files stop pruning, results stay exact") {
     val dir = Files.createTempDirectory("graft-segprune-stale").toString
     val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id")
