@@ -21,7 +21,8 @@ object Registry {
     EmbeddingQueries.all,
     PipelineQueries.all,
     MultimodalQueries.all,
-    StarTreeQueries.all)
+    StarTreeQueries.all,
+    IndexQueries.all)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

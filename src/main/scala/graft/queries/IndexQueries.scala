@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Q
+import graft.plans.SegmentPruning
+import graft.sources.{SortedLayout, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Index-served lookups (plans/SegmentPruningRule): the declared query is
+  * written against an ordinary parquet scan of a sorted-layout copy of
+  * events — the session-gated rule prunes the scan to the files whose
+  * footer range can match, with NO prunedRead call in the query text. The
+  * DuckDB oracle runs the same SQL over the raw events table, so the gate
+  * proves the routed result is value-identical to the unpruned scan
+  * (SegmentPruningRuleSpec separately proves, via scan metrics, that the
+  * routed plan really does skip files).
+  *
+  * The sorted copy is built once into a fingerprinted tmp dir (fact mtime
+  * in the key — a regenerated fixture rebuilds it), the same build-once
+  * cost model as the star-tree rollup and Pinot's segment-build-time
+  * sorted column.
+  */
+object IndexQueries {
+
+  private def sortedEventsCopy(spark: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val ver = if (src.isFile) s"${src.length}:${src.lastModified}"
+      else Option(src.listFiles).map(_.map(c => c.length + c.lastModified).sum)
+        .getOrElse(0L).toString
+    val fp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$ver") & 0xffffffffL)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_events_$fp"
+    if (!new java.io.File(out, "_SUCCESS").exists) {
+      SortedLayout.write(
+        Tables.t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        out, "user_id", nFiles = 8)
+    }
+    out
+  }
+
+  /** A user-segment range lookup + aggregate through the routed session:
+    * the shape a Pinot broker serves from sorted-column segment metadata. */
+  private val segpruneRange = Q(
+    "q_idx_prune_range",
+    (spark, dir) => {
+      val sorted = sortedEventsCopy(spark, dir)
+      val s = spark.newSession()
+      SegmentPruning.register(s, sorted, "user_id")
+      s.read.parquet(sorted)
+        .filter(col("user_id") >= 10 && col("user_id") <= 20)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+            |FROM events
+            |WHERE user_id >= 10 AND user_id <= 20
+            |GROUP BY event_type
+            |ORDER BY event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(segpruneRange)
+}

@@ -214,5 +214,37 @@ object SketchQueries {
             |       TRUE AS within_5pct
             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta, sketchRollup)
+  /** A5+: DISTINCT_COUNT_SMART_HLL — Pinot's adaptive distinct: serve the
+    * EXACT count while a group's cardinality is below the threshold, switch
+    * to the HLL sketch above it (bounded memory for heavy groups, exactness
+    * for the long tail). Same hard-oracle shape as q_sketch_hll: the exact
+    * count and the deterministic switch decision are hashed; the sketch
+    * estimate participates only through a within-bound boolean, so a
+    * drifting estimate on a sketch-served group fails the gate. */
+  private val sketchSmart = Q(
+    "q_sketch_smart",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      val threshold = 50L
+      ev.groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("ap"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (col("exact_users") > threshold).as("served_by_sketch"),
+          (col("exact_users") <= threshold ||
+            abs(col("ap").cast("double") - col("exact_users").cast("double")) /
+              col("exact_users").cast("double") <= 0.05).as("within_5pct"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+            |       count(DISTINCT user_id) > 50 AS served_by_sketch,
+            |       TRUE AS within_5pct
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta, sketchRollup,
+    sketchSmart)
 }

@@ -199,7 +199,35 @@ object WindowQueries {
             |  FROM customer
             |) WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin))
 
+  /** NTH_VALUE over an explicit full-partition frame (both engines default
+    * NTH_VALUE to the running frame, which is order-prefix-dependent; the
+    * full frame is the deterministic, Pinot-multistage-compatible form). */
+  private val winNth = Q(
+    "q_win_nth",
+    (spark, dir) => {
+      val cust = Tables.t(spark, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cust
+        .withColumn("second_bal", round(nth_value(col("c_acctbal"), 2).over(w), 2))
+        .withColumn("third_key", nth_value(col("c_custkey"), 3).over(w))
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_mktsegment"), col("second_bal"), col("third_key"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment, second_bal, third_key FROM (
+            |  SELECT c_custkey, c_mktsegment,
+            |         round(nth_value(c_acctbal, 2) OVER (PARTITION BY c_mktsegment
+            |               ORDER BY c_acctbal DESC, c_custkey ASC
+            |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_bal,
+            |         nth_value(c_custkey, 3) OVER (PARTITION BY c_mktsegment
+            |               ORDER BY c_acctbal DESC, c_custkey ASC
+            |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+            |  FROM customer
+            |) WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     winTopN, winRank, winRunning, winLeadLag, winFirstLast, winRange, winNtile,
-    winDist)
+    winDist, winNth)
 }
