@@ -66,12 +66,8 @@ object SegmentPruning {
 
   private[plans] def canon(p: String): String = StarTree.canon(p)
 
-  private def fingerprintOf(dir: String): String = {
-    val f = new java.io.File(canon(dir))
-    val sig = Option(f.listFiles).map(_.filter(_.isFile).sortBy(_.getName)
-      .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString("|")).getOrElse("absent")
-    java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL)
-  }
+  private def fingerprintOf(dir: String): String =
+    graft.sources.Fingerprint.of(canon(dir))
 
   /** Read the footer manifest for a SortedLayout-written `dir` and enable
     * transparent range+equality pruning on `sortCol` for this session. */
@@ -164,6 +160,10 @@ object SegmentPruningRule extends Rule[LogicalPlan] {
     * unwrap); mismatched/unsupported pairs veto pruning, never break it. */
   private def align(v: Any, sample: Any): Option[Comparable[Any]] = {
     val out: Any = (v, sample) match {
+      // NaN vetoes pruning: parquet footers exclude NaN from min/max while
+      // Spark's EqualTo treats NaN = NaN as true, so no footer compare can
+      // prove a file NaN-free — fall back to the full scan
+      case (x: java.lang.Number, _) if x.doubleValue().isNaN => null
       case (x: java.lang.Number, _: java.lang.Long) => x.longValue()
       case (x: java.lang.Number, _: java.lang.Integer) => x.intValue()
       case (x: java.lang.Number, _: java.lang.Double) => x.doubleValue()
@@ -201,15 +201,17 @@ object SegmentPruningRule extends Rule[LogicalPlan] {
       case _ => false
     }
     val eq = cs.collectFirst {
-      case EqualTo(a, Literal(v, _)) if isCol(a) => v
-      case EqualTo(Literal(v, _), a) if isCol(a) => v
+      case EqualTo(a: AttributeReference, Literal(v, _)) if isCol(a) => (v, a.dataType)
+      case EqualTo(Literal(v, _), a: AttributeReference) if isCol(a) => (v, a.dataType)
     }
-    eq.map { v =>
+    eq.map { case (v, dt) =>
       val probe: Any = v match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.toString
         case other => other
       }
-      val positions = graft.sources.BloomLayout.hashPositions(session, probe)
+      // cast to the COLUMN's type: Murmur3 hashes Int 42 and Long 42
+      // differently, and a width-mismatched probe would reject every file
+      val positions = graft.sources.BloomLayout.hashPositions(session, probe, castTo = Some(dt))
       graft.sources.BloomLayout.pruneFiles(entry.blooms, positions).map(_.path)
     }
   }

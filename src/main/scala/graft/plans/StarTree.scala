@@ -75,16 +75,12 @@ object StarTree {
     catch { case _: Throwable => noScheme }
   }
 
-  /** Rollup identity: fact path + config + fact data version (length/mtime),
-    * so a regenerated fixture can never silently serve a stale rollup. */
+  /** Rollup identity: fact path + config + fact data version
+    * (graft.sources.Fingerprint — the engine's one staleness idiom), so a
+    * regenerated fixture can never silently serve a stale rollup. */
   private def fingerprint(factPath: String, dims: Seq[String], metrics: Seq[String]): String = {
-    val f = new java.io.File(canon(factPath))
-    val dataVersion =
-      if (f.isFile) s"${f.length}:${f.lastModified}"
-      else if (f.isDirectory)
-        Option(f.listFiles).map(_.map(c => c.length + c.lastModified).sum).getOrElse(0L).toString
-      else "absent"
-    val key = s"${canon(factPath)}|${dims.mkString(",")}|${metrics.mkString(",")}|$dataVersion"
+    val key = s"${canon(factPath)}|${dims.mkString(",")}|${metrics.mkString(",")}|" +
+      graft.sources.Fingerprint.of(canon(factPath))
     java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(key) & 0xffffffffL)
   }
 

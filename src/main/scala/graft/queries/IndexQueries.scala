@@ -23,12 +23,8 @@ import org.apache.spark.sql.functions._
 object IndexQueries {
 
   private def sortedEventsCopy(spark: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/events.parquet")
-    val ver = if (src.isFile) s"${src.length}:${src.lastModified}"
-      else Option(src.listFiles).map(_.map(c => c.length + c.lastModified).sum)
-        .getOrElse(0L).toString
-    val fp = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$ver") & 0xffffffffL)
+    val fp = java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      s"$dir|${graft.sources.Fingerprint.of(s"$dir/events.parquet")}") & 0xffffffffL)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_events_$fp"
     if (!new java.io.File(out, "_SUCCESS").exists) {
       SortedLayout.write(

@@ -46,11 +46,17 @@ object BloomLayout {
     df.repartition(nFiles, col(c)).write.mode("overwrite").parquet(dir)
 
   /** The k Murmur3 bit positions of `value` — computed BY Spark so they are
-    * bit-identical to the manifest build's executor-side hashing. */
+    * bit-identical to the manifest build's executor-side hashing. `castTo`
+    * aligns the probe with the indexed column's type: Murmur3 hashes an Int
+    * 42 and a Long 42 differently, so an unaligned probe would silently
+    * reject every file (a false NEGATIVE — the one bloom error class that
+    * loses rows). [[prunedRead]] always passes the column's own type. */
   def hashPositions(spark: SparkSession, value: Any, numBits: Int = DefaultNumBits,
-      k: Int = DefaultK): Seq[Int] = {
+      k: Int = DefaultK,
+      castTo: Option[org.apache.spark.sql.types.DataType] = None): Seq[Int] = {
+    val probe = castTo.map(lit(value).cast(_)).getOrElse(lit(value))
     val row = spark.range(1)
-      .select((0 until k).map(i => pmod(hash(lit(value), lit(i)), lit(numBits)).as(s"p$i")): _*)
+      .select((0 until k).map(i => pmod(hash(probe, lit(i)), lit(numBits)).as(s"p$i")): _*)
       .head()
     (0 until k).map(row.getInt)
   }
@@ -82,8 +88,10 @@ object BloomLayout {
     * so bloom false positives cost I/O but never correctness. */
   def prunedRead(spark: SparkSession, dir: String, c: String, value: Any,
       manifest: Seq[FileBloom], numBits: Int = DefaultNumBits, k: Int = DefaultK): DataFrame = {
-    val keep = pruneFiles(manifest, hashPositions(spark, value, numBits, k))
-    if (keep.isEmpty) spark.read.parquet(dir).filter(col(c) === value).limit(0)
+    val base = spark.read.parquet(dir)
+    val colType = base.schema(c).dataType
+    val keep = pruneFiles(manifest, hashPositions(spark, value, numBits, k, Some(colType)))
+    if (keep.isEmpty) base.filter(col(c) === value).limit(0)
     else spark.read.parquet(keep.map(_.path): _*).filter(col(c) === value)
   }
 }

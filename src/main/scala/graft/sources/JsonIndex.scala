@@ -45,12 +45,25 @@ object JsonIndex {
 
   /** Build the postings layout from a column of FLAT JSON objects
     * (top-level scalar values; nested objects/arrays are not indexed —
-    * queries on them fall back to the full scan). */
+    * queries on them fall back to the full scan).
+    *
+    * Keys are enumerated with `from_json(Map)`, but each key's VALUE is
+    * re-extracted with `get_json_object` — the exact function the
+    * re-applied predicate runs — so the postings can never disagree with
+    * the predicate (a duplicate JSON key keeps the LAST value in a map but
+    * the FIRST under get_json_object; extracting through the latter keeps
+    * the index consistent with query-time truth). Only `\w+` keys get
+    * postings: the JSON_MATCH path grammar can only address those anyway,
+    * and it keeps the `$.key` path injection well-formed. */
   def build(df: DataFrame, dir: String, idCol: String, jsonCol: String, nFiles: Int = 8): Unit = {
     val kv = df
-      .select(col(idCol).as("id"),
-        explode(from_json(col(jsonCol), MapType(StringType, StringType))).as(Seq("k", "v")))
+      .select(col(idCol).as("id"), col(jsonCol).as("__j"),
+        explode(map_keys(from_json(col(jsonCol), MapType(StringType, StringType)))).as("k"))
+      .filter(col("k").rlike("^[A-Za-z0-9_]+$"))
+      .distinct() // duplicate keys enumerate once
+      .withColumn("v", expr("get_json_object(__j, concat('$.', k))"))
       .filter(col("v").isNotNull) // JSON null: absent for =, and GetJsonObject yields NULL
+      .select(col("id"), col("k"), col("v"))
     val raw = kv.select(concat(col("k"), lit(RawSep), col("v")).as("term"), col("id"))
     val num = kv
       // TRY cast: non-numeric values simply get no numeric posting (ANSI
@@ -76,8 +89,10 @@ object JsonIndex {
     * answer it. Always a superset of the true match set. */
   def candidateIds(spark: SparkSession, dir: String, filter: String): Option[DataFrame] = {
     val p = JsonMatchBuilder.parse(filter)
-    if (!p.path.startsWith("$.") || p.path.drop(2).exists(c => c == '.' || c == '['))
-      return None // nested paths are not in the flat postings
+    // only top-level \w+ keys have postings (build-side contract); nested
+    // paths and exotic keys fall back to the full scan
+    if (!p.path.startsWith("$.") || !p.path.drop(2).matches("[A-Za-z0-9_]+"))
+      return None
     val key = p.path.drop(2)
     (p.op, p.value) match {
       case ("IS NOT NULL", _) => Some(lookup(spark, dir, key + PresSep))

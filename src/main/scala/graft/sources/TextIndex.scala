@@ -59,18 +59,43 @@ object TextIndex {
 
   /** The word-runs a document MUST contain for this clause to match
     * ((exactTerms, prefixStem)); None when the clause constrains no word
-    * runs and only a full scan can answer it. */
+    * runs and only a full scan can answer it.
+    *
+    * Boundary reasoning per clause kind (this is what keeps candidates a
+    * SUPERSET of the exact predicate's matches):
+    *  - Term: the regex is `\b..\b`-bounded on BOTH sides, so every run of
+    *    the term occurs as a full maximal token — all runs exact.
+    *  - Prefix: `\b`-bounded on the LEFT only — all runs exact except the
+    *    last, which is an open token prefix iff the stem ends with it (a
+    *    stem ending on a delimiter makes even the last run exact).
+    *  - Phrase: plain substring Contains, NO boundaries — the first run may
+    *    match a token SUFFIX ("rebatch" contains phrase-initial "batch"),
+    *    so it constrains nothing we can look up; interior runs are
+    *    delimiter-bounded on both sides (exact); the final run is
+    *    delimiter-bounded on the left and open on the right (prefix) iff
+    *    the phrase ends with it, else exact. Phrases with a single run
+    *    (or no derivable constraint) fall back to the full scan.
+    */
   private[sources] def candidateWords(c: Clause): Option[(Seq[String], Option[String])] = {
     def runs(s: String): Seq[String] = wordRun.findAllIn(s.toLowerCase).toSeq
+    def endsWithRun(s: String): Boolean =
+      s.nonEmpty && wordRun.matches(s.takeRight(1).toLowerCase)
     c match {
       case Phrase(s) =>
-        val r = runs(s); if (r.isEmpty) None else Some((r, None))
+        val r = runs(s)
+        if (r.size < 2) None // single-run phrase: both edges may be mid-token
+        else if (endsWithRun(s)) {
+          Some((r.drop(1).dropRight(1), Some(r.last))) // drop first, last = prefix
+        } else {
+          val exact = r.drop(1) // delimiter after the last run: it is exact too
+          if (exact.isEmpty) None else Some((exact, None))
+        }
       case Term(s) =>
         val r = runs(s); if (r.isEmpty) None else Some((r, None))
       case Prefix(stem) =>
         val r = runs(stem)
         if (r.isEmpty) None
-        else if (stem.nonEmpty && wordRun.matches(stem.takeRight(1).toLowerCase))
+        else if (endsWithRun(stem))
           Some((r.init, Some(r.last))) // last run is an open prefix
         else Some((r, None)) // stem ends on a delimiter: all runs exact
     }

@@ -71,4 +71,20 @@ class JsonIndexSpec extends GraftSuite {
     // non-numeric value gets no numeric posting and never matches numerically
     assert(indexed(planted, "js", "id", dir, "\"$.n\" = 0") === Set.empty[Long])
   }
+
+  test("duplicate JSON keys: postings agree with get_json_object (first value wins)") {
+    import spark.implicits._
+    // map parsing keeps the LAST duplicate, get_json_object the FIRST —
+    // the build extracts values through get_json_object so the index can
+    // never disagree with the re-applied predicate
+    val planted = Seq(
+      (1L, """{"k": 1, "k": 2}"""),
+      (2L, """{"k": 2}""")).toDF("id", "js")
+    val dir = Files.createTempDirectory("graft-jsonindex-dup").toString
+    JsonIndex.build(planted, dir, "id", "js", nFiles = 2)
+    Seq("\"$.k\" = 1", "\"$.k\" = 2").foreach { f =>
+      assert(indexed(planted, "js", "id", dir, f) === fullScan(planted, "js", "id", f),
+        s"filter [$f]")
+    }
+  }
 }

@@ -72,11 +72,17 @@ class TextIndexSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 4L))
 
-    // phrase adjacency: candidates need both tokens, exact predicate keeps
-    // only true adjacency
+    // phrase semantics are SUBSTRING (Contains): "we mail" contains
+    // "e mail" starting mid-token — the candidate derivation must keep it
+    // (first phrase run constrains nothing; "mail" is a prefix lookup)
     val phrase = TextIndex.textMatch(planted, "doc_id", "text", dir, "\"e mail\"")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(phrase === Set(4L)) // only doc 4 has literal "e mail"
+    val phraseScan = planted.filter(
+        GraftBridge.column(TextMatchBuilder.predicate(
+          GraftBridge.expression(col("text")), "\"e mail\"")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(phrase === phraseScan)
+    assert(phrase === Set(2L, 4L), "docs 2 (we mail) and 4 (e mail) both contain the substring")
 
     // a clause with no word runs cannot use the index: transparent full scan
     val none = TextIndex.candidateIds(spark, dir, "\"!!!\"")
@@ -107,5 +113,27 @@ class TextIndexSpec extends GraftSuite {
     val truth = fullScan(docs, "\"batch stream\"")
     assert(truth.subsetOf(candidates),
       s"candidates missed ${truth.diff(candidates).size} true matches")
+  }
+
+  test("mid-token phrase and single-run phrase stay exact (superset regression)") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "rebatch streams nightly"),
+      (2L, "batch stream basics"),
+      (3L, "rebatch nothing")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-textindex-midtok").toString
+    TextIndex.build(planted, dir, "doc_id", "text", nFiles = 2)
+
+    // "rebatch streams" CONTAINS the substring "batch stream" — the index
+    // path must not lose it (first run unconstrained, last run = prefix)
+    val got = TextIndex.textMatch(planted, "doc_id", "text", dir, "\"batch stream\"")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+
+    // single-run phrase can match mid-token on BOTH edges → full scan
+    assert(TextIndex.candidateIds(spark, dir, "\"batch\"").isEmpty)
+    val single = TextIndex.textMatch(planted, "doc_id", "text", dir, "\"batch\"")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(single === Set(1L, 2L, 3L)) // substring of rebatch too
   }
 }
