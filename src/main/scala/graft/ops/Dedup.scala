@@ -77,6 +77,62 @@ object Dedup {
     *        into `ceil(n/maxBucket)` deterministic sub-buckets (see saltSplit)
     * @return (id_a, id_b, jaccard) for confirmed pairs with J ≥ threshold
     */
+  /** Incremental near-dup detection — the PRODUCTION dedup shape: today's
+    * ingest batch is checked against the standing corpus without any
+    * corpus×corpus work. Both sides get the same shingle→MinHash→band
+    * computation (per-doc, side-independent — in production the corpus
+    * bands are computed once at ingest and stored); the salt-split bucket
+    * cap runs over the UNION of both sides' band rows (bucket pressure is
+    * a property of the combined population), and the candidate join is
+    * strictly new × corpus. Cost per increment: O(|new| · bands) hashing +
+    * a join whose left side is the increment — never the corpus².
+    *
+    * Returns (new_id, corpus_id, jaccard) for confirmed pairs. */
+  def incrementalNearDupPairs(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
+    require(bands * rowsPerBand == k, s"bands($bands) x rows($rowsPerBand) must equal k($k)")
+    def prep(df: DataFrame): DataFrame = Par.fanOut(df).select(
+        col(idCol).as("doc_id"),
+        array_distinct(shingleHashes(tokens(col(textCol)), shingleN)).as("shingles"))
+      .withColumn("sig", minhashFromHashes(col("shingles"), k))
+      .withColumn("sh_sorted", sort_array(col("shingles")))
+      .withColumn("n_sh", size(col("sh_sorted")))
+      .persist() // band explode + confirm join share it
+    val nb = prep(newDf)
+    val cb = prep(corpusDf)
+    def bandRows(base: DataFrame, isNew: Boolean) = base
+      .select(lit(isNew).as("is_new"), col("doc_id"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
+    // cap over the COMBINED bucket population: a hot band key is hot
+    // regardless of which side its members came from
+    val salted = saltSplit(
+        bandRows(nb, isNew = true).unionByName(bandRows(cb, isNew = false)),
+        Seq("bk"), "doc_id", maxBucket)
+      .persist() // both sides of the new×corpus join
+    val pairs = salted.filter(col("is_new")).as("a")
+      .join(salted.filter(!col("is_new")).as("b"),
+        col("a.bk") === col("b.bk") && col("a.sub") === col("b.sub"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    pairs
+      .join(nb.select(col("doc_id").as("new_id"), col("sh_sorted").as("sh_a"), col("n_sh").as("na")), Seq("new_id"))
+      .join(cb.select(col("doc_id").as("corpus_id"), col("sh_sorted").as("sh_b"), col("n_sh").as("nb")), Seq("corpus_id"))
+      .withColumn("n_inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   def minhashNearDupPairs(
       df: DataFrame,
       idCol: String,

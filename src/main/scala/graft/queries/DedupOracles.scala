@@ -16,7 +16,11 @@ object DedupOracles {
     * signature mins, fold_hash64 band keys, 256-doc bucket cap, exact-Jaccard
     * confirm — replicated stage-for-stage in SQL. Empty-shingle docs keep
     * Long.MaxValue signature lanes (coalesce), matching the kernel. */
-  lazy val minhashSql: String = {
+  /** The shared CTE chain of the MinHash pipeline, ending with
+    * `salted(doc_id, band, fk, sub)` and `sized(doc_id, shingles, n_sh)` —
+    * reused by the self-join oracle (minhashSql) and the incremental
+    * new-vs-corpus oracle (incrementalSql). */
+  private lazy val minhashPipelineCtes: String = {
     val prime = u(0x100000001b3L)
     val offset = u(0xcbf29ce484222325L)
     val golden = u(0x9e3779b97f4a7c15L)
@@ -27,7 +31,7 @@ object DedupOracles {
     val shingle = mix(wadd(acc3, golden))
     val remix = toSigned(remixU("shv", "s.seed"))
     val foldKey = foldHash64U(s"list_transform(list(mv ORDER BY sidx), fku -> ${toUnsigned("fku")})")
-    s"""WITH th AS (
+    s"""th AS (
        |  SELECT doc_id, list_transform(string_split(text, ' '), tk -> ${hash64U("tk")}) AS th
        |  FROM documents
        |), sh AS (
@@ -54,7 +58,11 @@ object DedupOracles {
        |  SELECT *, count(*) OVER (PARTITION BY band, fk) AS bk_n FROM bands
        |), salted AS (
        |  SELECT doc_id, band, fk, doc_id % CAST(ceil(bk_n / 256.0) AS BIGINT) AS sub FROM counted
-       |), pairs AS (
+       |)""".stripMargin
+  }
+
+  lazy val minhashSql: String =
+    s"""WITH $minhashPipelineCtes, pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM salted a JOIN salted b
        |    ON a.band = b.band AND a.fk = b.fk AND a.sub = b.sub AND a.doc_id < b.doc_id
@@ -70,7 +78,32 @@ object DedupOracles {
        |       count(CASE WHEN j >= 0.5 THEN 1 END) AS n_confirmed_pairs,
        |       round(coalesce(max(j), 0.0), 4) AS max_jaccard
        |FROM conf""".stripMargin
-  }
+
+  /** Oracle for q_dedup_incremental: the SAME MinHash pipeline, but pairs
+    * join the NEW side (doc_id % 10 = 0) against the CORPUS side only —
+    * no corpus×corpus work. Shingle/signature/band/salt CTEs are identical
+    * because each doc's computation is side-independent, and the bucket
+    * count (and therefore the salt split) runs over the union of both
+    * sides, exactly as the engine's unioned band frame does. */
+  lazy val incrementalSql: String =
+    s"""WITH $minhashPipelineCtes, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+       |  FROM salted a JOIN salted b
+       |    ON a.band = b.band AND a.fk = b.fk AND a.sub = b.sub
+       |   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |), conf AS (
+       |  SELECT p.new_id, p.corpus_id,
+       |         round(len(list_intersect(ga.shingles, gb.shingles)) * 1.0 /
+       |               (ga.n_sh + gb.n_sh - len(list_intersect(ga.shingles, gb.shingles))), 4) AS j
+       |  FROM pairs p
+       |  JOIN sized ga ON ga.doc_id = p.new_id
+       |  JOIN sized gb ON gb.doc_id = p.corpus_id
+       |)
+       |SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_new_docs,
+       |       count(*) AS n_candidate_pairs,
+       |       count(DISTINCT CASE WHEN j >= 0.5 THEN new_id END) AS n_dup_new_docs,
+       |       round(coalesce(max(j), 0.0), 4) AS max_jaccard
+       |FROM conf""".stripMargin
 
   /** Oracle for q_dedup_simhash: SimHash-64 bit-majority fingerprints,
     * 4×16-bit band keys, 256-doc bucket cap, Hamming via bit_count(xor). */

@@ -339,8 +339,34 @@ object DedupQueries {
     },
     Some(SimilarityOracles.dedupSemanticSql))
 
+  /** X1-incremental: the PRODUCTION dedup shape — today's batch (doc_id %
+    * 10 = 0 stands in for the increment) against the standing corpus, no
+    * corpus×corpus work (`ops/Dedup.incrementalNearDupPairs`). Summary:
+    * increment size, candidate pairs, how many increment docs are near-dups
+    * of the corpus (the docs a pipeline would drop before training), max
+    * similarity. Oracle replays the identical MinHash pipeline with the
+    * new×corpus join. */
+  private val dedupIncremental = Q(
+    "q_dedup_incremental",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val newDocs = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      // threshold 0 keeps every band candidate so the summary can report
+      // the candidate volume alongside the confirmed count (as
+      // q_dedup_minhash does)
+      val pairs = graft.ops.Dedup.incrementalNearDupPairs(
+        newDocs, corpus, "doc_id", "text", threshold = 0.0)
+      newDocs.agg(count(lit(1)).as("n_new_docs"))
+        .crossJoin(pairs.agg(
+          count(lit(1)).as("n_candidate_pairs"),
+          countDistinct(when(col("jaccard") >= 0.5, col("new_id"))).as("n_dup_new_docs"),
+          round(coalesce(max(col("jaccard")), lit(0.0)), 4).as("max_jaccard")))
+    },
+    Some(DedupOracles.incrementalSql))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring,
-    dedupSemantic)
+    dedupSemantic, dedupIncremental)
 }

@@ -31,6 +31,27 @@ class OpsSpec extends GraftSuite {
     assert(pairs.forall(p => p == ((1L, 2L))), s"false positives: ${pairs - ((1L, 2L))}")
   }
 
+  test("Dedup.incrementalNearDupPairs finds planted new-vs-corpus dups, never corpus-corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 800).map(i => s"w$i")
+    def randomDoc() = doc(Seq.fill(90)(vocab(rnd.nextInt(vocab.size))))
+    val corpusBase = Seq.fill(90)(vocab(rnd.nextInt(vocab.size)))
+    // corpus: the base doc, a near-dup of it (corpus-internal dup the
+    // incremental pass must IGNORE), and noise
+    val corpus = ((1L, doc(corpusBase)) +: (2L, doc(corpusBase.updated(5, "ALTERED"))) +:
+      (3L to 30L).map(_ -> randomDoc())).toDF("id", "text")
+    // new batch: one near-dup of corpus doc 1, one fresh doc
+    val newBatch = Seq(
+      (100L, doc(corpusBase.updated(20, "CHANGED"))),
+      (101L, randomDoc())).toDF("id", "text")
+
+    val pairs = Dedup.incrementalNearDupPairs(newBatch, corpus, "id", "text", threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 1L)), s"planted incremental dup missing: $pairs")
+    assert(pairs.forall(_._1 >= 100L), s"corpus-corpus pair leaked: $pairs")
+    assert(!pairs.exists(_._1 == 101L), s"fresh doc falsely matched: $pairs")
+  }
+
   test("Dedup.nearDupSurvivors keeps exactly one doc per near-dup cluster") {
     val rnd = new scala.util.Random(9)
     val vocab = (1 to 800).map(i => s"w$i")
