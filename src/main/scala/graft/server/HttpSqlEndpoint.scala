@@ -78,9 +78,41 @@ object HttpSqlEndpoint {
     root
   }
 
+  private val ExplainRe = """(?is)\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)""".r
+
+  /** Pinot `EXPLAIN PLAN FOR <query>` (broker-parsed, answered in the same
+    * resultTable shape with columns Operator/Operator_Id/Parent_Id): here
+    * the operators are the lines of Spark's physical plan, linearized —
+    * Operator_Id is the line index and Parent_Id the previous line (-1 at
+    * the root), which matches how Pinot renders its single-chain segment
+    * plans. */
+  private def explainAnswer(spark: SparkSession, inner: String): ObjectNode = {
+    val plan = spark.sql(inner).queryExecution.executedPlan.treeString
+    val root = mapper.createObjectNode()
+    val table = root.putObject("resultTable")
+    val schema = table.putObject("dataSchema")
+    val names = schema.putArray("columnNames")
+    val types = schema.putArray("columnDataTypes")
+    Seq("Operator" -> "STRING", "Operator_Id" -> "INT", "Parent_Id" -> "INT").foreach {
+      case (n, t) => names.add(n); types.add(t)
+    }
+    val out = table.putArray("rows")
+    val lines = plan.split('\n').filter(_.trim.nonEmpty)
+    lines.zipWithIndex.foreach { case (line, i) =>
+      val r = out.addArray(); r.add(line); r.add(i); r.add(i - 1)
+    }
+    root.putArray("exceptions")
+    root.put("numRowsResultSet", lines.length)
+    root
+  }
+
   /** Execute `sql` on `spark` and render the Pinot broker response JSON. */
   private[server] def answer(spark: SparkSession, sql: String, maxRows: Int): ObjectNode =
     try {
+      sql match {
+        case ExplainRe(inner) => return explainAnswer(spark, inner)
+        case _ =>
+      }
       val t0 = System.nanoTime()
       val df = spark.sql(sql)
       val rows = df.limit(maxRows + 1).collect()

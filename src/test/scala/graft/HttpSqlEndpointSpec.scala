@@ -109,4 +109,21 @@ class HttpSqlEndpointSpec extends GraftSuite {
     threads.foreach(_.join(120000))
     assert(errors.isEmpty, s"concurrent failures: ${errors.toArray.mkString("; ")}")
   }
+
+  test("EXPLAIN PLAN FOR answers the Pinot explain shape with the physical plan") {
+    val r = post("EXPLAIN PLAN FOR SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag")
+    assert(r.get("exceptions").size() === 0)
+    val schema = r.get("resultTable").get("dataSchema")
+    assert((0 until 3).map(i => schema.get("columnNames").get(i).asText()) ===
+      Seq("Operator", "Operator_Id", "Parent_Id"))
+    val rows = r.get("resultTable").get("rows")
+    assert(rows.size() > 0)
+    val ops = (0 until rows.size()).map(i => rows.get(i).get(0).asText()).mkString("\n")
+    assert(ops.contains("HashAggregate"), s"plan missing aggregate:\n$ops")
+    assert(rows.get(0).get(2).asInt() === -1, "root operator's Parent_Id must be -1")
+
+    // a broken inner query still errors in-band, like any other SQL error
+    val bad = post("EXPLAIN PLAN FOR SELECT * FROM nonexistent_table_xyz")
+    assert(bad.get("exceptions").size() === 1)
+  }
 }
