@@ -81,12 +81,6 @@ object PinotFunctions {
         case Literal(s, StringType) => s.toString
         case other => throw new IllegalArgumentException(s"DATETIMECONVERT args must be literals, got $other")
       }
-      def fmtMillis(f: String): Long = {
-        val parts = f.split(':')
-        require(parts.length >= 3 && parts(2).toUpperCase == "EPOCH",
-          s"only EPOCH in/out formats supported, got $f")
-        parts(0).toLong * unitFactor(parts(1))
-      }
       def unitFactor(u: String): Long = u.toUpperCase match {
         case "MILLISECONDS" => 1L
         case "SECONDS" => 1000L
@@ -95,16 +89,49 @@ object PinotFunctions {
         case "DAYS" => 86400000L
         case other => throw new IllegalArgumentException(s"unit: $other")
       }
-      val inMs = fmtMillis(lit_(args(1)))
-      val outMs = fmtMillis(lit_(args(2)))
+      // "size:unit:EPOCH" or "size:unit:SIMPLE_DATE_FORMAT:pattern" —
+      // split with limit 4 because SDF patterns themselves contain ':'
+      // (the reference's own time column is SIMPLE_DATE_FORMAT
+      // 'yyyy-MM-dd HH:mm:ss', kinesisTable.json:29)
+      def parseFmt(f: String): Either[Long, String] = {
+        val parts = f.split(":", 4)
+        require(parts.length >= 3, s"DATETIMECONVERT format: $f")
+        parts(2).toUpperCase match {
+          case "EPOCH" => scala.Left(parts(0).toLong * unitFactor(parts(1)))
+          case "SIMPLE_DATE_FORMAT" =>
+            require(parts.length == 4, s"SIMPLE_DATE_FORMAT needs a pattern: $f")
+            scala.Right(parts(3))
+          case other => throw new IllegalArgumentException(s"format kind: $other")
+        }
+      }
+      val millis = parseFmt(lit_(args(1))) match {
+        case scala.Left(inMs) =>
+          Multiply(Cast(args(0), LongType), Literal(inMs), EvalMode.LEGACY)
+        case scala.Right(pattern) =>
+          UnixMillis(new ParseToTimestamp(args(0), Literal(pattern)))
+      }
       val granParts = lit_(args(3)).split(':')
       val granMs = granParts(0).toLong * unitFactor(granParts(1))
-      // toMillis -> truncate to granularity -> express in output unit
-      val millis = Multiply(Cast(args(0), LongType), Literal(inMs), EvalMode.LEGACY)
+      // toMillis -> truncate to granularity -> express in the output format
       val bucketed = Multiply(
         IntegralDivide(millis, Literal(granMs), EvalMode.LEGACY),
         Literal(granMs), EvalMode.LEGACY)
-      IntegralDivide(bucketed, Literal(outMs), EvalMode.LEGACY)
+      parseFmt(lit_(args(2))) match {
+        case scala.Left(outMs) => IntegralDivide(bucketed, Literal(outMs), EvalMode.LEGACY)
+        case scala.Right(pattern) =>
+          DateFormatClass(MillisToTimestamp(bucketed), Literal(pattern))
+      }
+    }),
+    // JSONEXTRACTKEY(col, '$.*'): the keys of the outermost object (the
+    // only path shape Pinot users pass in practice; anything else errors
+    // loudly rather than silently mismatching)
+    "jsonextractkey" -> (args => {
+      args(1) match {
+        case Literal(p, StringType) if Set("$", "$.*").contains(p.toString.trim) =>
+        case other => throw new IllegalArgumentException(
+          s"JSONEXTRACTKEY supports the top-level path '$$.*', got $other")
+      }
+      UnresolvedFunction("json_object_keys", Seq(args(0)), false)
     }),
     "todatetime" -> (args => DateFormatClass(MillisToTimestamp(args(0)), args(1))),
     "fromdatetime" -> (args => UnixMillis(new ParseToTimestamp(args(0), args(1)))),

@@ -153,6 +153,30 @@ class PinotCompatSpec extends GraftSuite {
     assert(r.getAs[Long]("m15") === 1500L)
   }
 
+  test("DATETIMECONVERT SIMPLE_DATE_FORMAT forms (the reference's own time-column format)") {
+    // the reference time column is STRING SIMPLE_DATE_FORMAT
+    // 'yyyy-MM-dd HH:mm:ss' (kinesisTable.json:26-31) — SDF in, epoch-days
+    // out, and the reverse, with bucketing in between
+    val r = one(
+      """SELECT DATETIMECONVERT('2024-05-01 10:34:56',
+        |         '1:SECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm:ss',
+        |         '1:DAYS:EPOCH', '1:DAYS') AS ed,
+        |       DATETIMECONVERT('2024-05-01 10:34:56',
+        |         '1:SECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm:ss',
+        |         '1:SECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm',
+        |         '15:MINUTES') AS sdf15
+        |""".stripMargin)
+    // 2024-05-01 = 19844 days since epoch (UTC session)
+    assert(r.getAs[Long]("ed") === 19844L)
+    assert(r.getAs[String]("sdf15") === "2024-05-01 10:30")
+  }
+
+  test("JSONEXTRACTKEY lists the top-level keys") {
+    val r = one("""SELECT JSONEXTRACTKEY('{"a": 1, "b": {"c": 2}}', '$.*') AS ks""")
+    assert(r.getSeq[String](0) === Seq("a", "b"))
+    intercept[Exception](pinot.sql("SELECT JSONEXTRACTKEY('{}', '$.a.b') AS x").collect())
+  }
+
   test("LOOKUP expands to a dimension join (Pinot lookUp, J6)") {
     import org.apache.spark.sql.functions._
     val df = pinot.sql(
