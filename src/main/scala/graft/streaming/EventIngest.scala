@@ -226,6 +226,61 @@ object EventIngest {
     * being served (`upsertSnapshot` drops it) while still participating in
     * comparison-column ordering, so a NEWER regular record revives the key
     * and an OLDER late delete can never retro-kill a newer row. */
+  /** Pinot `upsertConfig.metadataTTL` analog: upsert metadata for a key is
+    * DROPPED once the event-time watermark passes the key's newest event
+    * time + TTL — the lever that makes Pinot upsert tables viable on
+    * unbounded streams (state tracks keys-per-TTL-window, not key lifetime).
+    * After expiry the next record for the key starts fresh, exactly like
+    * records older than metadataTTL bypassing Pinot's metadata map.
+    *
+    * `flatMapGroupsWithState` + EventTimeTimeout: the timeout callback
+    * removes the state row and emits nothing (no phantom update-log rows);
+    * live keys behave exactly like [[upsertLatest]]. The state-size bound
+    * is observable in `StreamingQueryProgress.stateOperators.numRowsTotal`
+    * — the spec asserts expired keys leave the store. */
+  def upsertLatestWithTtl(events: DataFrame, keyCol: String, ttl: String,
+      deleteCol: Option[String] = None): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.catalyst.util.IntervalUtils
+    import org.apache.spark.unsafe.types.UTF8String
+    val iv = IntervalUtils.stringToInterval(UTF8String.fromString(ttl))
+    require(iv.months == 0, s"TTL must be a fixed-length interval, got $ttl")
+    val ttlMs = iv.days.toLong * 86400000L + iv.microseconds / 1000L
+    val delFlag = deleteCol
+      .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
+    // the watermark column must flow INTO the stateful operator — keep ts
+    // in the projection and watermark after the select
+    val typed = events
+      .select(
+        col(keyCol).cast("string").as("k"),
+        col("ts"),
+        unix_micros(col("ts")).as("tus"),
+        to_json(struct(events.columns.map(col): _*)).as("payload"),
+        delFlag.as("del"))
+      .withWatermark("ts", ttl)
+      .as[(String, java.sql.Timestamp, Long, String, Boolean)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Boolean), (String, Long, String, Boolean)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove() // metadata TTL: the key's upsert history is gone
+            Iterator.empty
+          } else {
+            val newest = rows.foldLeft(state.getOption.getOrElse((Long.MinValue, "", false))) {
+              case (best, (_, _, tus, payload, del)) =>
+                if (tus > best._1) (tus, payload, del) else best
+            }
+            state.update(newest)
+            state.setTimeoutTimestamp(newest._1 / 1000L + ttlMs)
+            Iterator.single((key, newest._1, newest._2, newest._3))
+          }
+      }
+      .toDF("k", "event_micros", "payload", "deleted")
+  }
+
   def upsertLatest(events: DataFrame, keyCol: String, deleteCol: Option[String] = None): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
