@@ -300,6 +300,37 @@ object ScalarQueries {
             |SELECT c_custkey, round(lon, 4) AS lon, round(lat, 4) AS lat, dist_m
             |FROM d ORDER BY c_custkey LIMIT 100""".stripMargin))
 
+  /** C6 map access as a DECLARED query (was test-only — no map column in
+    * the fixtures, so one is built from the JSON props): `from_json` to
+    * MapType, `element_at` / `map_keys` / `map_contains_key` drive the
+    * aggregation; the oracle reads the same values through DuckDB's JSON
+    * extraction, so the map path is value-checked end to end. */
+  private val mapFuncs = Q(
+    "q_scalar_map",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      ev.withColumn("m", m)
+        .withColumn("k_val", expr("try_cast(element_at(m, 'k') AS int)"))
+        .withColumn("has_k", map_contains_key(col("m"), "k"))
+        .withColumn("n_keys", size(map_keys(col("m"))))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("has_k").cast("long")).as("n_with_k"),
+          sum(col("k_val")).cast("long").as("sum_k"),
+          max(col("n_keys")).as("max_keys"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+            |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+            |       CAST(max(len(json_keys(props))) AS INT) AS max_keys
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
-    explodeMv, urlFuncs, geoFuncs)
+    explodeMv, urlFuncs, geoFuncs, mapFuncs)
 }
