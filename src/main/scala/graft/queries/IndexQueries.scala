@@ -61,5 +61,35 @@ object IndexQueries {
             |GROUP BY event_type
             |ORDER BY event_type""".stripMargin))
 
-  val all: Seq[Q] = Seq(segpruneRange)
+  private def textIndexCopy(spark: SparkSession, dir: String): String = {
+    val fp = java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      s"$dir|textindex|${graft.sources.Fingerprint.of(s"$dir/documents.parquet")}") & 0xffffffffL)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_index_$fp"
+    if (!new java.io.File(out, "_SUCCESS").exists)
+      graft.sources.TextIndex.build(
+        Tables.t(spark, dir, "documents"), out, "doc_id", "text", nFiles = 8)
+    out
+  }
+
+  /** TEXT_MATCH answered through the inverted text index — candidate term
+    * lookups + semi-join + the exact predicate — with a DuckDB oracle
+    * running the equivalent word-boundary regexes over the raw table: the
+    * index-accelerated path faces the value gate, not just its spec. */
+  private val textMatchLookup = Q(
+    "q_idx_text_match",
+    (spark, dir) => {
+      val docs = Tables.t(spark, dir, "documents")
+      graft.sources.TextIndex.textMatch(
+          docs, "doc_id", "text", textIndexCopy(spark, dir), "spark AND window")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            |FROM documents
+            |WHERE regexp_matches(text, '(?i)\bspark\b')
+            |  AND regexp_matches(text, '(?i)\bwindow\b')
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val all: Seq[Q] = Seq(segpruneRange, textMatchLookup)
 }
