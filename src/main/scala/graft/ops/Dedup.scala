@@ -66,17 +66,35 @@ object Dedup {
       .drop("bk_n")
   }
 
-  /** MinHash+LSH near-duplicate pairs with exact-Jaccard confirmation.
-    *
-    * @param textCol whitespace-tokenizable text
-    * @param shingleN word-shingle width
-    * @param k signature width
-    * @param bands×rowsPerBand must equal k; sets the similarity threshold
-    *        curve (P[candidate] = 1-(1-J^r)^b)
-    * @param maxBucket cap on band-bucket size — oversized buckets salt-split
-    *        into `ceil(n/maxBucket)` deterministic sub-buckets (see saltSplit)
-    * @return (id_a, id_b, jaccard) for confirmed pairs with J ≥ threshold
-    */
+  /** Shared MinHash prep: distinct shingle hashes, signature, sorted
+    * shingles + size — persisted, because every caller feeds the frame to
+    * both a band explode and a confirm join. fanOut guards the CPU-heavy
+    * shingle/minhash stage against single-row-group sources. */
+  private def minhashPrep(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    Par.fanOut(df).select(
+        col(idCol).as("doc_id"),
+        array_distinct(shingleHashes(tokens(col(textCol)), shingleN)).as("shingles"))
+      .withColumn("sig", minhashFromHashes(col("shingles"), k))
+      .withColumn("sh_sorted", sort_array(col("shingles")))
+      .withColumn("n_sh", size(col("sh_sorted")))
+      .persist()
+
+  /** Exact-Jaccard confirmation of candidate `pairs` (columns aName,
+    * bName) against the prep frames: two-pointer sorted-intersect kernel,
+    * |A∪B| = na+nb−|A∩B|, keep J ≥ threshold. Shared by the self-join and
+    * incremental pipelines so the confirm semantics can never diverge. */
+  private def confirmJaccard(pairs: DataFrame, baseA: DataFrame, baseB: DataFrame,
+      aName: String, bName: String, threshold: Double): DataFrame =
+    pairs
+      .join(baseA.select(col("doc_id").as(aName), col("sh_sorted").as("sh_a"), col("n_sh").as("na")), Seq(aName))
+      .join(baseB.select(col("doc_id").as(bName), col("sh_sorted").as("sh_b"), col("n_sh").as("nb")), Seq(bName))
+      .withColumn("n_inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col(aName), col(bName), round(col("jaccard"), 4).as("jaccard"))
+
   /** Incremental near-dup detection — the PRODUCTION dedup shape: today's
     * ingest batch is checked against the standing corpus without any
     * corpus×corpus work. Both sides get the same shingle→MinHash→band
@@ -100,15 +118,8 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 256): DataFrame = {
     require(bands * rowsPerBand == k, s"bands($bands) x rows($rowsPerBand) must equal k($k)")
-    def prep(df: DataFrame): DataFrame = Par.fanOut(df).select(
-        col(idCol).as("doc_id"),
-        array_distinct(shingleHashes(tokens(col(textCol)), shingleN)).as("shingles"))
-      .withColumn("sig", minhashFromHashes(col("shingles"), k))
-      .withColumn("sh_sorted", sort_array(col("shingles")))
-      .withColumn("n_sh", size(col("sh_sorted")))
-      .persist() // band explode + confirm join share it
-    val nb = prep(newDf)
-    val cb = prep(corpusDf)
+    val nb = minhashPrep(newDf, idCol, textCol, shingleN, k)
+    val cb = minhashPrep(corpusDf, idCol, textCol, shingleN, k)
     def bandRows(base: DataFrame, isNew: Boolean) = base
       .select(lit(isNew).as("is_new"), col("doc_id"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -123,16 +134,20 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.sub") === col("b.sub"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
-    pairs
-      .join(nb.select(col("doc_id").as("new_id"), col("sh_sorted").as("sh_a"), col("n_sh").as("na")), Seq("new_id"))
-      .join(cb.select(col("doc_id").as("corpus_id"), col("sh_sorted").as("sh_b"), col("n_sh").as("nb")), Seq("corpus_id"))
-      .withColumn("n_inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+    confirmJaccard(pairs, nb, cb, "new_id", "corpus_id", threshold)
   }
 
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard confirmation.
+    *
+    * @param textCol whitespace-tokenizable text
+    * @param shingleN word-shingle width
+    * @param k signature width
+    * @param bands×rowsPerBand must equal k; sets the similarity threshold
+    *        curve (P[candidate] = 1-(1-J^r)^b)
+    * @param maxBucket cap on band-bucket size — oversized buckets salt-split
+    *        into `ceil(n/maxBucket)` deterministic sub-buckets (see saltSplit)
+    * @return (id_a, id_b, jaccard) for confirmed pairs with J ≥ threshold
+    */
   def minhashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -144,15 +159,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 256): DataFrame = {
     require(bands * rowsPerBand == k, s"bands($bands) x rows($rowsPerBand) must equal k($k)")
-    // fanOut: shingle hashing + minhash is the CPU hot spot; a single-row-
-    // group source would run it on one task (no-op at scale — ops/Par)
-    val base = Par.fanOut(df).select(
-        col(idCol).as("doc_id"),
-        array_distinct(shingleHashes(tokens(col(textCol)), shingleN)).as("shingles"))
-      .withColumn("sig", minhashFromHashes(col("shingles"), k))
-      .withColumn("sh_sorted", sort_array(col("shingles")))
-      .withColumn("n_sh", size(col("sh_sorted")))
-      .persist()
+    val base = minhashPrep(df, idCol, textCol, shingleN, k)
     val bandsDf = saltSplit(
       base.select(col("doc_id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk")),
       Seq("bk"), "doc_id", maxBucket)
@@ -162,14 +169,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    pairs
-      .join(base.select(col("doc_id").as("id_a"), col("sh_sorted").as("sh_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(base.select(col("doc_id").as("id_b"), col("sh_sorted").as("sh_b"), col("n_sh").as("nb")), Seq("id_b"))
-      .withColumn("n_inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    confirmJaccard(pairs, base, base, "id_a", "id_b", threshold)
   }
 
   /** End-to-end near-dup deduplication: MinHash+LSH pairs → connected

@@ -11,11 +11,6 @@ import graft.tools.DuckDbSql._
   */
 object DedupOracles {
 
-  /** Oracle for q_dedup_minhash: the full MinHash(64) + LSH(16×4) near-dup
-    * pipeline — word-3-shingle hashes (FNV fold over token hashes), 64-seed
-    * signature mins, fold_hash64 band keys, 256-doc bucket cap, exact-Jaccard
-    * confirm — replicated stage-for-stage in SQL. Empty-shingle docs keep
-    * Long.MaxValue signature lanes (coalesce), matching the kernel. */
   /** The shared CTE chain of the MinHash pipeline, ending with
     * `salted(doc_id, band, fk, sub)` and `sized(doc_id, shingles, n_sh)` —
     * reused by the self-join oracle (minhashSql) and the incremental
@@ -61,6 +56,11 @@ object DedupOracles {
        |)""".stripMargin
   }
 
+  /** Oracle for q_dedup_minhash: the full MinHash(64) + LSH(16×4) near-dup
+    * pipeline — word-3-shingle hashes (FNV fold over token hashes), 64-seed
+    * signature mins, fold_hash64 band keys, 256-doc bucket cap, exact-Jaccard
+    * confirm — replicated stage-for-stage in SQL. Empty-shingle docs keep
+    * Long.MaxValue signature lanes (coalesce), matching the kernel. */
   lazy val minhashSql: String =
     s"""WITH $minhashPipelineCtes, pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

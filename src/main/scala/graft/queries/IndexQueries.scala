@@ -22,18 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object IndexQueries {
 
-  private def sortedEventsCopy(spark: SparkSession, dir: String): String = {
+  /** Build-once fingerprinted tmp-dir cache: the layout is (re)built only
+    * when the source fixture's data version changes — the star-tree rollup
+    * cost model, shared by both index copies below. */
+  private def buildOnce(tag: String, dir: String, srcFile: String)(build: String => Unit): String = {
     val fp = java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-      s"$dir|${graft.sources.Fingerprint.of(s"$dir/events.parquet")}") & 0xffffffffL)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_events_$fp"
-    if (!new java.io.File(out, "_SUCCESS").exists) {
+      s"$dir|$tag|${graft.sources.Fingerprint.of(s"$dir/$srcFile")}") & 0xffffffffL)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$fp"
+    if (!new java.io.File(out, "_SUCCESS").exists) build(out)
+    out
+  }
+
+  private def sortedEventsCopy(spark: SparkSession, dir: String): String =
+    buildOnce("sorted_events", dir, "events.parquet") { out =>
       SortedLayout.write(
         Tables.t(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
         out, "user_id", nFiles = 8)
     }
-    out
-  }
 
   /** A user-segment range lookup + aggregate through the routed session:
     * the shape a Pinot broker serves from sorted-column segment metadata. */
@@ -61,15 +67,11 @@ object IndexQueries {
             |GROUP BY event_type
             |ORDER BY event_type""".stripMargin))
 
-  private def textIndexCopy(spark: SparkSession, dir: String): String = {
-    val fp = java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-      s"$dir|textindex|${graft.sources.Fingerprint.of(s"$dir/documents.parquet")}") & 0xffffffffL)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_text_index_$fp"
-    if (!new java.io.File(out, "_SUCCESS").exists)
+  private def textIndexCopy(spark: SparkSession, dir: String): String =
+    buildOnce("text_index", dir, "documents.parquet") { out =>
       graft.sources.TextIndex.build(
         Tables.t(spark, dir, "documents"), out, "doc_id", "text", nFiles = 8)
-    out
-  }
+    }
 
   /** TEXT_MATCH answered through the inverted text index — candidate term
     * lookups + semi-join + the exact predicate — with a DuckDB oracle

@@ -312,6 +312,10 @@ object ScalarQueries {
       val m = from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      // n_with_k counts KEY PRESENCE (map_contains_key ↔ DuckDB
+      // list_contains(json_keys(..)) — both count a null-VALUED key as
+      // present, unlike value extraction which yields NULL for it);
+      // sum_k is value-based and null-safe on both sides
       ev.withColumn("m", m)
         .withColumn("k_val", expr("try_cast(element_at(m, 'k') AS int)"))
         .withColumn("has_k", map_contains_key(col("m"), "k"))
@@ -326,7 +330,7 @@ object ScalarQueries {
     },
     Some("""SELECT event_type,
             |       CAST(count(*) AS BIGINT) AS n_events,
-            |       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+            |       CAST(sum(CASE WHEN list_contains(json_keys(props), 'k') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
             |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
             |       CAST(max(len(json_keys(props))) AS INT) AS max_keys
             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))

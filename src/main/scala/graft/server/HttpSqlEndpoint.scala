@@ -87,6 +87,17 @@ object HttpSqlEndpoint {
     * the root), which matches how Pinot renders its single-chain segment
     * plans. */
   private def explainAnswer(spark: SparkSession, inner: String): ObjectNode = {
+    // EXPLAIN must only PLAN: spark.sql() executes commands (DDL/DML)
+    // eagerly, so a side-effecting inner statement is rejected before it
+    // can run — Pinot's EXPLAIN PLAN FOR never executes either
+    val parsed = spark.sessionState.sqlParser.parsePlan(inner)
+    val sideEffecting =
+      parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+        parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement] ||
+        parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]
+    if (sideEffecting)
+      throw new IllegalArgumentException(
+        "EXPLAIN PLAN FOR only accepts queries, not commands")
     val plan = spark.sql(inner).queryExecution.executedPlan.treeString
     val root = mapper.createObjectNode()
     val table = root.putObject("resultTable")
@@ -98,8 +109,20 @@ object HttpSqlEndpoint {
     }
     val out = table.putArray("rows")
     val lines = plan.split('\n').filter(_.trim.nonEmpty)
+    // Parent_Id from the tree-drawing indentation: a line's parent is the
+    // most recent line with a shorter operator prefix ("+-"/":-" depth),
+    // which is correct for branching (join/union) plans too
+    def depth(l: String): Int = {
+      val i = l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+      if (i < 0) 0 else i
+    }
+    val stack = scala.collection.mutable.Stack[(Int, Int)]() // (depth, id)
     lines.zipWithIndex.foreach { case (line, i) =>
-      val r = out.addArray(); r.add(line); r.add(i); r.add(i - 1)
+      val d = depth(line)
+      while (stack.nonEmpty && stack.top._1 >= d) stack.pop()
+      val parent = if (stack.isEmpty) -1 else stack.top._2
+      stack.push((d, i))
+      val r = out.addArray(); r.add(line); r.add(i); r.add(parent)
     }
     root.putArray("exceptions")
     root.put("numRowsResultSet", lines.length)

@@ -207,25 +207,6 @@ object EventIngest {
   /** T4 superset: watermarked tumbling-window revenue aggregation (the Spark
     * form of the reference's query-time DATETRUNC windows, plus late-data
     * bounds Pinot lacks). */
-  /** Pinot UPSERT realtime-table analog (T-family superset; Pinot upsert
-    * tables serve the LATEST row per primary key at query time —
-    * `upsertConfig.mode=FULL` in Pinot table configs; the reference's table
-    * is append-only, so this is the engine's extension form like T6):
-    * latest-EVENT-TIME-wins per key via `mapGroupsWithState`. A redelivered
-    * or out-of-order event with an older `ts` can never regress the served
-    * row — exactly the comparison-column semantics of Pinot's upsert
-    * metadata map. State is ONE (micros, payload) pair per key, so state
-    * size tracks key cardinality, not stream length — the 100 TB posture.
-    *
-    * Emits one updated `(k, event_micros, payload, deleted)` row per key per
-    * micro-batch (Update output mode); `upsertSnapshot` turns the
-    * accumulated update log into the queryable latest-per-key table.
-    *
-    * `deleteCol` is Pinot's `upsertConfig.deleteRecordColumn`: a truthy
-    * value in that column makes the record a TOMBSTONE — the key stops
-    * being served (`upsertSnapshot` drops it) while still participating in
-    * comparison-column ordering, so a NEWER regular record revives the key
-    * and an OLDER late delete can never retro-kill a newer row. */
   /** Pinot `upsertConfig.metadataTTL` analog: upsert metadata for a key is
     * DROPPED once the event-time watermark passes the key's newest event
     * time + TTL — the lever that makes Pinot upsert tables viable on
@@ -281,6 +262,25 @@ object EventIngest {
       .toDF("k", "event_micros", "payload", "deleted")
   }
 
+  /** Pinot UPSERT realtime-table analog (T-family superset; Pinot upsert
+    * tables serve the LATEST row per primary key at query time —
+    * `upsertConfig.mode=FULL` in Pinot table configs; the reference's table
+    * is append-only, so this is the engine's extension form like T6):
+    * latest-EVENT-TIME-wins per key via `mapGroupsWithState`. A redelivered
+    * or out-of-order event with an older `ts` can never regress the served
+    * row — exactly the comparison-column semantics of Pinot's upsert
+    * metadata map. State is ONE (micros, payload) pair per key, so state
+    * size tracks key cardinality, not stream length — the 100 TB posture.
+    *
+    * Emits one updated `(k, event_micros, payload, deleted)` row per key per
+    * micro-batch (Update output mode); `upsertSnapshot` turns the
+    * accumulated update log into the queryable latest-per-key table.
+    *
+    * `deleteCol` is Pinot's `upsertConfig.deleteRecordColumn`: a truthy
+    * value in that column makes the record a TOMBSTONE — the key stops
+    * being served (`upsertSnapshot` drops it) while still participating in
+    * comparison-column ordering, so a NEWER regular record revives the key
+    * and an OLDER late delete can never retro-kill a newer row. */
   def upsertLatest(events: DataFrame, keyCol: String, deleteCol: Option[String] = None): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

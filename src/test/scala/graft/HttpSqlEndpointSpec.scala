@@ -125,5 +125,25 @@ class HttpSqlEndpointSpec extends GraftSuite {
     // a broken inner query still errors in-band, like any other SQL error
     val bad = post("EXPLAIN PLAN FOR SELECT * FROM nonexistent_table_xyz")
     assert(bad.get("exceptions").size() === 1)
+
+    // EXPLAIN must only PLAN: side-effecting statements are rejected, not
+    // executed (spark.sql would run a command eagerly)
+    val cmd = post("EXPLAIN PLAN FOR CREATE TABLE graft_explain_probe AS SELECT 1 AS x")
+    assert(cmd.get("exceptions").size() === 1, "command must be rejected")
+    assert(!spark.catalog.tableExists("graft_explain_probe"),
+      "EXPLAIN must not have executed the CREATE")
+
+    // branching plans: parent ids follow tree indentation, so a join's two
+    // children both point at the join operator, not at each other
+    val j = post("EXPLAIN PLAN FOR SELECT o_orderkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey")
+    val jr = j.get("resultTable").get("rows")
+    val parents = (0 until jr.size()).map(i => jr.get(i).get(2).asInt())
+    assert(parents.head === -1)
+    assert(parents.zipWithIndex.forall { case (p, i) => p < i },
+      "every parent must precede its child")
+    // at least one operator's parent is NOT simply the previous line — the
+    // branch point (a linearized chain would make this vacuous)
+    assert(parents.zipWithIndex.exists { case (p, i) => i > 0 && p < i - 1 },
+      s"join plan should branch, got chain parents: $parents")
   }
 }

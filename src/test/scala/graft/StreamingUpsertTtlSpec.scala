@@ -39,7 +39,7 @@ class StreamingUpsertTtlSpec extends GraftSuite {
       mem.addData(ev("u1", 99, "2024-05-01 11:05:00"))
       q.processAllAvailable()
 
-      val stateRows = q.lastProgress.stateOperators.asScala.map(_.numRowsTotal).sum
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows === 2L,
         s"expected only u3+fresh u1 in state after TTL expiry, got $stateRows")
 
@@ -59,9 +59,5 @@ class StreamingUpsertTtlSpec extends GraftSuite {
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       assert(snap === Map("u1" -> 99, "u2" -> 10, "u3" -> 3))
     } finally q.stop()
-  }
-
-  private implicit class ArrAsScala[T](a: Array[T]) {
-    def asScala: Seq[T] = a.toSeq
   }
 }
