@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   * Queries run in bench (alphabetical) order so intra-family cache sharing
   * matches the recorded bench numbers; best-of-2 passes per dir. */
 object ScaleTrend {
-  private val heavy = Seq(
-    "q_dedup_clusters", "q_dedup_minhash", "q_dedup_ngram_jaccard",
-    "q_join_range", "q_split_contamination")
+  private val heavy: Seq[String] = sys.env.get("SPARK_GRAFT_TREND_QUERIES")
+    .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    .getOrElse(Seq(
+      "q_dedup_clusters", "q_dedup_minhash", "q_dedup_ngram_jaccard",
+      "q_join_range", "q_split_contamination"))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
