@@ -51,14 +51,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFil
   */
 object SegmentPruning {
 
-  /** One registered prunable layout: footer ranges (sorted layout) and/or
-    * bloom bitsets (hash layout) for `col` — either list may be empty. */
+  /** One registered prunable layout: footer ranges (sorted layout), bloom
+    * bitsets (hash layout), or exact partition-id sets (partitioned layout)
+    * for `col` — any list may be empty. */
   final case class Entry(
       path: String,
       sortCol: String,
       ranges: Seq[SortedLayout.FileRange],
       blooms: Seq[graft.sources.BloomLayout.FileBloom],
-      fingerprint: String)
+      fingerprint: String,
+      parts: Seq[graft.sources.PartitionedLayout.FileParts] = Nil,
+      nParts: Int = 0)
 
   private val registry = new ConcurrentHashMap[String, Entry]()
 
@@ -82,6 +85,17 @@ object SegmentPruning {
   def registerBloom(spark: SparkSession, dir: String, col: String): Entry =
     install(spark, Entry(canon(dir), col, Nil,
       graft.sources.BloomLayout.buildManifest(spark, dir, col), fingerprintOf(dir)))
+
+  /** Build the exact per-file partition-id manifest for a
+    * PartitionedLayout-written `dir` and enable transparent =/IN pruning on
+    * `col` for this session — Pinot's segmentPartitionConfig broker pruning
+    * (exact: a value's partition id names its owning files with no false
+    * positives; ranges keep the full scan, as on any hash layout). */
+  def registerPartitioned(spark: SparkSession, dir: String, col: String,
+      nPartitions: Int): Entry =
+    install(spark, Entry(canon(dir), col, Nil, Nil, fingerprintOf(dir),
+      graft.sources.PartitionedLayout.buildManifest(spark, dir, col, nPartitions),
+      nPartitions))
 
   private def install(spark: SparkSession, entry: Entry): Entry = {
     registry.put(entry.path, entry)
@@ -216,6 +230,36 @@ object SegmentPruningRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Partition decision: files owning the partition id(s) of an EqualTo or
+    * all-literal IN on the partitioned column — exact (Pinot
+    * segmentPartitionConfig pruning). Probes are hashed BY Spark in the
+    * column's own type, the PartitionedLayout contract. */
+  private def partKeep(entry: SegmentPruning.Entry, cs: Seq[Expression],
+      session: org.apache.spark.sql.SparkSession): Option[Seq[String]] = {
+    def isCol(x: Expression) = x match {
+      case a: AttributeReference => a.name == entry.sortCol
+      case _ => false
+    }
+    def fromUtf8(v: Any): Any = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other
+    }
+    val probe = cs.collectFirst {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if isCol(a) && v != null =>
+        (Seq(fromUtf8(v)), a.dataType)
+      case EqualTo(Literal(v, _), a: AttributeReference) if isCol(a) && v != null =>
+        (Seq(fromUtf8(v)), a.dataType)
+      case In(a: AttributeReference, list) if isCol(a) && list.nonEmpty &&
+          list.forall { case Literal(v, _) => v != null; case _ => false } =>
+        (list.collect { case Literal(v, _) => fromUtf8(v) }, a.dataType)
+    }
+    probe.map { case (values, dt) =>
+      val pids = graft.sources.PartitionedLayout.pidsOf(
+        session, values, entry.nParts, castTo = Some(dt))
+      graft.sources.PartitionedLayout.pruneFiles(entry.parts, pids).map(_.path)
+    }
+  }
+
   private def prune(cond: Expression, l: LogicalRelation,
       facts: Set[String]): Option[LogicalRelation] = {
     for {
@@ -224,10 +268,13 @@ object SegmentPruningRule extends Rule[LogicalPlan] {
       entry <- SegmentPruning.entryFor(path)
       session = l.relation.asInstanceOf[HadoopFsRelation].sparkSession
       cs = conjuncts(cond).filter(_.deterministic)
-      total = if (entry.ranges.nonEmpty) entry.ranges.size else entry.blooms.size
+      total = if (entry.ranges.nonEmpty) entry.ranges.size
+        else if (entry.blooms.nonEmpty) entry.blooms.size
+        else entry.parts.size
       keep <-
         if (entry.ranges.nonEmpty) rangeKeep(entry, cs)
         else if (entry.blooms.nonEmpty) bloomKeep(entry, cs, session)
+        else if (entry.parts.nonEmpty) partKeep(entry, cs, session)
         else None
       if keep.size < total // only rewrite when pruning wins
     } yield {

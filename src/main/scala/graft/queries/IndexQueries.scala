@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.plans.SegmentPruning
-import graft.sources.{SortedLayout, Tables}
+import graft.sources.{PartitionedLayout, SortedLayout, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,43 @@ object IndexQueries {
             |GROUP BY event_type
             |ORDER BY event_type""".stripMargin))
 
+  private def partitionedEventsCopy(spark: SparkSession, dir: String): String =
+    buildOnce("part_events", dir, "events.parquet") { out =>
+      PartitionedLayout.write(
+        Tables.t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        out, "event_type", nPartitions = 8)
+    }
+
+  /** An IN-list lookup + aggregate through a partition-registered session —
+    * Pinot's segmentPartitionConfig broker pruning (each value's Murmur
+    * partition id names its owning segments; the scan touches only those).
+    * The oracle runs the same SQL over the raw table: value-identical to the
+    * unpruned scan. */
+  private val segprunePartition = Q(
+    "q_idx_prune_partition",
+    (spark, dir) => {
+      val part = partitionedEventsCopy(spark, dir)
+      val s = spark.newSession()
+      SegmentPruning.registerPartitioned(s, part, "event_type", nPartitions = 8)
+      s.read.parquet(part)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+            |FROM events
+            |WHERE event_type IN ('click', 'purchase')
+            |GROUP BY event_type
+            |ORDER BY event_type""".stripMargin))
+
   private def textIndexCopy(spark: SparkSession, dir: String): String =
     buildOnce("text_index", dir, "documents.parquet") { out =>
       graft.sources.TextIndex.build(
@@ -93,5 +130,5 @@ object IndexQueries {
             |  AND regexp_matches(text, '(?i)\bwindow\b')
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[Q] = Seq(segpruneRange, textMatchLookup)
+  val all: Seq[Q] = Seq(segpruneRange, segprunePartition, textMatchLookup)
 }

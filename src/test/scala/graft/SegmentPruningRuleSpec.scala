@@ -98,6 +98,35 @@ class SegmentPruningRuleSpec extends GraftSuite {
       ev.filter(col("user_id") >= probe - 1 && col("user_id") <= probe + 1).count())
   }
 
+  test("partitioned layout prunes = to the owning file and IN to the union; ranges full-scan") {
+    import graft.sources.PartitionedLayout
+    val dir = Files.createTempDirectory("graft-segprune-part").toString
+    val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id", "value")
+    PartitionedLayout.write(ev, dir, "user_id", nPartitions = 8)
+    val s2 = spark.newSession()
+    SegmentPruning.registerPartitioned(s2, dir, "user_id", nPartitions = 8)
+    val nFiles = spark.read.parquet(dir).inputFiles.length.toLong
+
+    // = : exactly the one file owning the value's partition id
+    val probes = ev.select("user_id").distinct().limit(3).collect().map(_.getLong(0))
+    val eq = s2.read.parquet(dir).filter(col("user_id") === probes(0))
+    assert(scanFiles(eq) === 1L, "equality must prune to the single owning file")
+    assert(eq.count() === ev.filter(col("user_id") === probes(0)).count())
+    assert(eq.count() > 0)
+
+    // IN : union of owning files, still exact
+    val in = s2.read.parquet(dir).filter(col("user_id").isin(probes.toSeq: _*))
+    assert(scanFiles(in) <= 3L, "IN-list must prune to the owning files")
+    assert(in.count() === ev.filter(col("user_id").isin(probes.toSeq: _*)).count())
+
+    // range: hash layout cannot serve it — full scan, exact result
+    val range = s2.read.parquet(dir)
+      .filter(col("user_id") >= probes(0) - 1 && col("user_id") <= probes(0) + 1)
+    assert(scanFiles(range) === nFiles)
+    assert(range.count() ===
+      ev.filter(col("user_id") >= probes(0) - 1 && col("user_id") <= probes(0) + 1).count())
+  }
+
   test("stale layout deregisters itself: rewritten files stop pruning, results stay exact") {
     val dir = Files.createTempDirectory("graft-segprune-stale").toString
     val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id")
