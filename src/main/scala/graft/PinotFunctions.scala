@@ -305,6 +305,11 @@ object PinotFunctions {
     "distinctcounthll" -> fwd("approx_count_distinct"),
     "distinctcountsmarthll" -> fwd("approx_count_distinct"),
     "distinctcountthetasketch" -> fwd("approx_count_distinct"),
+    // Pinot 1.2's other approx-distinct families (CPC / UltraLogLog /
+    // HLL++) share the estimate contract; Spark's HLL++ serves them all
+    "distinctcountcpcsketch" -> fwd("approx_count_distinct"),
+    "distinctcountull" -> fwd("approx_count_distinct"),
+    "distinctcounthllplus" -> fwd("approx_count_distinct"),
     // raw serialized sketch out (Pinot returns the sketch bytes for
     // client-side merging; ours is the DataSketches HLL binary — mergeable
     // with hll_union/hll_union_agg, estimable with hll_sketch_estimate)
@@ -319,6 +324,12 @@ object PinotFunctions {
     "percentileest" -> pctApprox,
     "percentiletdigest" -> pctApprox,
     "percentilekll" -> pctApprox,
+    // IdSet pair: ID_SET aggregates to the serialized set literal the client
+    // carries away; IN_ID_SET filters by membership in such a literal
+    // (expressions/IdSetExpressions — sorted varint codec, binary search)
+    "id_set" -> (args =>
+      graft.expressions.IdSetSerialize(CollectSet(args(0)).toAggregateExpression())),
+    "in_id_set" -> (args => graft.expressions.InIdSet(args(0), args(1))),
     "firstwithtime" -> (args => MinBy(args(0), args(1)).toAggregateExpression()),
     "lastwithtime" -> (args => MaxBy(args(0), args(1)).toAggregateExpression()),
     "countmv" -> (args => Sum(Cast(Size(args(0)), LongType)).toAggregateExpression()),

@@ -17,6 +17,17 @@ import org.json4s.jackson.JsonMethods
   */
 final case class FieldSpec(name: String, dataType: DataType, role: String, format: Option[String])
 
+/** One `ingestionConfig.transformConfigs` entry: destination column derived
+  * from source fields by a SQL expression (Pinot's inbuilt transform
+  * function surface; run [[TableSpec.ingest]] on a PinotFunctions-registered
+  * session to use the Pinot spellings). */
+final case class TransformConfig(columnName: String, transformFunction: String)
+
+/** One `ingestionConfig.aggregationConfigs` entry: ingestion-time rollup of
+  * a metric column (`SUM(price)` etc.) — Pinot aggregates stream rows into
+  * one row per dimension/time combination as they land. */
+final case class AggregationConfig(columnName: String, aggregationFunction: String)
+
 final case class TableSpec(
     name: String,
     fields: Seq[FieldSpec],
@@ -24,7 +35,10 @@ final case class TableSpec(
     timeColumn: Option[String],
     retentionDays: Option[Int],
     flushIntervalMinutes: Option[Int],
-    flushSizeBytes: Option[Long]) {
+    flushSizeBytes: Option[Long],
+    transforms: Seq[TransformConfig] = Nil,
+    filterFunction: Option[String] = None,
+    aggregations: Seq[AggregationConfig] = Nil) {
 
   /** Spark schema with role metadata on every field. */
   def schema: StructType = StructType(fields.map { f =>
@@ -37,6 +51,34 @@ final case class TableSpec(
     val df = spark.read.schema(schema).parquet(path)
     df.createOrReplaceTempView(name)
     df
+  }
+
+  /** Apply the spec's `ingestionConfig` to incoming rows, in Pinot's order:
+    * filterFunction first (rows where it evaluates TRUE are DROPPED —
+    * Pinot's filter semantics, the inverse of SQL WHERE), then
+    * transformConfigs left to right (later transforms may read earlier
+    * derived columns), then aggregationConfigs as an ingestion-time rollup
+    * grouping on every non-aggregated column. All map-side/narrow except the
+    * rollup's single groupBy — the same cost Pinot pays to collapse stream
+    * rows at segment build. */
+  def ingest(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val filtered = filterFunction.fold(df)(f => df.filter(!expr(f)))
+    val transformed = transforms.foldLeft(filtered) { (d, t) =>
+      d.withColumn(t.columnName, expr(t.transformFunction))
+    }
+    if (aggregations.isEmpty) transformed
+    else {
+      // Pinot's rollup keeps only schema columns: keys are the schema's
+      // non-aggregated fields present in the frame (extra source fields are
+      // dropped at ingest unless a transform derived a schema column from
+      // them), aggregates are the configured metric columns.
+      val aggCols = aggregations.map(_.columnName).toSet
+      val present = transformed.columns.toSet
+      val keys = fields.map(_.name).filter(n => present(n) && !aggCols(n))
+      val aggs = aggregations.map(a => expr(a.aggregationFunction).as(a.columnName))
+      transformed.groupBy(keys.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail: _*)
+    }
   }
 }
 
@@ -93,6 +135,19 @@ object TableSpec {
       .map(s => if (s.endsWith("m")) s.dropRight(1).toInt else s.toInt)
     val flushSize = (stream \ "realtime.segment.flush.threshold.segment.size").extractOpt[String]
       .map(s => if (s.endsWith("M")) s.dropRight(1).toLong * 1024 * 1024 else s.toLong)
+    val ing = cfg \ "ingestionConfig"
+    val transforms = (ing \ "transformConfigs") match {
+      case JArray(arr) => arr.map(t => TransformConfig(
+        (t \ "columnName").extract[String],
+        (t \ "transformFunction").extract[String]))
+      case _ => Nil
+    }
+    val aggregations = (ing \ "aggregationConfigs") match {
+      case JArray(arr) => arr.map(a => AggregationConfig(
+        (a \ "columnName").extract[String],
+        (a \ "aggregationFunction").extract[String]))
+      case _ => Nil
+    }
     TableSpec(
       name = (cfg \ "tableName").extractOpt[String].getOrElse(name),
       fields = fields,
@@ -101,6 +156,9 @@ object TableSpec {
       retentionDays = (seg \ "retentionTimeValue").extractOpt[String].map(_.toInt)
         .filter(_ => (seg \ "retentionTimeUnit").extractOpt[String].contains("DAYS")),
       flushIntervalMinutes = flushTime,
-      flushSizeBytes = flushSize)
+      flushSizeBytes = flushSize,
+      transforms = transforms,
+      filterFunction = (ing \ "filterConfig" \ "filterFunction").extractOpt[String],
+      aggregations = aggregations)
   }
 }

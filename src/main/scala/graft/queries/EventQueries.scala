@@ -470,6 +470,36 @@ object EventQueries {
             |WHERE act.activity_week >= su.cohort_week
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Pinot IdSet round trip (`ID_SET`/`IN_ID_SET` [P1.2]): query 1 returns
+    * the serialized purchaser set, query 2 filters views by membership in
+    * that LITERAL — the cross-request correlation Pinot invented IdSets for
+    * (its v1 engine has no joins). The oracle is the semantically equal
+    * semi-join, so the gate proves the codec+membership path matches the
+    * relational answer. The decoded set rides the plan as one reference
+    * object (no shuffle); membership is a codegen'd binary search. */
+  val eventsIdSet = Q(
+    "q_events_idset",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      // request 1: the client-facing serialized set
+      val purchasers = graft.ops.IdSet.of(ev.filter(col("event_type") === "purchase"), "user_id")
+      // request 2: membership filter by the literal
+      ev.filter(col("event_type") === "view" &&
+          graft.ops.IdSet.inIdSet(col("user_id"), purchasers))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_views"),
+          countDistinct(col("user_id")).as("n_buyers_viewing"))
+        .orderBy(col("day"))
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+            |       CAST(count(*) AS BIGINT) AS n_views,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers_viewing
+            |FROM events
+            |WHERE event_type = 'view'
+            |  AND user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
@@ -477,5 +507,5 @@ object EventQueries {
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
     eventsFunnelWindow, eventsFunnelMaxstep, eventsGapfill, eventsGapfillDefault,
-    eventsCohort)
+    eventsCohort, eventsIdSet)
 }

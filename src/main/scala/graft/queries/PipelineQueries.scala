@@ -362,6 +362,72 @@ object PipelineQueries {
          |FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
     })
 
+  /** X5 per-source document cap: keep at most K docs per source, highest
+    * quality first — the domain/host cap every pretraining mix applies so no
+    * single crawl source dominates the corpus.
+    *
+    * Scale shape: top-K-per-group via SALTED two-phase selection. Phase 1
+    * ranks within (source, salt=hash(doc_id) mod 16) and keeps K per salt —
+    * every window partition is bounded by the salt fan-out even when one
+    * hot source holds billions of docs. Phase 2 re-ranks the ≤16K survivors
+    * per source — provably containing the true top-K, on a frame whose size
+    * is sources×16K regardless of corpus size. A single window over bare
+    * `source` (the naive spelling) would funnel the hot source through one
+    * task; this never does. Totals travel as a separate partial-agg,
+    * broadcast-joined back (never a count() window over the raw frame). */
+  private val sourceCap = Q(
+    "q_pipe_source_cap",
+    (spark, dir) => {
+      val k = 50
+      val d = Tables.t(spark, dir, "documents")
+      val toks = split(col("text"), " ")
+      val scored = d.select(
+        col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("quality"))
+      val salted = scored.withColumn("salt", pmod(hash(col("doc_id")), lit(16)))
+      val w1 = Window.partitionBy(col("source"), col("salt"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      val survivors = salted.withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      val w2 = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      val kept = survivors.withColumn("r2", row_number().over(w2)).filter(col("r2") <= k)
+      val totals = scored.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      kept.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          round(avg(col("quality")), 4).as("avg_kept_quality"),
+          round(min(col("quality")), 4).as("min_kept_quality"))
+        .join(broadcast(totals), "source")
+        .select(
+          col("source"), col("n_kept"),
+          (col("n_total") - col("n_kept")).as("n_dropped"),
+          col("avg_kept_quality"), col("min_kept_quality"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH scored AS (
+            |  SELECT doc_id, source,
+            |         len(list_distinct(string_split(text, ' '))) * 1.0
+            |           / len(string_split(text, ' ')) AS quality
+            |  FROM documents
+            |), ranked AS (
+            |  SELECT source, quality,
+            |         row_number() OVER (PARTITION BY source
+            |                            ORDER BY quality DESC, doc_id ASC) AS r
+            |  FROM scored
+            |), totals AS (
+            |  SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM scored GROUP BY source
+            |)
+            |SELECT r.source,
+            |       CAST(count(*) AS BIGINT) AS n_kept,
+            |       CAST(t.n_total - count(*) AS BIGINT) AS n_dropped,
+            |       round(avg(quality), 4) AS avg_kept_quality,
+            |       round(min(quality), 4) AS min_kept_quality
+            |FROM ranked r JOIN totals t USING (source)
+            |WHERE r.r <= 50
+            |GROUP BY r.source, t.n_total
+            |ORDER BY r.source""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
-    splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted)
+    splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted,
+    sourceCap)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 
 /** Segment compaction — the Pinot minion MergeTask analog (Pinot's
   * `MergeRollupTask`/`SegmentGenerationAndPush` maintenance family rewrites
@@ -95,6 +95,67 @@ object SegmentCompaction {
         val stamp = System.currentTimeMillis()
         staged.zipWithIndex.foreach { case (s, i) =>
           fs.rename(s.getPath, new Path(d.getPath, s"compacted-$stamp-$i.parquet"))
+        }
+        fs.delete(tmp, true)
+        val after = dataFiles(fs, d.getPath)
+        done += PartitionStats(d.getPath.getName, after.length, after.map(_.getLen).sum)
+      }
+    }
+    if (dropSinkLog) fs.delete(new Path(root, "_spark_metadata"), true)
+    done.result()
+  }
+
+  /** Merge-ROLLUP — the second half of Pinot's `MergeRollupTask`: partitions
+    * older than `olderThan` (exclusive, compared on the `dt=` value — ISO
+    * dates compare lexically) are rewritten as `groupBy(groupCols).agg(...)`,
+    * collapsing raw rows into one row per dimension combination. Recent
+    * partitions keep raw granularity for drill-down; aged partitions keep
+    * only the rollup — Pinot's tiered raw→rolled retention story, and the
+    * classic way a 100 TB events table stays queryable: the old tail shrinks
+    * by the dimension-collapse factor while additive aggregates stay exact.
+    *
+    * Same snapshot/staging/swap mechanics as [[compact]]: only the
+    * snapshotted files are replaced, concurrent arrivals survive, the swap
+    * stages a full copy first. Rolled output lands in one file per partition
+    * per `targetBytes` of input (rolled data is smaller; right-sizing off
+    * input bytes over-parallelizes, never under-sizes files).
+    */
+  def rollup(
+      spark: SparkSession,
+      tableDir: String,
+      olderThan: String,
+      groupCols: Seq[String],
+      aggExprs: Seq[Column],
+      targetBytes: Long = 512L * 1024 * 1024,
+      dropSinkLog: Boolean = true): Seq[PartitionStats] = {
+    require(aggExprs.nonEmpty, "rollup needs at least one aggregate")
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    val done = Seq.newBuilder[PartitionStats]
+    val partDirs =
+      if (fs.exists(root))
+        fs.listStatus(root).filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && n.contains("=") && n.substring(n.indexOf('=') + 1) < olderThan
+        }
+      else Array.empty[FileStatus]
+    partDirs.foreach { d =>
+      val snapshot = dataFiles(fs, d.getPath)
+      if (snapshot.nonEmpty) {
+        val bytes = snapshot.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val tmp = new Path(root, s".rollup_tmp_${d.getPath.getName}")
+        spark.read.parquet(snapshot.map(_.getPath.toString): _*)
+          .groupBy(groupCols.map(col): _*)
+          .agg(aggExprs.head, aggExprs.tail: _*)
+          .coalesce(nOut)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = dataFiles(fs, tmp)
+        snapshot.foreach(s => fs.delete(s.getPath, false))
+        val stamp = System.currentTimeMillis()
+        staged.zipWithIndex.foreach { case (s, i) =>
+          fs.rename(s.getPath, new Path(d.getPath, s"rolledup-$stamp-$i.parquet"))
         }
         fs.delete(tmp, true)
         val after = dataFiles(fs, d.getPath)

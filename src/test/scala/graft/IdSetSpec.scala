@@ -1,0 +1,63 @@
+package graft
+
+import graft.expressions.IdSetCodec
+import graft.ops.IdSet
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Pinot IdSet pair (ID_SET / IN_ID_SET): varint codec fidelity, the
+  * cross-query round trip against a semi-join, and the SQL-registered
+  * spellings on a Pinot-mode session. */
+class IdSetSpec extends GraftSuite {
+
+  test("codec round-trips sorted ids, negatives, empty, singletons") {
+    val cases = Seq(
+      Array.empty[Long],
+      Array(0L),
+      Array(-5L),
+      Array(Long.MinValue, -1L, 0L, 1L, Long.MaxValue),
+      (0L until 1000L).map(_ * 7 - 300).toArray)
+    cases.foreach { ids =>
+      val s = IdSetCodec.serialize(ids)
+      assert(IdSetCodec.deserialize(s).toSeq === ids.toSeq, s"case ${ids.take(5).toSeq}")
+    }
+    // compactness: 1000 dense ids ≈ 2 bytes each once varint+base64'd
+    val dense = IdSetCodec.serialize((100000L until 101000L).toArray)
+    assert(dense.length < 3000, s"expected compact encoding, got ${dense.length} chars")
+  }
+
+  test("ID_SET round trip filters like the semi-join, with codegen membership") {
+    val ev = Tables.t(spark, sfDir, "events")
+    val purchasers = IdSet.of(ev.filter(col("event_type") === "purchase"), "user_id")
+    assert(IdSet.decode(purchasers).length ===
+      ev.filter(col("event_type") === "purchase").select("user_id").distinct().count())
+
+    val viaIdSet = ev.filter(col("event_type") === "view" &&
+        IdSet.inIdSet(col("user_id"), purchasers))
+      .count()
+    val viaJoin = ev.filter(col("event_type") === "view")
+      .join(ev.filter(col("event_type") === "purchase").select("user_id").distinct(),
+        "user_id")
+      .count()
+    assert(viaIdSet === viaJoin)
+    assert(viaIdSet > 0)
+  }
+
+  test("SQL surface: ID_SET aggregates, IN_ID_SET filters by the literal") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    Tables.registerViews(s, sfDir)
+    val set = s.sql(
+      "SELECT ID_SET(user_id) AS ids FROM events WHERE event_type = 'purchase'")
+      .head().getString(0)
+    val n = s.sql(
+      s"SELECT count(*) AS n FROM events WHERE event_type = 'view' AND IN_ID_SET(user_id, '$set')")
+      .head().getLong(0)
+    val expected = s.sql(
+      """SELECT count(*) FROM events
+        |WHERE event_type = 'view'
+        |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin)
+      .head().getLong(0)
+    assert(n === expected)
+  }
+}

@@ -56,6 +56,46 @@ class SegmentCompactionSpec extends GraftSuite {
     assert(spark.read.parquet(sink).filter(col("dt") === lit("2024-05-02").cast("date")).count() === 4)
   }
 
+  test("merge-rollup collapses aged partitions to dims, keeps recent raw, preserves additive totals") {
+    import spark.implicits._
+    val dir = tmp("graft-rollup")
+    // 3 day partitions, 2 files each, duplicate (user, type) combinations
+    Seq("2024-05-01", "2024-05-02", "2024-05-03").foreach { day =>
+      (0 to 1).foreach { f =>
+        Seq(
+          (1L, "view", 10.0 + f, day), (1L, "view", 1.0, day),
+          (2L, "click", 5.0, day))
+          .toDF("user_id", "event_type", "value", "dt")
+          .write.mode("append").partitionBy("dt").parquet(dir)
+      }
+    }
+    val totalBefore = spark.read.parquet(dir).agg(sum("value")).head().getDouble(0)
+    val rawRowsPerDay = 6L
+
+    val rolled = SegmentCompaction.rollup(
+      spark, dir, olderThan = "2024-05-03",
+      groupCols = Seq("user_id", "event_type"),
+      aggExprs = Seq(sum("value").as("value"), count(lit(1)).as("n_raw")))
+    assert(rolled.map(_.partition).sorted === Seq("dt=2024-05-01", "dt=2024-05-02"),
+      "only partitions strictly older than the boundary roll up")
+    assert(rolled.forall(_.files === 1))
+
+    // aged partitions: one row per (user, type); raw row count preserved in n_raw
+    val aged = spark.read.parquet(s"$dir/dt=2024-05-01")
+    assert(aged.count() === 2L)
+    assert(aged.agg(sum("n_raw")).head().getLong(0) === rawRowsPerDay)
+    assert(aged.filter($"user_id" === 1L).select("value").head().getDouble(0) === 23.0)
+
+    // recent partition untouched at raw granularity
+    assert(spark.read.parquet(s"$dir/dt=2024-05-03").count() === rawRowsPerDay)
+
+    // additive aggregate invariant across the whole table
+    val totalAfter = spark.read.parquet(s"$dir/dt=2024-05-03").agg(sum("value")).head().getDouble(0) +
+      spark.read.parquet(s"$dir/dt=2024-05-01").agg(sum("value")).head().getDouble(0) +
+      spark.read.parquet(s"$dir/dt=2024-05-02").agg(sum("value")).head().getDouble(0)
+    assert(math.abs(totalAfter - totalBefore) < 1e-9)
+  }
+
   test("snapshot-scoped swap: files landing after the snapshot survive; below-threshold partitions untouched") {
     import spark.implicits._
     val dir = tmp("graft-cmp-plain")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.catalog.TableSpec
+import graft.catalog.{AggregationConfig, TableSpec}
 import org.apache.spark.sql.types._
 
 /** Config-driven DDL (S10): our own spec JSON in the reference's *shape*
@@ -78,6 +78,47 @@ class TableSpecSpec extends GraftSuite {
     val spec = TableSpec.parse(schemaJson, configJson)
     val f = spec.schema("price")
     assert(f.metadata.getString("graft.role") === "metric")
+  }
+
+  test("ingestionConfig: filter drops, transforms derive, aggregation rolls up") {
+    import spark.implicits._
+    val withIngestion = configJson.replace(
+      """  "tableIndexConfig": {""",
+      """  "ingestionConfig": {
+        |    "filterConfig": {"filterFunction": "price < 0"},
+        |    "transformConfigs": [
+        |      {"columnName": "creationTimestamp",
+        |       "transformFunction": "substring(creationTimestamp, 1, 10)"}
+        |    ],
+        |    "aggregationConfigs": [
+        |      {"columnName": "price", "aggregationFunction": "SUM(price)"}
+        |    ]
+        |  },
+        |  "tableIndexConfig": {""".stripMargin)
+    assert(withIngestion.contains("ingestionConfig"), "test JSON splice must hit")
+    val spec = TableSpec.parse(schemaJson, withIngestion)
+    assert(spec.filterFunction === Some("price < 0"))
+    assert(spec.transforms.map(_.columnName) === Seq("creationTimestamp"))
+    assert(spec.aggregations === Seq(AggregationConfig("price", "SUM(price)")))
+
+    val raw = Seq(
+      ("7", "BF", 100, "2024-05-01 10:00:00"),
+      ("7", "BF", 20, "2024-05-01 11:30:00"),
+      ("7", "BF", -5, "2024-05-01 12:00:00"), // filterFunction TRUE -> dropped
+      ("8", "BF", 9, "2024-05-02 09:00:00"),
+      ("8", "BF", 9, "2024-05-02 17:00:00"),
+      ("7", "BF", 1, "2024-05-03 08:00:00"))
+      .toDF("userID", "campaign", "price", "creationTimestamp")
+      .withColumn("sourceShard", org.apache.spark.sql.functions.lit("s1")) // non-schema: dropped
+    val out = spec.ingest(raw)
+    assert(out.columns.toSet === Set("userID", "campaign", "creationTimestamp", "price"))
+    val byKey = out.collect()
+      .map(r => (r.getAs[String]("userID"), r.getAs[String]("creationTimestamp")) ->
+        r.getAs[Long]("price")).toMap
+    assert(byKey.size === 3, "rows must collapse to one per (user, campaign, day)")
+    assert(byKey(("7", "2024-05-01")) === 120L) // 100 + 20; -5 filtered out
+    assert(byKey(("8", "2024-05-02")) === 18L)  // 9 + 9 rolled up
+    assert(byKey(("7", "2024-05-03")) === 1L)
   }
 
   test("registerView serves parquet through the spec-declared schema") {
