@@ -165,4 +165,56 @@ object SegmentCompaction {
     if (dropSinkLog) fs.delete(new Path(root, "_spark_metadata"), true)
     done.result()
   }
+
+  /** Upsert-log purge — the Pinot minion `PurgeTask` analog for upsert
+    * tables: physically remove records that can no longer affect any served
+    * row. The accumulated update log ([[EventIngest.upsertLatest]] Update
+    * output: `(k, event_micros, payload, deleted)`) is rewritten as
+    *
+    *  - one row per key: the latest by `(event_micros, payload)` — all
+    *    superseded versions drop (log compaction);
+    *  - keys whose latest record is a TOMBSTONE older than
+    *    `tombstoneHorizonMicros` drop entirely (the delete is final — no
+    *    comparison-column-younger record can still arrive);
+    *  - younger tombstones are KEPT, so a late out-of-order record older
+    *    than the tombstone still loses the comparison-column race after the
+    *    purge, exactly as before it.
+    *
+    * Invariant (the spec's core assertion): `upsertSnapshot(purged log)`
+    * serves the same rows as `upsertSnapshot(original log)`. Storage
+    * shrinks from O(updates) to O(live keys); the groupBy max_by is one
+    * shuffle on the key — the same cost class as a snapshot query. Flat-dir
+    * snapshot/staging/swap, same concurrency contract as [[compact]]. */
+  def purgeUpsertLog(
+      spark: SparkSession,
+      logDir: String,
+      tombstoneHorizonMicros: Long,
+      dropSinkLog: Boolean = true): PartitionStats = {
+    import org.apache.spark.sql.functions._
+    val fs = fsOf(spark, logDir)
+    val root = new Path(logDir)
+    val snapshot = dataFiles(fs, root)
+    require(snapshot.nonEmpty, s"no data files under $logDir")
+    val log = spark.read.parquet(snapshot.map(_.getPath.toString): _*)
+    val cols = log.columns.map(col)
+    val latest = log
+      .groupBy(col("k"))
+      .agg(max_by(struct(cols.toIndexedSeq: _*),
+        struct(col("event_micros"), col("payload"))).as("r"))
+      .select(col("r.*"))
+    val kept = latest.filter(
+      !(col("deleted") && col("event_micros") < tombstoneHorizonMicros))
+    val tmp = new Path(root, ".purge_tmp")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    val staged = dataFiles(fs, tmp)
+    snapshot.foreach(s => fs.delete(s.getPath, false))
+    val stamp = System.currentTimeMillis()
+    staged.zipWithIndex.foreach { case (s, i) =>
+      fs.rename(s.getPath, new Path(root, s"purged-$stamp-$i.parquet"))
+    }
+    fs.delete(tmp, true)
+    if (dropSinkLog) fs.delete(new Path(root, "_spark_metadata"), true)
+    val after = dataFiles(fs, root)
+    PartitionStats(root.getName, after.length, after.map(_.getLen).sum)
+  }
 }

@@ -68,12 +68,14 @@ object ScaleFixtures {
     embReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // tables the trend queries read but don't need scaled: link at 1×
+    // tables the trend queries read but don't need scaled: raw byte copy at
+    // 1× (NOT a parquet round-trip — events.ts is TIMESTAMP(NANOS), which
+    // only graft.sources.Tables can read; a byte copy preserves it as-is)
     Seq("events", "orders", "customer", "part", "supplier", "nation", "region").foreach { t =>
-      val src = new java.io.File(s"$srcDir/$t.parquet")
-      if (src.exists)
-        spark.read.parquet(src.toString)
-          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
+      if (java.nio.file.Files.isRegularFile(src))
+        java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$outDir/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 

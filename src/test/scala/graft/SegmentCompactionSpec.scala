@@ -96,6 +96,46 @@ class SegmentCompactionSpec extends GraftSuite {
     assert(math.abs(totalAfter - totalBefore) < 1e-9)
   }
 
+  test("upsert-log purge: compaction to latest, aged tombstones drop, served snapshot unchanged") {
+    import spark.implicits._
+    val dir = tmp("graft-purge")
+    // (k, event_micros, payload, deleted) update log across several files
+    val log = Seq(
+      ("A", 1L, "A@1", false), ("A", 5L, "A@5", false),      // live, 2 versions
+      ("B", 2L, "B@2", false), ("B", 3L, "B-del", true),     // tombstoned OLD (< horizon)
+      ("C", 2L, "C@2", false), ("C", 15L, "C-del", true),    // tombstoned RECENT (kept)
+      ("D", 4L, "D-del", true), ("D", 6L, "D@6", false))     // revived after delete
+      .toDF("k", "event_micros", "payload", "deleted")
+    log.filter($"event_micros" <= 3L).repartition(2).write.mode("append").parquet(dir)
+    log.filter($"event_micros" > 3L).repartition(2).write.mode("append").parquet(dir)
+
+    val servedBefore = EventIngest.upsertSnapshot(spark.read.parquet(dir))
+      .select("k", "payload").collect().map(_.toString).toSet
+
+    val stats = SegmentCompaction.purgeUpsertLog(spark, dir, tombstoneHorizonMicros = 10L)
+    val purged = spark.read.parquet(dir)
+
+    // storage: one row per surviving key; B fully gone
+    assert(purged.count() === 3L)
+    assert(purged.filter($"k" === "B").count() === 0L, "aged tombstoned key must purge entirely")
+    assert(purged.filter($"k" === "C" && $"deleted").count() === 1L, "recent tombstone kept")
+    assert(purged.filter($"k" === "A").select("payload").head().getString(0) === "A@5")
+    assert(stats.files > 0)
+
+    // served rows are IDENTICAL before and after the purge
+    val servedAfter = EventIngest.upsertSnapshot(purged)
+      .select("k", "payload").collect().map(_.toString).toSet
+    assert(servedAfter === servedBefore)
+    assert(servedAfter.map(_.take(2)).exists(_.contains("A")))
+
+    // late out-of-order record OLDER than C's kept tombstone still loses
+    Seq(("C", 5L, "C@5-late", false)).toDF("k", "event_micros", "payload", "deleted")
+      .write.mode("append").parquet(dir)
+    val servedLate = EventIngest.upsertSnapshot(spark.read.parquet(dir))
+      .filter($"k" === "C").count()
+    assert(servedLate === 0L, "kept tombstone must still shadow older late arrivals")
+  }
+
   test("snapshot-scoped swap: files landing after the snapshot survive; below-threshold partitions untouched") {
     import spark.implicits._
     val dir = tmp("graft-cmp-plain")
