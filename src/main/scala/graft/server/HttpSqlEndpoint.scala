@@ -129,8 +129,20 @@ object HttpSqlEndpoint {
     root
   }
 
-  /** Execute `sql` on `spark` and render the Pinot broker response JSON. */
-  private[server] def answer(spark: SparkSession, sql: String, maxRows: Int): ObjectNode =
+  /** Parse Pinot's `queryOptions` request field: `"k1=v1;k2=v2"`. Unknown
+    * keys are accepted and ignored, as the broker does. */
+  private[server] def parseOptions(s: String): Map[String, String] =
+    s.split(';').iterator.map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); kv.take(i).trim -> kv.drop(i + 1).trim }
+      .toMap
+
+  /** Execute `sql` on `spark` and render the Pinot broker response JSON.
+    * `queryOptions` honors `timeoutMs` (Pinot's per-query broker timeout):
+    * the query runs in its own job group and a timeout CANCELS the Spark
+    * jobs (no orphaned work) and answers in-band with Pinot's
+    * execution-timeout error class (code 235), still HTTP 200. */
+  private[server] def answer(spark: SparkSession, sql: String, maxRows: Int,
+      queryOptions: Map[String, String] = Map.empty): ObjectNode =
     try {
       sql match {
         case ExplainRe(inner) => return explainAnswer(spark, inner)
@@ -138,7 +150,30 @@ object HttpSqlEndpoint {
       }
       val t0 = System.nanoTime()
       val df = spark.sql(sql)
-      val rows = df.limit(maxRows + 1).collect()
+      val timeoutMs = queryOptions.get("timeoutMs").map(_.toLong)
+      val rows = timeoutMs match {
+        case None => df.limit(maxRows + 1).collect()
+        case Some(t) =>
+          val group = s"graft-http-sql-${java.util.UUID.randomUUID()}"
+          val exec = Executors.newSingleThreadExecutor()
+          val fut = exec.submit(new java.util.concurrent.Callable[Array[org.apache.spark.sql.Row]] {
+            override def call(): Array[org.apache.spark.sql.Row] = {
+              // job group is thread-local: set it on the executing thread so
+              // cancelJobGroup reaches exactly this query's jobs
+              spark.sparkContext.setJobGroup(group, sql, interruptOnCancel = true)
+              try df.limit(maxRows + 1).collect()
+              finally spark.sparkContext.clearJobGroup()
+            }
+          })
+          try fut.get(t, java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              fut.cancel(true)
+              return errorResponse(235,
+                s"query timed out after ${t} ms (queryOptions timeoutMs)")
+          } finally exec.shutdown()
+      }
       val truncated = rows.length > maxRows
       val emit = if (truncated) rows.take(maxRows) else rows
       val root = mapper.createObjectNode()
@@ -173,19 +208,78 @@ object HttpSqlEndpoint {
 
   /** Start the broker endpoint; `port = 0` binds an ephemeral port. Returns
     * the running server (stop with `server.stop(0)`); the bound port is
-    * `server.getAddress.getPort`. */
-  def start(spark: SparkSession, port: Int = 8099, maxRows: Int = 100000): HttpServer = {
+    * `server.getAddress.getPort`.
+    *
+    * `realtimeTables` wires the CONTROLLER-side lifecycle surface for
+    * realtime tables (Pinot `POST /tables/{name}/pauseConsumption` /
+    * `resumeConsumption`): each entry maps a table name to a starter that
+    * (re)creates its ingest StreamingQuery from the table's checkpoint.
+    * Pause stops the running query (sealed segments keep serving — the
+    * storage/compute split makes this a consumption toggle, not an
+    * availability event); resume starts a fresh query that picks up from
+    * the checkpoint with nothing lost — exactly Pinot's pause/resume
+    * contract (consumption halts, data already ingested stays queryable,
+    * resume continues from the last consumed offset). */
+  def start(spark: SparkSession, port: Int = 8099, maxRows: Int = 100000,
+      realtimeTables: Map[String, () => org.apache.spark.sql.streaming.StreamingQuery] =
+        Map.empty): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("localhost", port), 0)
+    if (realtimeTables.nonEmpty) {
+      val running = new java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.streaming.StreamingQuery]()
+      val TableOp = """/tables/([^/]+)/(pauseConsumption|resumeConsumption|consumingSegmentsInfo)""".r
+      server.createContext("/tables/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          try {
+            val node = mapper.createObjectNode()
+            ex.getRequestURI.getPath match {
+              case TableOp(name, op) if realtimeTables.contains(name) =>
+                val active = Option(running.get(name)).filter(_.isActive)
+                op match {
+                  case "pauseConsumption" =>
+                    active.foreach(_.stop())
+                    running.remove(name)
+                    node.put("tableName", name)
+                    node.put("consuming", false)
+                    node.put("description",
+                      "consumption paused; sealed segments keep serving")
+                  case "resumeConsumption" =>
+                    val q = active.getOrElse {
+                      val started = realtimeTables(name)()
+                      running.put(name, started)
+                      started
+                    }
+                    node.put("tableName", name)
+                    node.put("consuming", q.isActive)
+                    node.put("description", "consumption resumed from checkpoint")
+                  case _ => // consumingSegmentsInfo
+                    node.put("tableName", name)
+                    node.put("consuming", active.nonEmpty)
+                }
+                respond(ex, 200, node)
+              case _ =>
+                respond(ex, 404, errorResponse(404, "unknown table or operation"))
+            }
+          } catch {
+            case e: Exception => respond(ex, 500, errorResponse(500, String.valueOf(e.getMessage)))
+          }
+      })
+    }
     server.createContext("/query/sql", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
           ex.getRequestMethod match {
             case "POST" =>
               val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-              val sqlNode = mapper.readTree(body).get("sql")
+              val tree = mapper.readTree(body)
+              val sqlNode = tree.get("sql")
+              val optsNode = tree.get("queryOptions")
+              val opts =
+                if (optsNode != null && optsNode.isTextual) parseOptions(optsNode.asText())
+                else Map.empty[String, String]
               if (sqlNode == null || !sqlNode.isTextual)
                 respond(ex, 400, errorResponse(150, "request body must be {\"sql\": \"...\"}"))
-              else respond(ex, 200, answer(spark, sqlNode.asText(), maxRows))
+              else respond(ex, 200, answer(spark, sqlNode.asText(), maxRows, opts))
             case _ =>
               // the reference ALB health-checks GET /query/sql
               // (apache-pinot-solution-stack.ts:725-727) — answer 200

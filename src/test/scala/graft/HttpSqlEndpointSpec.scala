@@ -22,9 +22,10 @@ class HttpSqlEndpointSpec extends GraftSuite {
   private lazy val base = s"http://localhost:${httpServer.getAddress.getPort}"
   private val client = HttpClient.newHttpClient()
 
-  private def post(sql: String): com.fasterxml.jackson.databind.JsonNode = {
+  private def post(sql: String, queryOptions: Option[String] = None): com.fasterxml.jackson.databind.JsonNode = {
     val body = mapper.createObjectNode()
     body.put("sql", sql)
+    queryOptions.foreach(body.put("queryOptions", _))
     val req = HttpRequest.newBuilder(URI.create(s"$base/query/sql"))
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body), StandardCharsets.UTF_8))
       .header("Content-Type", "application/json")
@@ -108,6 +109,88 @@ class HttpSqlEndpointSpec extends GraftSuite {
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
     assert(errors.isEmpty, s"concurrent failures: ${errors.toArray.mkString("; ")}")
+  }
+
+  test("queryOptions timeoutMs: expired queries answer in-band 235 and cancel; generous timeouts pass") {
+    // a deliberately heavy self-cross-join: must NOT finish in 1 ms
+    val heavy = "SELECT count(*) AS n FROM lineitem a, lineitem b, lineitem c " +
+      "WHERE a.l_orderkey + b.l_orderkey + c.l_orderkey > 0"
+    val timedOut = post(heavy, Some("timeoutMs=1"))
+    val ex0 = timedOut.get("exceptions").get(0)
+    assert(ex0 != null, "timeout must surface as an in-band exception")
+    assert(ex0.get("errorCode").asInt() === 235)
+    assert(ex0.get("message").asText().contains("timed out"))
+
+    // generous timeout answers normally; unknown options are ignored
+    val ok = post(
+      "SELECT count(*) AS n FROM lineitem",
+      Some("timeoutMs=120000;useMultistageEngine=true;unknownOpt=x"))
+    assert(ok.get("exceptions").size() === 0)
+    assert(ok.get("resultTable").get("rows").get(0).get(0).asLong() > 0L)
+  }
+
+  test("controller surface: pause/resumeConsumption toggle a realtime table's ingest") {
+    import graft.streaming.EventIngest
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-ctl-src").toString
+    val sink = Files.createTempDirectory("graft-ctl-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ctl-ckpt").toString
+    def event(u: Int): String =
+      s"""{"userID":"$u","productName":"p","color":"red","department":"d",""" +
+        s""""product":"x","campaign":"NONE","price":5,"creationTimestamp":"2024-05-01 10:0$u:00"}"""
+    def writeBatch(rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(src, s"b_${System.nanoTime()}.json"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    def sinkRows(): Long =
+      try spark.read.parquet(sink).count() catch { case _: Exception => 0L }
+    def await(cond: () => Boolean, ms: Long = 30000): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond() && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+      assert(cond(), "condition not met in time")
+    }
+
+    val ctl = server.HttpSqlEndpoint.start(spark, port = 0, maxRows = 100,
+      realtimeTables = Map("kinesisTable" -> (() =>
+        EventIngest.sealedSink(
+          EventIngest.readJsonLines(spark, src), sink, ckpt,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds")).start())))
+    val cbase = s"http://localhost:${ctl.getAddress.getPort}"
+    def tableOp(op: String): com.fasterxml.jackson.databind.JsonNode = {
+      val req = HttpRequest.newBuilder(URI.create(s"$cbase/tables/kinesisTable/$op"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, resp.body())
+      mapper.readTree(resp.body())
+    }
+    try {
+      // resume starts consumption; batch 1 lands
+      writeBatch(Seq(event(1), event(2)))
+      assert(tableOp("resumeConsumption").get("consuming").asBoolean())
+      await(() => sinkRows() === 2L)
+
+      // pause stops the query; new arrivals are NOT consumed
+      assert(!tableOp("pauseConsumption").get("consuming").asBoolean())
+      await(() => !tableOp("consumingSegmentsInfo").get("consuming").asBoolean())
+      writeBatch(Seq(event(3)))
+      Thread.sleep(1500)
+      assert(sinkRows() === 2L, "paused table must not consume")
+      // sealed data keeps serving while paused (storage/compute split)
+      assert(spark.read.parquet(sink).count() === 2L)
+
+      // resume picks up from the checkpoint: nothing lost, nothing doubled
+      assert(tableOp("resumeConsumption").get("consuming").asBoolean())
+      await(() => sinkRows() === 3L)
+
+      // unknown table → 404
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"$cbase/tables/nope/pauseConsumption"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 404)
+    } finally {
+      tableOp("pauseConsumption")
+      ctl.stop(0)
+    }
   }
 
   test("EXPLAIN PLAN FOR answers the Pinot explain shape with the physical plan") {
