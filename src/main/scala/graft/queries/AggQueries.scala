@@ -366,9 +366,32 @@ object AggQueries {
     },
     Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users FROM events"""))
 
+  /** Pinot ARRAY_AGG `[P1.2]` (and Spark/ANSI array_agg): value-list
+    * aggregation. Pinot makes no order guarantee, so the DETERMINISTIC form
+    * both engines can hash-compare is the sorted distinct list —
+    * `sort_array(collect_set(..))` here, `list_sort(list_distinct(list(..)))`
+    * in DuckDB. Partial-aggregated like any collect; array payload size
+    * tracks group cardinality (bounded dims here), never row count.
+    * Emitted JOINED to a canonical string: the driver's compare hashes raw
+    * cells, and array-typed cells are not hash-stable across engines. */
+  private val aggArrayAgg = Q(
+    "q_agg_arrayagg",
+    (spark, dir) => {
+      val o = Tables.t(spark, dir, "orders")
+      o.groupBy(col("o_orderstatus"))
+        .agg(
+          concat_ws("|", sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus,
+            |       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
+            |       CAST(count(*) AS BIGINT) AS n_orders
+            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[Q] = Seq(
     aggBasic, aggCount, aggMinMax, aggStats, aggPercentile, aggHistogram,
     aggMode, aggFirstLast, aggHaving, aggFilterClause, distinctRows,
     aggRollup, aggCube, aggGroupingSets, aggSumPrecision, aggArgMinMax,
-    aggSegPartDistinct)
+    aggSegPartDistinct, aggArrayAgg)
 }

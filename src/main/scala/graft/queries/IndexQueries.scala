@@ -130,5 +130,36 @@ object IndexQueries {
             |  AND regexp_matches(text, '(?i)\bwindow\b')
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[Q] = Seq(segpruneRange, segprunePartition, textMatchLookup)
+  private def valueIndexCopy(spark: SparkSession, dir: String): String =
+    buildOnce("value_index", dir, "documents.parquet") { out =>
+      graft.sources.ValueIndex.build(
+        Tables.t(spark, dir, "documents"), out, "doc_id", "n_chars", nFiles = 8)
+    }
+
+  /** A range predicate answered through the inverted/range-index analog
+    * (ValueIndex postings: footer-pruned (v, id) lookup → semi-join → exact
+    * predicate re-applied), with a plain-SQL oracle over the raw table: the
+    * index-accelerated path must be value-identical to the scan. */
+  private val valueRangeLookup = Q(
+    "q_idx_value_range",
+    (spark, dir) => {
+      val docs = Tables.t(spark, dir, "documents")
+      graft.sources.ValueIndex.rangeFilter(
+          docs, "doc_id", "n_chars", valueIndexCopy(spark, dir),
+          Long.box(200L).asInstanceOf[Comparable[Any]],
+          Long.box(400L).asInstanceOf[Comparable[Any]])
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM documents
+            |WHERE n_chars >= 200 AND n_chars <= 400
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val all: Seq[Q] = Seq(segpruneRange, segprunePartition, textMatchLookup, valueRangeLookup)
 }

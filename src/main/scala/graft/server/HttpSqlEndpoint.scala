@@ -136,14 +136,39 @@ object HttpSqlEndpoint {
       .map { kv => val i = kv.indexOf('='); kv.take(i).trim -> kv.drop(i + 1).trim }
       .toMap
 
+  private val SetStmtRe = """(?is)^\s*SET\s+(\w+)\s*=\s*('[^']*'|"[^"]*"|[^;]+?)\s*;(.*)""".r
+
+  /** Pinot's in-query option syntax — `SET key = value; SELECT ...` — is
+    * broker-parsed, not SQL: peel leading SET statements into queryOptions
+    * (they override same-named options from the request body, as in Pinot)
+    * and hand the remainder to the engine. */
+  private[server] def extractSetOptions(sql: String): (String, Map[String, String]) = {
+    var rest = sql
+    val opts = Map.newBuilder[String, String]
+    var matched = true
+    while (matched) rest match {
+      case SetStmtRe(k, v, tail) =>
+        val unquoted =
+          if (v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head)
+            v.substring(1, v.length - 1)
+          else v
+        opts += (k -> unquoted)
+        rest = tail
+      case _ => matched = false
+    }
+    (rest, opts.result())
+  }
+
   /** Execute `sql` on `spark` and render the Pinot broker response JSON.
     * `queryOptions` honors `timeoutMs` (Pinot's per-query broker timeout):
     * the query runs in its own job group and a timeout CANCELS the Spark
     * jobs (no orphaned work) and answers in-band with Pinot's
     * execution-timeout error class (code 235), still HTTP 200. */
-  private[server] def answer(spark: SparkSession, sql: String, maxRows: Int,
-      queryOptions: Map[String, String] = Map.empty): ObjectNode =
+  private[server] def answer(spark: SparkSession, rawSql: String, maxRows: Int,
+      requestOptions: Map[String, String] = Map.empty): ObjectNode =
     try {
+      val (sql, setOptions) = extractSetOptions(rawSql)
+      val queryOptions = requestOptions ++ setOptions // SET wins, as in Pinot
       sql match {
         case ExplainRe(inner) => return explainAnswer(spark, inner)
         case _ =>

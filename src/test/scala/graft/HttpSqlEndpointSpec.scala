@@ -127,6 +127,17 @@ class HttpSqlEndpointSpec extends GraftSuite {
       Some("timeoutMs=120000;useMultistageEngine=true;unknownOpt=x"))
     assert(ok.get("exceptions").size() === 0)
     assert(ok.get("resultTable").get("rows").get(0).get(0).asLong() > 0L)
+
+    // Pinot's in-query SET syntax is broker-parsed and overrides the body:
+    // body says 2 minutes, SET says 1 ms -> must time out
+    val setWins = post(s"SET timeoutMs = 1; $heavy", Some("timeoutMs=120000"))
+    assert(setWins.get("exceptions").get(0).get("errorCode").asInt() === 235)
+    // chained SETs peel; unknown keys ignored; query still answers
+    val chained = post(
+      "SET useMultistageEngine = true; SET numReplicaGroupsToQuery = '2'; " +
+        "SELECT count(*) AS n FROM lineitem")
+    assert(chained.get("exceptions").size() === 0)
+    assert(chained.get("resultTable").get("rows").get(0).get(0).asLong() > 0L)
   }
 
   test("controller surface: pause/resumeConsumption toggle a realtime table's ingest") {
