@@ -316,6 +316,9 @@ object PinotFunctions {
     "distinctcountrawhll" -> fwd("hll_sketch_agg"),
     "minmaxrange" -> (args => Subtract(
       Max(args(0)).toAggregateExpression(), Min(args(0)).toAggregateExpression())),
+    // Pinot 1.2 DISTINCTSUM / DISTINCTAVG: sum/avg over the distinct values
+    "distinctsum" -> (args => Sum(args(0)).toAggregateExpression(isDistinct = true)),
+    "distinctavg" -> (args => Average(args(0)).toAggregateExpression(isDistinct = true)),
     "sumprecision" -> (args =>
       Sum(Cast(args(0), DecimalType(38, 18))).toAggregateExpression()),
     "percentile" -> (args =>

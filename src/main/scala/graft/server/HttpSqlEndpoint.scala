@@ -67,6 +67,24 @@ object HttpSqlEndpoint {
     case other => node.add(other.toString) // Timestamp, Date, Row, Map
   }
 
+  /** Sum of (numOutputRows, numFiles) across the executed plan's file
+    * scans — the broker's numDocsScanned / numSegmentsQueried analogs. */
+  private def scanCounters(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case o => o.children.flatMap(scans)
+    }
+    try {
+      val ss = scans(df.queryExecution.executedPlan)
+      (ss.map(s => s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum,
+        ss.map(s => s.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum)
+    } catch { case _: Exception => (0L, 0L) } // counters are best-effort
+  }
+
   private def errorResponse(code: Int, msg: String): ObjectNode = {
     val root = mapper.createObjectNode()
     root.putObject("resultTable") // empty table keeps clients shape-stable
@@ -175,9 +193,10 @@ object HttpSqlEndpoint {
       }
       val t0 = System.nanoTime()
       val df = spark.sql(sql)
+      val limited = df.limit(maxRows + 1) // counters read from THIS execution
       val timeoutMs = queryOptions.get("timeoutMs").map(_.toLong)
       val rows = timeoutMs match {
-        case None => df.limit(maxRows + 1).collect()
+        case None => limited.collect()
         case Some(t) =>
           val group = s"graft-http-sql-${java.util.UUID.randomUUID()}"
           val exec = Executors.newSingleThreadExecutor()
@@ -186,7 +205,7 @@ object HttpSqlEndpoint {
               // job group is thread-local: set it on the executing thread so
               // cancelJobGroup reaches exactly this query's jobs
               spark.sparkContext.setJobGroup(group, sql, interruptOnCancel = true)
-              try df.limit(maxRows + 1).collect()
+              try limited.collect()
               finally spark.sparkContext.clearJobGroup()
             }
           })
@@ -199,6 +218,7 @@ object HttpSqlEndpoint {
                 s"query timed out after ${t} ms (queryOptions timeoutMs)")
           } finally exec.shutdown()
       }
+      val (docsScanned, segmentsQueried) = scanCounters(limited)
       val truncated = rows.length > maxRows
       val emit = if (truncated) rows.take(maxRows) else rows
       val root = mapper.createObjectNode()
@@ -216,6 +236,11 @@ object HttpSqlEndpoint {
       root.put("numRowsResultSet", emit.length)
       root.put("truncated", truncated)
       root.put("timeUsedMs", (System.nanoTime() - t0) / 1000000L)
+      // Pinot broker counters: rows emitted by the file scans and files
+      // (segment analogs) opened — read from the SAME QueryExecution that
+      // served the rows (cached/in-memory relations contribute 0: no scan)
+      root.put("numDocsScanned", docsScanned)
+      root.put("numSegmentsQueried", segmentsQueried)
       root
     } catch {
       // Pinot SQL errors come back in-band as QueryException entries, not

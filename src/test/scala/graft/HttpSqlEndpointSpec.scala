@@ -80,6 +80,13 @@ class HttpSqlEndpointSpec extends GraftSuite {
     assert(r.get("numRowsResultSet").asInt() === 0)
   }
 
+  test("broker counters: numDocsScanned / numSegmentsQueried from the served execution") {
+    val r = post("SELECT count(*) AS n FROM lineitem WHERE l_quantity > 0")
+    assert(r.get("exceptions").size() === 0)
+    assert(r.get("numDocsScanned").asLong() > 0L, "file scan rows must be counted")
+    assert(r.get("numSegmentsQueried").asLong() > 0L, "files opened must be counted")
+  }
+
   test("row cap reports truncation instead of silently clipping") {
     val r = post("SELECT l_orderkey FROM lineitem")
     assert(r.get("truncated").asBoolean())

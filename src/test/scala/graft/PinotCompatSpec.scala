@@ -77,6 +77,23 @@ class PinotCompatSpec extends GraftSuite {
     assert(math.abs(hll - r.getAs[Long]("dc")) / r.getAs[Long]("dc") < 0.1)
   }
 
+  test("DISTINCTSUM / DISTINCTAVG aggregate over the distinct values (Pinot 1.2)") {
+    val r = one(
+      "SELECT DISTINCTSUM(user_id) AS ds, DISTINCTAVG(user_id) AS da FROM events")
+    val expect = {
+      import org.apache.spark.sql.functions._
+      Tables.t(spark, sfDir, "events").agg(
+        sum_distinct(col("user_id")).as("ds"),
+        avg(col("user_id")).as("_")) // avg placeholder; distinct avg below
+    }
+    val dsExpect = expect.collect().head.getAs[Long]("ds")
+    assert(r.getAs[Long]("ds") === dsExpect)
+    val distinctUsers = Tables.t(spark, sfDir, "events")
+      .select("user_id").distinct()
+    val daExpect = dsExpect.toDouble / distinctUsers.count()
+    assert(math.abs(r.getAs[Double]("da") - daExpect) < 1e-6)
+  }
+
   test("DISTINCTCOUNTRAWHLL returns a mergeable sketch: per-type sketches union to the global estimate") {
     // the Pinot raw-sketch workflow: store per-group sketch bytes, merge
     // downstream — estimate(union(per-type sketches)) ≈ global distinct
