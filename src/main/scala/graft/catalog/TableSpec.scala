@@ -63,7 +63,9 @@ final case class TableSpec(
     * rows at segment build. */
   def ingest(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val filtered = filterFunction.fold(df)(f => df.filter(!expr(f)))
+    // only TRUE drops: a NULL-evaluating filterFunction keeps the row
+    // (Pinot's filter semantics; bare !expr would drop NULL rows too)
+    val filtered = filterFunction.fold(df)(f => df.filter(!coalesce(expr(f), lit(false))))
     val transformed = transforms.foldLeft(filtered) { (d, t) =>
       d.withColumn(t.columnName, expr(t.transformFunction))
     }

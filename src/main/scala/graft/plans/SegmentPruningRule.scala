@@ -252,6 +252,10 @@ object SegmentPruningRule extends Rule[LogicalPlan] {
       case In(a: AttributeReference, list) if isCol(a) && list.nonEmpty &&
           list.forall { case Literal(v, _) => v != null; case _ => false } =>
         (list.collect { case Literal(v, _) => fromUtf8(v) }, a.dataType)
+      // long IN-lists arrive as InSet after OptimizeIn — same decision
+      case InSet(a: AttributeReference, hset) if isCol(a) && hset.nonEmpty &&
+          !hset.contains(null) =>
+        (hset.toSeq.map(fromUtf8), a.dataType)
     }
     probe.map { case (values, dt) =>
       val pids = graft.sources.PartitionedLayout.pidsOf(

@@ -125,6 +125,23 @@ class SegmentPruningRuleSpec extends GraftSuite {
     assert(scanFiles(range) === nFiles)
     assert(range.count() ===
       ev.filter(col("user_id") >= probes(0) - 1 && col("user_id") <= probes(0) + 1).count())
+
+    // a >10-element IN arrives as InSet after OptimizeIn — must still prune:
+    // pick ≥11 ids drawn from the FEWEST partitions so the pruned scan
+    // touches exactly those partitions' files
+    val byPid = ev.select(col("user_id")).distinct()
+      .withColumn("p", PartitionedLayout.pidExpr(col("user_id"), 8))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val groups = byPid.groupBy(_._2).toSeq.sortBy(-_._2.length)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    groups.foreach(g => if (picked.size < 11) picked ++= g._2)
+    val ids = picked.map(_._1).toSeq
+    val pidsUsed = picked.map(_._2).distinct.size.toLong
+    assert(ids.size >= 11, "need an InSet-sized list")
+    assert(pidsUsed < nFiles, "fixture must leave at least one partition unprobed")
+    val inset = s2.read.parquet(dir).filter(col("user_id").isin(ids: _*))
+    assert(scanFiles(inset) === pidsUsed, "InSet probe must prune to the owning files")
+    assert(inset.count() === ev.filter(col("user_id").isin(ids: _*)).count())
   }
 
   test("stale layout deregisters itself: rewritten files stop pruning, results stay exact") {

@@ -119,6 +119,16 @@ class TableSpecSpec extends GraftSuite {
     assert(byKey(("7", "2024-05-01")) === 120L) // 100 + 20; -5 filtered out
     assert(byKey(("8", "2024-05-02")) === 18L)  // 9 + 9 rolled up
     assert(byKey(("7", "2024-05-03")) === 1L)
+
+    // Pinot filter semantics: only TRUE drops — a NULL-evaluating
+    // filterFunction keeps the row
+    val withNullPrice = raw.unionByName(
+      Seq(("9", "BF", "2024-05-04 09:00:00")).toDF("userID", "campaign", "creationTimestamp")
+        .withColumn("price", org.apache.spark.sql.functions.lit(null).cast("int"))
+        .withColumn("sourceShard", org.apache.spark.sql.functions.lit("s1")))
+    val outNull = spec.ingest(withNullPrice)
+    assert(outNull.filter(org.apache.spark.sql.functions.col("userID") === "9").count() === 1L,
+      "NULL filterFunction must keep the row, not drop it")
   }
 
   test("registerView serves parquet through the spec-declared schema") {
