@@ -500,6 +500,45 @@ object EventQueries {
             |  AND user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Hybrid-table serve (Pinot OFFLINE + REALTIME under one table name with
+    * broker time-boundary routing — the production growth path of the
+    * reference's realtime-only `kinesisTable`). The derived stores are built
+    * once per fixture version: offline = every day strictly below the
+    * newest (the RealtimeToOfflineSegmentsTask output, day-partitioned),
+    * realtime = the newest THREE days (retention not yet purged — the two
+    * older of the three OVERLAP the offline store). The view must serve
+    * every row exactly once via the boundary split, so the oracle is the
+    * plain full-table SQL. */
+  val eventsHybrid = Q(
+    "q_events_hybrid",
+    (spark, dir) => {
+      val stores = graft.sources.Fingerprint.buildOnce("hybrid_events", dir, "events.parquet") { out =>
+        val ev = Tables.t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+        val maxDay = ev.agg(date_trunc("day", max(col("ts"))).as("d"))
+        val tagged = ev.crossJoin(broadcast(maxDay))
+        tagged.filter(col("ts") < col("d")).drop("d")
+          .withColumn("dt", to_date(col("ts")))
+          .write.partitionBy("dt").parquet(s"$out/offline")
+        tagged.filter(col("ts") >= col("d") - expr("INTERVAL 2 DAYS")).drop("d")
+          .write.parquet(s"$out/realtime")
+      }
+      val offline = spark.read.parquet(s"$stores/offline")
+      val realtime = spark.read.parquet(s"$stores/realtime")
+      graft.streaming.HybridTable.view(offline, realtime, "ts")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
@@ -507,5 +546,5 @@ object EventQueries {
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
     eventsFunnelWindow, eventsFunnelMaxstep, eventsGapfill, eventsGapfillDefault,
-    eventsCohort, eventsIdSet)
+    eventsCohort, eventsIdSet, eventsHybrid)
 }

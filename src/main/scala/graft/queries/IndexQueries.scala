@@ -22,16 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object IndexQueries {
 
-  /** Build-once fingerprinted tmp-dir cache: the layout is (re)built only
-    * when the source fixture's data version changes — the star-tree rollup
-    * cost model, shared by both index copies below. */
-  private def buildOnce(tag: String, dir: String, srcFile: String)(build: String => Unit): String = {
-    val fp = java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-      s"$dir|$tag|${graft.sources.Fingerprint.of(s"$dir/$srcFile")}") & 0xffffffffL)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$fp"
-    if (!new java.io.File(out, "_SUCCESS").exists) build(out)
-    out
-  }
+  /** Build-once fingerprinted tmp-dir cache — the shared
+    * [[graft.sources.Fingerprint.buildOnce]] (star-tree rollup cost model). */
+  private def buildOnce(tag: String, dir: String, srcFile: String)(build: String => Unit): String =
+    graft.sources.Fingerprint.buildOnce(tag, dir, srcFile)(build)
 
   private def sortedEventsCopy(spark: SparkSession, dir: String): String =
     buildOnce("sorted_events", dir, "events.parquet") { out =>
