@@ -60,14 +60,28 @@ object HybridTable {
   /** RealtimeToOfflineSegmentsTask analog: move every COMPLETE day strictly
     * below the realtime store's newest day (minus `lagDays` extra safety
     * days) from a day-partitioned realtime directory into a day-partitioned
-    * offline directory. Returns the day values moved.
+    * offline directory. Returns the day values now present offline from
+    * this run's eligible window (freshly moved or already moved earlier).
     *
     * Mechanics follow [[SegmentCompaction]]'s minion contract: each moved
     * partition's file set is snapshotted, rewritten into the offline store
     * via a staging dir, and only then (optionally) dropped from realtime —
     * `purgeRealtime = false` leaves the copies in place, which is the
     * steady state between a move and the retention purge and exactly what
-    * the boundary split exists to make safe. */
+    * the boundary split exists to make safe.
+    *
+    * Exactly-once composition with [[view]]:
+    *  - idempotent: a day whose offline partition already holds files is
+    *    never re-copied (re-running the task cannot duplicate rows);
+    *  - purge-safe: the resulting broker boundary is the START of the
+    *    newest offline day, and [[view]] serves that day from REALTIME —
+    *    so purge removes only days STRICTLY BELOW the newest offline day.
+    *    The boundary day's realtime copy survives until a later run moves
+    *    a newer day past it (mirrors Pinot, where realtime retention is
+    *    always ≥ one bucket behind the time boundary). Purge of a day
+    *    moved by an earlier run drops the whole partition
+    *    (retention-style); purge of a day moved this run drops only the
+    *    snapshotted files, leaving concurrently-arrived files in place. */
   def realtimeToOffline(
       spark: SparkSession,
       realtimeDir: String,
@@ -77,34 +91,58 @@ object HybridTable {
     val fs = new Path(realtimeDir).getFileSystem(spark.sessionState.newHadoopConf())
     val root = new Path(realtimeDir)
     if (!fs.exists(root)) return Seq.empty
+    def dataFiles(p: Path) = fs.listStatus(p).filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val partDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
       .sortBy(_.getPath.getName)
     if (partDirs.length <= 1 + lagDays) return Seq.empty
     val toMove = partDirs.dropRight(1 + lagDays) // newest day (+ lag) stays realtime-only
     val moved = Seq.newBuilder[String]
+    // (realtime partition dir, snapshot of files copied THIS run — empty if
+    // the day was already offline and we skipped the copy)
+    val movedDirs = Seq.newBuilder[(Path, Array[Path])]
     toMove.foreach { d =>
       val day = d.getPath.getName.substring("dt=".length)
-      val snapshot = fs.listStatus(d.getPath).filter(s =>
-        s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      if (snapshot.nonEmpty) {
-        val target = new Path(new Path(offlineDir), d.getPath.getName)
-        val tmp = new Path(new Path(offlineDir), s".r2o_tmp_${d.getPath.getName}")
-        spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
-          .write.mode("overwrite").parquet(tmp.toString)
-        fs.mkdirs(target)
-        val staged = fs.listStatus(tmp).filter(s =>
-          s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        val stamp = System.currentTimeMillis()
-        staged.zipWithIndex.foreach { case (s, i) =>
-          fs.rename(s.getPath, new Path(target, s"r2o-$stamp-$i.parquet"))
-        }
-        fs.delete(tmp, true)
-        if (purgeRealtime) {
-          snapshot.foreach(s => fs.delete(s.getPath, false))
-          if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
-        }
+      val target = new Path(new Path(offlineDir), d.getPath.getName)
+      val alreadyMoved = fs.exists(target) && dataFiles(target).nonEmpty
+      if (alreadyMoved) {
         moved += day
+        movedDirs += ((d.getPath, Array.empty[Path]))
+      } else {
+        val snapshot = dataFiles(d.getPath)
+        if (snapshot.nonEmpty) {
+          val tmp = new Path(new Path(offlineDir), s".r2o_tmp_${d.getPath.getName}")
+          spark.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.mkdirs(target)
+          val staged = dataFiles(tmp)
+          val stamp = System.currentTimeMillis()
+          staged.zipWithIndex.foreach { case (s, i) =>
+            fs.rename(s.getPath, new Path(target, s"r2o-$stamp-$i.parquet"))
+          }
+          fs.delete(tmp, true)
+          moved += day
+          movedDirs += ((d.getPath, snapshot.map(_.getPath)))
+        }
+      }
+    }
+    if (purgeRealtime) {
+      // The broker boundary after this run = start of the newest offline
+      // day; view() serves that day from realtime, so it must survive.
+      val offRoot = new Path(offlineDir)
+      val offlineDays = fs.listStatus(offRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+        .map(_.getPath.getName)
+      if (offlineDays.nonEmpty) {
+        val boundaryDay = offlineDays.max // ISO day names sort lexicographically
+        movedDirs.result().foreach { case (dir, snapshot) =>
+          if (dir.getName < boundaryDay) {
+            if (snapshot.nonEmpty) snapshot.foreach(p => fs.delete(p, false))
+            else dataFiles(dir).foreach(s => fs.delete(s.getPath, false))
+            if (fs.listStatus(dir).isEmpty) fs.delete(dir, true)
+          }
+        }
       }
     }
     moved.result()

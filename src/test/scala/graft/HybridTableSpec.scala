@@ -58,7 +58,7 @@ class HybridTableSpec extends GraftSuite {
     val rows = Seq(
       ev(1, 1, 5, 10), ev(2, 1, 6, 11), ev(3, 2, 7, 20), ev(4, 3, 8, 30), ev(5, 4, 9, 40))
     rows.toDF("id", "ts", "v").withColumn("dt", to_date($"ts"))
-      .write.partitionBy("dt").parquet(rtDir)
+      .write.mode("overwrite").partitionBy("dt").parquet(rtDir)
 
     def hybridIds(): Seq[Int] = {
       val off =
@@ -78,11 +78,28 @@ class HybridTableSpec extends GraftSuite {
     assert(spark.read.parquet(offDir).select($"id").as[Int].collect().sorted === Seq(1, 2, 3))
     assert(hybridIds() === Seq(1, 2, 3, 4, 5))
 
-    // second run with purge: nothing new to move below the lag window
+    // second run with purge: idempotent (days 1-2 already offline — NOT
+    // re-copied) and boundary-safe: the boundary is the start of day 2
+    // (newest offline day), which view() serves from REALTIME, so purge
+    // removes only day 1 and day 2's realtime copy survives.
     val movedAgain = HybridTable.realtimeToOffline(spark, rtDir, offDir, lagDays = 1, purgeRealtime = true)
     assert(movedAgain === Seq("2024-05-01", "2024-05-02"))
-    assert(spark.read.parquet(rtDir).select($"id").as[Int].collect().sorted === Seq(4, 5),
-      "purged realtime keeps only the lag window")
+    assert(spark.read.parquet(offDir).select($"id").as[Int].collect().sorted === Seq(1, 2, 3),
+      "re-run must not duplicate already-moved rows in offline")
+    assert(spark.read.parquet(rtDir).select($"id").as[Int].collect().sorted === Seq(3, 4, 5),
+      "purge keeps the lag window AND the boundary day (served from realtime)")
     assert(hybridIds() === Seq(1, 2, 3, 4, 5))
+
+    // third run after day 5 arrives: the move window advances — day 3 moves,
+    // boundary becomes day 3, so day 2's realtime copy is now purgeable.
+    Seq(ev(6, 5, 10, 50)).toDF("id", "ts", "v").withColumn("dt", to_date($"ts"))
+      .write.mode("append").partitionBy("dt").parquet(rtDir)
+    val movedThird = HybridTable.realtimeToOffline(spark, rtDir, offDir, lagDays = 1, purgeRealtime = true)
+    // day 1's realtime partition is gone (purged in run 2), so the eligible
+    // window is days 2 (already offline, skipped) and 3 (freshly moved)
+    assert(movedThird === Seq("2024-05-02", "2024-05-03"))
+    assert(spark.read.parquet(rtDir).select($"id").as[Int].collect().sorted === Seq(4, 5, 6),
+      "boundary advanced to day 3: day 2 purged, day 3 (new boundary day) kept")
+    assert(hybridIds() === Seq(1, 2, 3, 4, 5, 6))
   }
 }
