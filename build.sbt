@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain stdout must reach the caller UNDECORATED: the driver parses
+// the Bench contract line, and sbt's default logger prefixes it with
+// "[info] " which breaks the parse (BENCH_r01-r04 all recorded parsed:null).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
