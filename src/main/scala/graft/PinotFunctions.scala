@@ -304,7 +304,19 @@ object PinotFunctions {
     "distinctcountbitmap" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
     "distinctcounthll" -> fwd("approx_count_distinct"),
     "distinctcountsmarthll" -> fwd("approx_count_distinct"),
-    "distinctcountthetasketch" -> fwd("approx_count_distinct"),
+    // real mergeable theta sketches (expressions/ThetaSketchExpressions) —
+    // estimate out for the DISTINCT form, raw persistable binary for RAW,
+    // plus the scalar set algebra Pinot exposes for stored sketches
+    "distinctcountthetasketch" -> (args => graft.expressions.ThetaSketchEstimate(
+      graft.expressions.ThetaSketchAgg(args(0)).toAggregateExpression())),
+    "distinctcountrawthetasketch" -> (args =>
+      graft.expressions.ThetaSketchAgg(args(0)).toAggregateExpression()),
+    "thetasketchestimate" -> (args => graft.expressions.ThetaSketchEstimate(args(0))),
+    "thetasketchunion" -> (args => args.reduceLeft(
+      graft.expressions.ThetaSetOp(_, _, "union"))),
+    "thetasketchintersect" -> (args => args.reduceLeft(
+      graft.expressions.ThetaSetOp(_, _, "intersect"))),
+    "thetasketchdiff" -> (args => graft.expressions.ThetaSetOp(args(0), args(1), "anotb")),
     // Pinot 1.2's other approx-distinct families (CPC / UltraLogLog /
     // HLL++) share the estimate contract; Spark's HLL++ serves them all
     "distinctcountcpcsketch" -> fwd("approx_count_distinct"),

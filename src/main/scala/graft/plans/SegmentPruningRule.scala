@@ -181,8 +181,12 @@ object SegmentPruningRule extends Rule[LogicalPlan] {
       case (x: java.lang.Number, _: java.lang.Long) => x.longValue()
       case (x: java.lang.Number, _: java.lang.Integer) => x.intValue()
       case (x: java.lang.Number, _: java.lang.Double) => x.doubleValue()
-      case (x: org.apache.spark.unsafe.types.UTF8String, _: String) => x.toString
-      case (x: String, _: String) => x
+      // string stats live in the UTF8String (UTF-8 byte order) domain —
+      // the order Spark range-partitioned the files by (SortedLayout)
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            _: org.apache.spark.unsafe.types.UTF8String) => x
+      case (x: String, _: org.apache.spark.unsafe.types.UTF8String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
       case _ => null
     }
     Option(out).map(_.asInstanceOf[Comparable[Any]])

@@ -112,65 +112,85 @@ object SketchQueries {
             |ORDER BY cnt DESC, item ASC LIMIT 3""".stripMargin))
 
   /** A5+: Pinot DISTINCT_COUNT_THETA_SKETCH set-operation surface
-    * (SET_UNION / SET_INTERSECT / SET_DIFF over filtered sub-populations —
-    * e.g. "distinct parts that ship in qty-1 orders AND in qty-2 orders").
+    * (SET_UNION / SET_INTERSECT / SET_DIFF over filtered sub-populations),
+    * now on REAL mergeable theta sketches
+    * ([[graft.expressions.ThetaSketchAgg]], DataSketches theta — the same
+    * library Pinot 1.2 embeds) instead of the earlier HLL
+    * inclusion–exclusion emulation: arbitrary NESTED set expressions over
+    * ≥3 predicates compose exactly, and the sketch state is a persistable
+    * binary column (cf. ThetaSketchSpec's stored-column intersection).
     *
-    * Spark-first mapping: per-predicate HyperLogLog++ sketches built in ONE
-    * scan over the raw rows (mergeable partials — no per-key state, the
-    * 100 TB sketch posture), union answered by a third conditioned sketch,
-    * intersection by inclusion-exclusion |A∩B| = |A|+|B|−|A∪B| (the standard
-    * HLL set-algebra; theta sketches do this natively, HLL compounds the
-    * rsd, hence the wider bound below). Same hard-oracle shape as
-    * q_sketch_hll: the hashed output carries the EXACT set-op counts (from a
-    * per-key flag aggregation) plus deterministic within-bound booleans —
-    * HLL register-merge is max(), commutative/associative, so the estimates
-    * and booleans are stable under any partition merge order.
-    *
-    * Bound math at sf0.1: σ ≈ rsd·√(|A|²+|B|²+|U|²) ≈ 0.01·19k ≈ 190 ≈ 4.7%
-    * of the exact 4019 intersection — 20% is a >4σ envelope; 5% on the
-    * directly-sketched union is 5σ. */
+    * One scan builds three per-predicate sketches (map-side mergeable
+    * partials — no keyed state, the 100 TB posture); the nested expressions
+    * (A∪B)∪C, A∩B, (A∩B)∖C, (A∪B)∩C are evaluated by scalar theta set ops
+    * over the aggregated sketch binaries. Same hard-oracle shape as
+    * q_sketch_hll: EXACT counts (per-key flag aggregation) are hashed,
+    * sketch estimates participate through deterministic within-bound
+    * booleans — theta sketch contents depend only on the value SET (k
+    * smallest hashes), so estimates are stable under any partition order.
+    * At the sf0.01 gate the populations (<2^lgK entries) keep θ=1 — exact
+    * mode; at sf0.1+ the sketches genuinely sample (RSE ≈2-4%), and the
+    * 5%/20% envelopes hold with ≥5σ margin (ThetaSketchSpec asserts the
+    * sampling-mode accuracy directly). */
   private val sketchTheta = Q(
     "q_sketch_theta",
     (spark, dir) => {
+      import graft.expressions.ThetaSketch._
       val li = Tables.t(spark, dir, "lineitem")
       val inA = col("l_quantity") === 1
       val inB = col("l_quantity") === 2
-      // exact side: one per-key shuffle carrying two int flags
+      val inC = col("l_quantity") === 3
+      // exact side: one per-key shuffle carrying three int flags
       val exact = li.groupBy(col("l_partkey"))
         .agg(
           max(when(inA, 1).otherwise(0)).as("a"),
-          max(when(inB, 1).otherwise(0)).as("b"))
+          max(when(inB, 1).otherwise(0)).as("b"),
+          max(when(inC, 1).otherwise(0)).as("c"))
         .agg(
           sum(col("a")).cast("long").as("exact_q1"),
           sum(col("b")).cast("long").as("exact_q2"),
-          sum(col("a") * col("b")).cast("long").as("exact_both"),
-          sum(when(col("a") === 1 || col("b") === 1, 1).otherwise(0)).cast("long").as("exact_either"),
-          sum(when(col("a") === 1 && col("b") === 0, 1).otherwise(0)).cast("long").as("exact_q1_only"))
-      // sketch side: map-side mergeable HLLs over raw rows, no keyed state
-      val approx = li.agg(
-        approx_count_distinct(when(inA, col("l_partkey")), rsd = 0.01).as("ha"),
-        approx_count_distinct(when(inB, col("l_partkey")), rsd = 0.01).as("hb"),
-        approx_count_distinct(when(inA || inB, col("l_partkey")), rsd = 0.01).as("hu"))
-      val estBoth = col("ha").cast("double") + col("hb").cast("double") - col("hu").cast("double")
+          sum(col("c")).cast("long").as("exact_q3"),
+          sum(col("a") * col("b")).cast("long").as("exact_ab"),
+          sum(greatest(col("a"), col("b"), col("c"))).cast("long").as("exact_any"),
+          sum(col("a") * col("b") * (lit(1) - col("c"))).cast("long").as("exact_ab_not_c"),
+          sum(greatest(col("a"), col("b")) * col("c")).cast("long").as("exact_ab_and_c"))
+      // sketch side: three mergeable theta sketches in ONE raw-row scan
+      val sk = li.agg(
+        thetaSketchAgg(when(inA, col("l_partkey"))).as("sa"),
+        thetaSketchAgg(when(inB, col("l_partkey"))).as("sb"),
+        thetaSketchAgg(when(inC, col("l_partkey"))).as("sc"))
+      val approx = sk.select(
+        thetaEstimate(thetaUnion(thetaUnion(col("sa"), col("sb")), col("sc"))).as("est_any"),
+        thetaEstimate(thetaIntersect(col("sa"), col("sb"))).as("est_ab"),
+        thetaEstimate(thetaANotB(thetaIntersect(col("sa"), col("sb")), col("sc"))).as("est_ab_not_c"),
+        thetaEstimate(thetaIntersect(thetaUnion(col("sa"), col("sb")), col("sc"))).as("est_ab_and_c"))
+      def within(est: String, ex: String, tol: Double) =
+        (abs(col(est).cast("double") - col(ex).cast("double")) /
+          col(ex).cast("double") <= tol)
       exact.crossJoin(approx).select(
-        col("exact_q1"), col("exact_q2"), col("exact_both"),
-        col("exact_either"), col("exact_q1_only"),
-        (abs(col("hu").cast("double") - col("exact_either").cast("double")) /
-          col("exact_either").cast("double") <= 0.05).as("union_within_5pct"),
-        (abs(estBoth - col("exact_both").cast("double")) /
-          col("exact_both").cast("double") <= 0.20).as("intersect_within_20pct"))
+        col("exact_q1"), col("exact_q2"), col("exact_q3"),
+        col("exact_ab"), col("exact_any"), col("exact_ab_not_c"), col("exact_ab_and_c"),
+        within("est_any", "exact_any", 0.05).as("union3_within_5pct"),
+        within("est_ab", "exact_ab", 0.20).as("intersect_within_20pct"),
+        within("est_ab_not_c", "exact_ab_not_c", 0.20).as("diff3_within_20pct"),
+        within("est_ab_and_c", "exact_ab_and_c", 0.20).as("mixed3_within_20pct"))
     },
     Some("""WITH f AS (SELECT l_partkey,
             |  max(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) AS a,
-            |  max(CASE WHEN l_quantity = 2 THEN 1 ELSE 0 END) AS b
+            |  max(CASE WHEN l_quantity = 2 THEN 1 ELSE 0 END) AS b,
+            |  max(CASE WHEN l_quantity = 3 THEN 1 ELSE 0 END) AS c
             |  FROM lineitem GROUP BY l_partkey)
             |SELECT CAST(sum(a) AS BIGINT) AS exact_q1,
             |       CAST(sum(b) AS BIGINT) AS exact_q2,
-            |       CAST(sum(a*b) AS BIGINT) AS exact_both,
-            |       CAST(sum(CASE WHEN a=1 OR b=1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_either,
-            |       CAST(sum(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_q1_only,
-            |       TRUE AS union_within_5pct,
-            |       TRUE AS intersect_within_20pct
+            |       CAST(sum(c) AS BIGINT) AS exact_q3,
+            |       CAST(sum(a*b) AS BIGINT) AS exact_ab,
+            |       CAST(sum(greatest(a, b, c)) AS BIGINT) AS exact_any,
+            |       CAST(sum(a*b*(1-c)) AS BIGINT) AS exact_ab_not_c,
+            |       CAST(sum(greatest(a, b)*c) AS BIGINT) AS exact_ab_and_c,
+            |       TRUE AS union3_within_5pct,
+            |       TRUE AS intersect_within_20pct,
+            |       TRUE AS diff3_within_20pct,
+            |       TRUE AS mixed3_within_20pct
             |FROM f""".stripMargin))
 
   /** Raw-sketch-column rollup (Pinot DISTINCTCOUNTRAWHLL + the star-tree

@@ -272,12 +272,16 @@ object HttpSqlEndpoint {
     * resume continues from the last consumed offset). */
   def start(spark: SparkSession, port: Int = 8099, maxRows: Int = 100000,
       realtimeTables: Map[String, () => org.apache.spark.sql.streaming.StreamingQuery] =
-        Map.empty): HttpServer = {
+        Map.empty,
+      controllerTables: Map[String, String] = Map.empty,
+      instances: Seq[String] = Nil): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("localhost", port), 0)
-    if (realtimeTables.nonEmpty) {
+    val controller = new ControllerRest(spark, controllerTables, instances)
+    if (realtimeTables.nonEmpty || controllerTables.nonEmpty) {
       val running = new java.util.concurrent.ConcurrentHashMap[
         String, org.apache.spark.sql.streaming.StreamingQuery]()
       val TableOp = """/tables/([^/]+)/(pauseConsumption|resumeConsumption|consumingSegmentsInfo)""".r
+      val RebalanceOp = """/tables/([^/]+)/rebalance/?""".r
       server.createContext("/tables/", new HttpHandler {
         override def handle(ex: HttpExchange): Unit =
           try {
@@ -307,12 +311,92 @@ object HttpSqlEndpoint {
                     node.put("consuming", active.nonEmpty)
                 }
                 respond(ex, 200, node)
+              // Pinot `POST /tables/{t}/rebalance?type=...&dryRun=...` — the
+              // reference's scale-in Lambda (stack.ts:424-441). Metadata-only
+              // here (storage/compute split), so status is terminal in-line.
+              case RebalanceOp(name)
+                  if ex.getRequestMethod == "POST" && controller.hasTable(name) =>
+                val dryRun = Option(ex.getRequestURI.getQuery).exists(
+                  _.split('&').contains("dryRun=true"))
+                val (status, nSegs, moved) = controller.rebalance(name, dryRun)
+                node.put("jobId", s"graft-rebalance-$name-${System.nanoTime()}")
+                node.put("status", status)
+                node.put("description",
+                  if (status == "FAILED") "no tagged instance is assignment-eligible"
+                  else s"rebalance is metadata-only on shared storage: $moved of $nSegs segments reassigned")
+                node.put("numSegments", nSegs)
+                node.put("segmentsMoved", moved)
+                node.put("dryRun", dryRun)
+                respond(ex, 200, node)
               case _ =>
                 respond(ex, 404, errorResponse(404, "unknown table or operation"))
             }
           } catch {
             case e: Exception => respond(ex, 500, errorResponse(500, String.valueOf(e.getMessage)))
           }
+      })
+    }
+    if (controllerTables.nonEmpty) {
+      // GET /tables — the Lambda's table enumeration ({"tables": [...]})
+      server.createContext("/tables", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val node = mapper.createObjectNode()
+          val arr = node.putArray("tables")
+          controller.tableNames.foreach(arr.add)
+          respond(ex, 200, node)
+        }
+      })
+      // GET /segments/{t}/servers — the Lambda's drain poll: a JSON array
+      // whose head holds serverToSegmentsMap (stack.ts:446-463)
+      val SegServers = """/segments/([^/]+)/servers""".r
+      server.createContext("/segments/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          ex.getRequestURI.getPath match {
+            case SegServers(name) if controller.hasTable(name) =>
+              val root = mapper.createObjectNode()
+              root.put("tableName", name)
+              val m = root.putObject("serverToSegmentsMap")
+              controller.serverToSegmentsMap(name).toSeq.sortBy(_._1).foreach {
+                case (srv, segs) =>
+                  val a = m.putArray(srv); segs.foreach(a.add)
+              }
+              val body = mapper.createArrayNode().add(root)
+              val bytes = mapper.writeValueAsBytes(body)
+              ex.getResponseHeaders.set("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              val os = ex.getResponseBody
+              try os.write(bytes) finally os.close()
+            case _ => respond(ex, 404, errorResponse(404, "unknown table"))
+          }
+      })
+      // PUT /instances/{i}/updateTags?tags=... + DELETE /instances/{i} —
+      // the Lambda's first and last calls (stack.ts:410-412,466-471)
+      val TagOp = """/instances/([^/]+)/updateTags""".r
+      val InstOp = """/instances/([^/]+)""".r
+      server.createContext("/instances/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val node = mapper.createObjectNode()
+          (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+            case ("PUT", TagOp(i)) =>
+              val tags = Option(ex.getRequestURI.getQuery).toSeq
+                .flatMap(_.split('&')).collectFirst {
+                  case kv if kv.startsWith("tags=") => kv.drop(5)
+                }.filter(_.nonEmpty).toSeq.flatMap(_.split(',').toSeq)
+              controller.updateTags(i, tags)
+              node.put("instanceName", i)
+              node.put("status", "updated")
+              val arr = node.putArray("tags"); tags.foreach(arr.add)
+              respond(ex, 200, node)
+            case ("DELETE", InstOp(i)) =>
+              controller.deleteInstance(i) match {
+                case Right(_) =>
+                  node.put("status", s"Successfully deleted instance $i")
+                  respond(ex, 200, node)
+                case Left(msg) => respond(ex, 409, errorResponse(409, msg))
+              }
+            case _ => respond(ex, 404, errorResponse(404, "unknown instance operation"))
+          }
+        }
       })
     }
     server.createContext("/query/sql", new HttpHandler {

@@ -57,11 +57,15 @@ object SortedLayout {
             b.getColumns.asScala.find(_.getPath.toDotString == sortCol).map(_.getStatistics)
           }
           require(stats.nonEmpty, s"no footer stats for $sortCol in ${s.getPath}")
-          // BYTE_ARRAY stats surface as parquet Binary — unwrap to String so
-          // probes compare naturally (UTF-8 byte order ≡ String order for
-          // the ASCII domains used here)
+          // BYTE_ARRAY stats surface as parquet Binary — keep them as
+          // UTF8String, NOT java.lang.String: the files were range-ordered
+          // by Spark's UTF8String (UTF-8 byte) order, and String's UTF-16
+          // order diverges for supplementary-plane code points (emoji sorts
+          // below U+FFFF in UTF-16 but above it in UTF-8 bytes), which
+          // would prune the file that actually holds a probe term
           def unwrap(v: Any): Comparable[Any] = (v match {
-            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+            case b: org.apache.parquet.io.api.Binary =>
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(b.getBytes)
             case o => o
           }).asInstanceOf[Comparable[Any]]
           val mins = stats.map(s => unwrap(s.genericGetMin))
@@ -76,10 +80,20 @@ object SortedLayout {
       .toSeq
   }
 
+  /** Probes arrive as java Strings from callers; string stats are stored as
+    * UTF8String (see [[fileRanges]]) — align the probe to the stat domain so
+    * both compare in UTF-8 byte order. */
+  private def toStatDomain(v: Comparable[Any]): Comparable[Any] = ((v: Any) match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case o => o
+  }).asInstanceOf[Comparable[Any]]
+
   /** Files whose [min,max] may contain a value in [lo,hi] — the broker-side
     * segment-pruning decision, made entirely from footer metadata. */
-  def pruneFiles(ranges: Seq[FileRange], lo: Comparable[Any], hi: Comparable[Any]): Seq[FileRange] =
-    ranges.filter(r => r.max.compareTo(lo) >= 0 && r.min.compareTo(hi) <= 0)
+  def pruneFiles(ranges: Seq[FileRange], lo: Comparable[Any], hi: Comparable[Any]): Seq[FileRange] = {
+    val (l, h) = (toStatDomain(lo), toStatDomain(hi))
+    ranges.filter(r => r.max.compareTo(l) >= 0 && r.min.compareTo(h) <= 0)
+  }
 
   /** Read only the files that can hold `sortCol ∈ [lo,hi]`, with the exact
     * predicate still applied (and pushed to parquet row-group stats) on the

@@ -71,6 +71,25 @@ class SortedLayoutSpec extends GraftSuite {
       "hash-sprayed files all overlap the probe — the layout, not the reader, is what buys pruning")
   }
 
+  test("string stats prune in UTF-8 byte order: supplementary-plane probe keeps its file") {
+    // java String order (UTF-16 code units) puts emoji (surrogates D8xx)
+    // BELOW U+FFFF; Spark's UTF8String byte order puts it ABOVE (F0 > EF).
+    // Files are range-ordered by Spark, so comparing footer stats as java
+    // Strings pruned the very file holding a supplementary-plane probe.
+    val dir = Files.createTempDirectory("graft-sorted-utf8").toString
+    import spark.implicits._
+    val values = (1 to 100).map(i => f"ascii_$i%03d") ++ Seq("￿_sentinel", "😀_emoji")
+    SortedLayout.write(values.toDF("k"), dir, "k", nFiles = 4)
+    val ranges = SortedLayout.fileRanges(spark, dir, "k")
+    val probe = "😀_emoji".asInstanceOf[Comparable[Any]]
+    val hit = SortedLayout.pruneFiles(ranges, probe, probe)
+    assert(hit.nonEmpty, "UTF-16 stat order pruned the file that holds the emoji term")
+    assert(SortedLayout.prunedRead(spark, dir, "k", probe, probe).count() === 1L)
+    // and the ASCII fast path still prunes to ≤2 files
+    val a = "ascii_050".asInstanceOf[Comparable[Any]]
+    assert(SortedLayout.pruneFiles(ranges, a, a).size <= 2)
+  }
+
   test("range predicate across a file boundary scans only the touched files") {
     val dir = Files.createTempDirectory("graft-sorted-range").toString
     import spark.implicits._
