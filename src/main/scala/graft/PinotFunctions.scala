@@ -367,11 +367,12 @@ object PinotFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
-    // Pinot's implicit LIMIT 10 (O2) — conf-guarded, off unless the session
-    // opts in with graft.pinot.implicitLimit=true; see PinotImplicitLimitRule
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.PinotImplicitLimitRule)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.PinotImplicitLimitRule
+    // Pinot's implicit LIMIT 10 (O2) and default null substitution (F6) —
+    // both conf-guarded, off unless the session opts in
+    // (graft.pinot.implicitLimit / graft.pinot.nullDefaults)
+    Seq(graft.plans.PinotImplicitLimitRule, graft.plans.PinotNullDefaultsRule).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
     }
   }
 }

@@ -66,11 +66,12 @@ object Dedup {
       .drop("bk_n")
   }
 
-  /** Shared MinHash prep: distinct shingle hashes, signature, sorted
-    * shingles + size — persisted, because every caller feeds the frame to
-    * both a band explode and a confirm join. fanOut guards the CPU-heavy
-    * shingle/minhash stage against single-row-group sources. */
-  private def minhashPrep(df: DataFrame, idCol: String, textCol: String,
+  /** The MinHash prep PLAN (unpersisted): distinct shingle hashes,
+    * signature, sorted shingles + size — `(doc_id, sig, sh_sorted, n_sh)`,
+    * the contract [[graft.sources.DedupIndex]] persists for the corpus side
+    * of incremental dedup. fanOut guards the CPU-heavy shingle/minhash
+    * stage against single-row-group sources. */
+  private[graft] def minhashPrepPlan(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int): DataFrame =
     Par.fanOut(df).select(
         col(idCol).as("doc_id"),
@@ -78,7 +79,13 @@ object Dedup {
       .withColumn("sig", minhashFromHashes(col("shingles"), k))
       .withColumn("sh_sorted", sort_array(col("shingles")))
       .withColumn("n_sh", size(col("sh_sorted")))
-      .persist()
+      .drop("shingles")
+
+  /** Shared MinHash prep, persisted: every in-process caller feeds the
+    * frame to both a band explode and a confirm join. */
+  private def minhashPrep(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    minhashPrepPlan(df, idCol, textCol, shingleN, k).persist()
 
   /** Exact-Jaccard confirmation of candidate `pairs` (columns aName,
     * bName) against the prep frames: two-pointer sorted-intersect kernel,
@@ -118,8 +125,37 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 256): DataFrame = {
     require(bands * rowsPerBand == k, s"bands($bands) x rows($rowsPerBand) must equal k($k)")
-    val nb = minhashPrep(newDf, idCol, textCol, shingleN, k)
-    val cb = minhashPrep(corpusDf, idCol, textCol, shingleN, k)
+    incrementalCore(
+      minhashPrep(newDf, idCol, textCol, shingleN, k),
+      minhashPrep(corpusDf, idCol, textCol, shingleN, k),
+      bands, rowsPerBand, threshold, maxBucket)
+  }
+
+  /** Incremental near-dup detection against a PERSISTED corpus index
+    * ([[graft.sources.DedupIndex]]): identical semantics and output to
+    * [[incrementalNearDupPairs]] (same deterministic hashes — DedupIndexSpec
+    * asserts bit parity), but the corpus side's signatures are READ, not
+    * re-derived, so each batch costs O(|batch|) hashing + the band join —
+    * the shape that survives a daily 100 TB-corpus ingest. */
+  def incrementalNearDupPairsIndexed(
+      newDf: DataFrame,
+      corpusPrep: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
+    require(bands * rowsPerBand == k, s"bands($bands) x rows($rowsPerBand) must equal k($k)")
+    incrementalCore(
+      minhashPrep(newDf, idCol, textCol, shingleN, k), corpusPrep,
+      bands, rowsPerBand, threshold, maxBucket)
+  }
+
+  private def incrementalCore(nb: DataFrame, cb: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double, maxBucket: Int): DataFrame = {
     def bandRows(base: DataFrame, isNew: Boolean) = base
       .select(lit(isNew).as("is_new"), col("doc_id"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))

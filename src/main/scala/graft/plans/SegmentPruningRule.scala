@@ -78,13 +78,38 @@ object SegmentPruning {
     install(spark, Entry(canon(dir), sortCol,
       SortedLayout.fileRanges(spark, dir, sortCol), Nil, fingerprintOf(dir)))
 
+  /** Driver-memory budget for a bloom registration. The manifest costs
+    * `numBits/8` bytes per file (8 KiB at the default 2^16 bits): a 100 TB
+    * table at 512 MB/file is ~200k files ≈ 1.6 GB — more than a broker
+    * should pin for ONE index. The default budget (256 MB ≈ 32k files ≈
+    * 16 TB of data) forces larger tables to shard registrations (one per
+    * partition subdirectory — each day of a date-partitioned fact registers
+    * independently and most queries touch few days), mirroring how Pinot
+    * scopes bloom metadata per segment, not per table. */
+  val DefaultMaxBloomManifestBytes: Long = 256L << 20
+
   /** Build the per-file bloom manifest for a BloomLayout-written `dir` and
     * enable transparent EQUALITY pruning on `col` for this session (hash
     * layouts have no per-file order, so ranges cannot prune — the bloom
-    * answers point predicates instead). */
-  def registerBloom(spark: SparkSession, dir: String, col: String): Entry =
+    * answers point predicates instead). Refuses — loudly, BEFORE the build
+    * scan — when the manifest would exceed `maxManifestBytes` on the
+    * driver; the caller shards registrations or raises the budget, and an
+    * unregistered table simply keeps full scans (pruning is an
+    * accelerator, never a correctness dependency). */
+  def registerBloom(spark: SparkSession, dir: String, col: String,
+      maxManifestBytes: Long = DefaultMaxBloomManifestBytes): Entry = {
+    val root = new Path(canon(dir))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val nFiles = fs.listStatus(root)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val need = nFiles.toLong * (graft.sources.BloomLayout.DefaultNumBits / 8)
+    require(need <= maxManifestBytes,
+      s"bloom manifest for $dir needs $need B ($nFiles files x " +
+        s"${graft.sources.BloomLayout.DefaultNumBits / 8} B) > budget $maxManifestBytes B: " +
+        "register per partition subdirectory (sharded manifests) or raise the budget")
     install(spark, Entry(canon(dir), col, Nil,
       graft.sources.BloomLayout.buildManifest(spark, dir, col), fingerprintOf(dir)))
+  }
 
   /** Build the exact per-file partition-id manifest for a
     * PartitionedLayout-written `dir` and enable transparent =/IN pruning on

@@ -352,11 +352,20 @@ object DedupQueries {
       val d = Tables.t(spark, dir, "documents")
       val newDocs = d.filter(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      // corpus signatures come from the PERSISTED index (built once per
+      // corpus data version — sources/DedupIndex, the production shape:
+      // ingest stores signatures, each batch re-derives only its own);
+      // results are bit-identical to recompute (DedupIndexSpec parity)
+      val idx = graft.sources.Fingerprint.buildOnce(
+        "dedup_idx", dir, "documents.parquet") { out =>
+        graft.sources.DedupIndex.build(corpus, out, "doc_id", "text")
+      }
       // threshold 0 keeps every band candidate so the summary can report
       // the candidate volume alongside the confirmed count (as
       // q_dedup_minhash does)
-      val pairs = graft.ops.Dedup.incrementalNearDupPairs(
-        newDocs, corpus, "doc_id", "text", threshold = 0.0)
+      val pairs = graft.ops.Dedup.incrementalNearDupPairsIndexed(
+        newDocs, graft.sources.DedupIndex.read(spark, idx),
+        "doc_id", "text", threshold = 0.0)
       newDocs.agg(count(lit(1)).as("n_new_docs"))
         .crossJoin(pairs.agg(
           count(lit(1)).as("n_candidate_pairs"),

@@ -341,4 +341,53 @@ class PinotCompatSpec extends GraftSuite {
     } finally pinot.conf.set(graft.plans.PinotImplicitLimitRule.confKey, "false")
     assert(pinot.sql("SELECT l_orderkey FROM lineitem").collect().length === total)
   }
+
+  test("opt-in Pinot null defaults (F6): scans substitute type defaults; ANSI mode keeps SQL nulls") {
+    // null-bearing fixture through a real file scan (the rule rewrites
+    // LogicalRelation — Pinot substitutes at segment build, we at the scan)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulldef").toString + "/t"
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, CAST(10 AS INT),   'a',                CAST(1.5 AS DOUBLE)),
+        |  (2, CAST(NULL AS INT), CAST(NULL AS STRING), CAST(NULL AS DOUBLE)),
+        |  (3, CAST(-7 AS INT),  'c',                CAST(2.5 AS DOUBLE))
+        |AS t(id, v, s, d)""".stripMargin)
+      .write.parquet(dir)
+    pinot.read.parquet(dir).createOrReplaceTempView("nulldef_t")
+
+    // ANSI default: SQL nulls — IS NULL true, count(v) skips, filter drops
+    val ansi = pinot.sql(
+      "SELECT count(v) AS cv, count(*) AS n FROM nulldef_t WHERE v < 5").collect().head
+    assert(ansi.getLong(1) === 1L) // only -7 matches; null row dropped
+
+    pinot.conf.set(graft.plans.PinotNullDefaultsRule.confKey, "true")
+    try {
+      // SELECT surfaces the Pinot default values, never SQL null
+      val rows = pinot.sql("SELECT id, v, s, d FROM nulldef_t ORDER BY id").collect()
+      assert(rows(1).getInt(1) === Int.MinValue)
+      assert(rows(1).getString(2) === "null")
+      assert(rows(1).getDouble(3) === Double.NegativeInfinity)
+      // filters see the defaults: v < 5 now matches the null row (MIN_VALUE)
+      val n = pinot.sql("SELECT count(*) AS n FROM nulldef_t WHERE v < 5")
+        .collect().head.getLong(0)
+      assert(n === 2L)
+      // count(col) counts every row and IS NULL is never true — Pinot
+      // without enableNullHandling has no SQL nulls at all
+      val agg = pinot.sql(
+        "SELECT count(v) AS cv, count(CASE WHEN s IS NULL THEN 1 END) AS isn FROM nulldef_t")
+        .collect().head
+      assert(agg.getLong(0) === 3L && agg.getLong(1) === 0L)
+      // column pruning survives: a 2-column query must not read all 4
+      val df = pinot.sql("SELECT v FROM nulldef_t WHERE id = 2")
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      assert(scan.metadata("ReadSchema") === "struct<id:int,v:int>",
+        s"pruning lost: ${scan.metadata("ReadSchema")}")
+    } finally pinot.conf.set(graft.plans.PinotNullDefaultsRule.confKey, "false")
+    // toggle off restores ANSI semantics on the same session
+    assert(pinot.sql("SELECT count(*) AS n FROM nulldef_t WHERE v < 5")
+      .collect().head.getLong(0) === 1L)
+  }
 }

@@ -98,6 +98,25 @@ class SegmentPruningRuleSpec extends GraftSuite {
       ev.filter(col("user_id") >= probe - 1 && col("user_id") <= probe + 1).count())
   }
 
+  test("bloom registration refuses when the driver manifest would exceed its byte budget") {
+    import graft.sources.BloomLayout
+    val dir = Files.createTempDirectory("graft-segprune-bloomcap").toString
+    val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id").limit(1000)
+    BloomLayout.write(ev, dir, "user_id", nFiles = 8)
+    val s2 = spark.newSession()
+    // 8 files x 8 KiB = 64 KiB of manifest; a 16 KiB budget must refuse
+    val e = intercept[IllegalArgumentException] {
+      SegmentPruning.registerBloom(s2, dir, "user_id", maxManifestBytes = 16L << 10)
+    }
+    assert(e.getMessage.contains("shard"), e.getMessage)
+    // refusal is safe: the unregistered table still answers exactly (full scan)
+    val probe = ev.select("user_id").head().getLong(0)
+    assert(s2.read.parquet(dir).filter(col("user_id") === probe).count() ===
+      ev.filter(col("user_id") === probe).count())
+    // and the same dir registers fine within budget
+    SegmentPruning.registerBloom(s2, dir, "user_id", maxManifestBytes = 1L << 20)
+  }
+
   test("partitioned layout prunes = to the owning file and IN to the union; ranges full-scan") {
     import graft.sources.PartitionedLayout
     val dir = Files.createTempDirectory("graft-segprune-part").toString

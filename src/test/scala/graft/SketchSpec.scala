@@ -43,15 +43,20 @@ class SketchSpec extends GraftSuite {
     assert(top._2 >= 400L && top._2 <= 600L, s"count ${top._2} outside bound")
   }
 
-  test("q_sketch_theta set-operation bounds hold and exact side obeys inclusion-exclusion") {
+  test("q_sketch_theta 3-set expression bounds hold and exact side obeys set algebra") {
     val r = SparkEntry.queries("q_sketch_theta")(spark, sfDir).collect().head
-    assert(r.getAs[Boolean]("union_within_5pct"), r.toString)
-    assert(r.getAs[Boolean]("intersect_within_20pct"), r.toString)
-    val (a, b) = (r.getAs[Long]("exact_q1"), r.getAs[Long]("exact_q2"))
-    val (both, either) = (r.getAs[Long]("exact_both"), r.getAs[Long]("exact_either"))
-    assert(a + b - both === either, "inclusion-exclusion identity")
-    assert(r.getAs[Long]("exact_q1_only") === a - both)
-    assert(both > 0 && both < a && both < b, "fixture overlap is genuinely partial")
+    Seq("union3_within_5pct", "intersect_within_20pct",
+        "diff3_within_20pct", "mixed3_within_20pct")
+      .foreach(b => assert(r.getAs[Boolean](b), s"$b: $r"))
+    val (a, b, c) = (r.getAs[Long]("exact_q1"), r.getAs[Long]("exact_q2"), r.getAs[Long]("exact_q3"))
+    val ab = r.getAs[Long]("exact_ab")
+    // (A∩B)∖C ⊆ A∩B, and its complement inside A∩B — (A∩B)∩C — is
+    // contained in (A∪B)∩C
+    assert(r.getAs[Long]("exact_ab_not_c") <= ab)
+    assert(ab - r.getAs[Long]("exact_ab_not_c") <= r.getAs[Long]("exact_ab_and_c"))
+    assert(r.getAs[Long]("exact_any") <= a + b + c, "union bounded by sum")
+    assert(r.getAs[Long]("exact_any") >= Seq(a, b, c).max, "union dominates each set")
+    assert(ab > 0 && ab < a && ab < b, "fixture overlap is genuinely partial")
   }
 
   test("q_sketch_percentile bound booleans hold and raw sketch is within 5% of exact median") {
