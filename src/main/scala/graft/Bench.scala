@@ -39,7 +39,13 @@ object Bench {
       // queries re-ran them cold and the total regressed 44 s → 68.5 s
       // (q_split_contamination 1.9→6.7 s, q_text_tfidf 1.2→3.4 s).
       spark.catalog.clearCache()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // dev-only subset filter (comma-separated names) for single-query
+      // iteration; the driver never sets it, so the contract is unchanged
+      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(',').map(_.trim).toSet).filter(_.nonEmpty)
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop-format write, not count(): under an aggregate Catalyst's
         // EliminateSorts drops every top-level ORDER BY and prunes the final
@@ -67,7 +73,11 @@ object Bench {
       s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(totalLine)
     // Full precision + per-query map land in files the driver/judge can read.
-    for (path <- Seq("BENCH.json", "/tmp/bench.json")) {
+    // A dev subset run (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    // full-suite record.
+    val outFiles = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+      Seq("/tmp/bench.json") else Seq("BENCH.json", "/tmp/bench.json")
+    for (path <- outFiles) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path), jsonLine(_.toString) + "\n")
       catch { case _: Throwable => () }

@@ -54,12 +54,21 @@ object AggQueries {
     "q_agg_count",
     (spark, dir) => {
       val li = Tables.t(spark, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
+      // two distinct aggregates over DIFFERENT keys in one agg would make
+      // Catalyst Expand every row once per distinct clause; separate
+      // two-level distinct passes (map-side partial dedup) joined on the
+      // 3-row group key keep shuffle input = the distinct sets themselves
+      val base = li.groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_rows"),
-          count(col("l_orderkey")).as("n_orderkey"),
-          countDistinct(col("l_orderkey")).as("n_distinct_orders"),
-          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_distinct_ps"))
+          count(col("l_orderkey")).as("n_orderkey"))
+      val dOrders = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_distinct_orders"))
+      val dPs = li.select(col("l_returnflag"), col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_distinct_ps"))
+      base.join(dOrders, Seq("l_returnflag")).join(dPs, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"), col("n_orderkey"),
+          col("n_distinct_orders"), col("n_distinct_ps"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
@@ -124,12 +133,19 @@ object AggQueries {
     "q_agg_percentile",
     (spark, dir) => {
       val li = Tables.t(spark, dir, "lineitem")
+      // one percentile buffer per COLUMN (array form), not per quantile:
+      // three scalar percentile() calls on l_quantity would each build and
+      // merge their own per-group value map
       li.groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25_qty"),
-          round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
-          round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90_price"))
+          percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("q"),
+          percentile(col("l_extendedprice"), array(lit(0.9))).as("p"))
+        .select(
+          col("l_returnflag"),
+          round(col("q").getItem(0), 4).as("p25_qty"),
+          round(col("q").getItem(1), 4).as("p50_qty"),
+          round(col("q").getItem(2), 4).as("p75_qty"),
+          round(col("p").getItem(0), 2).as("p90_price"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,

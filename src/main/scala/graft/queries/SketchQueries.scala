@@ -31,12 +31,22 @@ object SketchQueries {
       val li = Tables.t(spark, dir, "lineitem")
       val relErr = (approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
         abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
-      li.groupBy(col("l_returnflag"))
+      // exact distincts as SEPARATE two-level aggregations joined on the
+      // 3-row group key: two countDistincts over different columns in one
+      // agg make Catalyst Expand every input row once per distinct column
+      // (3x the shuffle input at any scale) — two distinct-then-count
+      // passes over a column-pruned scan partial-aggregate map-side and
+      // measured 2.3x faster at sf0.1; the sketch agg stays single-pass
+      // (mergeable partials, no Expand)
+      val exParts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      val exOrders = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+      val sk = li.groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ao"))
+      exParts.join(exOrders, Seq("l_returnflag")).join(sk, Seq("l_returnflag"))
         .select(
           col("l_returnflag"),
           col("exact_parts"),
@@ -65,18 +75,20 @@ object SketchQueries {
       val li = Tables.t(spark, dir, "lineitem")
       val relErr = (approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
         abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+      // BOTH quantiles from ONE buffer per sketch kind (array form): each
+      // scalar percentile()/percentile_approx() call otherwise builds and
+      // merges its own per-group value map — the array form halves the
+      // partial-aggregate state shipped at the shuffle
       li.groupBy(col("l_returnflag"))
         .agg(
-          percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
-          percentile(col("l_extendedprice"), lit(0.99)).as("e99"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"))
+          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.99))).as("ex"),
+          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)), lit(1000)).as("ax"))
         .select(
           col("l_returnflag"),
-          round(col("e50"), 2).as("p50_exact"),
-          round(col("e99"), 2).as("p99_exact"),
-          (relErr(col("a50"), col("e50")) <= 0.05).as("p50_within_5pct"),
-          (relErr(col("a99"), col("e99")) <= 0.05).as("p99_within_5pct"))
+          round(col("ex").getItem(0), 2).as("p50_exact"),
+          round(col("ex").getItem(1), 2).as("p99_exact"),
+          (relErr(col("ax").getItem(0), col("ex").getItem(0)) <= 0.05).as("p50_within_5pct"),
+          (relErr(col("ax").getItem(1), col("ex").getItem(1)) <= 0.05).as("p99_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
