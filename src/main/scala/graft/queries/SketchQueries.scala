@@ -246,6 +246,85 @@ object SketchQueries {
             |       TRUE AS within_5pct
             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Stored THETA-sketch-column rollup — the q_sketch_rollup pattern
+    * (one serialized sketch per (day, type) cell, coarser windows answered
+    * by merging stored sketches) on theta sketches, which buys the set
+    * operation HLL columns cannot answer: WEEK-OVER-WEEK INTERSECTION.
+    * "Users active in both week 1 and week 2" (retention) and "active in
+    * week 1 but not week 2" (churn) come from intersect/a-not-b over the
+    * two stored weekly sketches — with HLL cells this needs raw-row
+    * re-scans or inclusion–exclusion; mergeable theta state answers it
+    * from |days|×|types| rollup rows at any event volume.
+    *
+    * Hard-oracle shape as the rest of the family: exact per-user flag
+    * aggregation in the hashed output, sketch estimates through
+    * deterministic within-bound booleans (populations < 2^lgK keep θ=1 —
+    * exact mode — at the gate SFs; ThetaSketchSpec covers sampling mode). */
+  private val sketchThetaRollup = Q(
+    "q_sketch_theta_rollup",
+    (spark, dir) => {
+      import graft.expressions.ThetaSketch._
+      val e = Tables.t(spark, dir, "events")
+      val w1 = lit("2024-01-01 00:00:00").cast("timestamp")
+      val w2 = lit("2024-01-08 00:00:00").cast("timestamp")
+      val wEnd = lit("2024-01-15 00:00:00").cast("timestamp")
+      // segment rollup: ONE stored mergeable sketch per (day, type) cell
+      val daily = e.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(thetaSketchAgg(col("user_id")).as("sk"))
+      // query-time union of STORED sketches to weekly granularity
+      val weekly = daily.groupBy(date_trunc("week", col("day")).as("week"), col("event_type"))
+        .agg(thetaUnionAgg(col("sk")).as("wsk"))
+      val s1 = weekly.filter(col("week") === w1).select(col("event_type"), col("wsk").as("sk1"))
+      val s2 = weekly.filter(col("week") === w2).select(col("event_type"), col("wsk").as("sk2"))
+      val est = s1.join(s2, Seq("event_type")).select(
+        col("event_type"),
+        thetaEstimate(col("sk1")).as("est_w1"),
+        thetaEstimate(col("sk2")).as("est_w2"),
+        thetaEstimate(thetaIntersect(col("sk1"), col("sk2"))).as("est_both"),
+        thetaEstimate(thetaANotB(col("sk1"), col("sk2"))).as("est_churned"))
+      // exact side for the gate: per-user week flags over the same window
+      val exact = e.filter(col("ts") >= w1 && col("ts") < wEnd)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          max(when(date_trunc("week", col("ts")) === w1, 1).otherwise(0)).as("a"),
+          max(when(date_trunc("week", col("ts")) === w2, 1).otherwise(0)).as("b"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("a")).cast("long").as("exact_w1"),
+          sum(col("b")).cast("long").as("exact_w2"),
+          sum(col("a") * col("b")).cast("long").as("exact_both"),
+          sum(col("a") * (lit(1) - col("b"))).cast("long").as("exact_churned"))
+      def within(est: String, ex: String, tol: Double) =
+        col(ex) === 0 || (abs(col(est).cast("double") - col(ex).cast("double")) /
+          col(ex).cast("double") <= tol)
+      exact.join(est, Seq("event_type"))
+        .select(
+          col("event_type"),
+          col("exact_w1"), col("exact_w2"), col("exact_both"), col("exact_churned"),
+          within("est_w1", "exact_w1", 0.05).as("w1_within_5pct"),
+          within("est_w2", "exact_w2", 0.05).as("w2_within_5pct"),
+          within("est_both", "exact_both", 0.20).as("both_within_20pct"),
+          within("est_churned", "exact_churned", 0.20).as("churned_within_20pct"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH f AS (
+            |  SELECT event_type, user_id,
+            |    max(CASE WHEN date_trunc('week', ts) = TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS a,
+            |    max(CASE WHEN date_trunc('week', ts) = TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS b
+            |  FROM events
+            |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+            |  GROUP BY event_type, user_id)
+            |SELECT event_type,
+            |       CAST(sum(a) AS BIGINT) AS exact_w1,
+            |       CAST(sum(b) AS BIGINT) AS exact_w2,
+            |       CAST(sum(a*b) AS BIGINT) AS exact_both,
+            |       CAST(sum(a*(1-b)) AS BIGINT) AS exact_churned,
+            |       TRUE AS w1_within_5pct,
+            |       TRUE AS w2_within_5pct,
+            |       TRUE AS both_within_20pct,
+            |       TRUE AS churned_within_20pct
+            |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** A5+: DISTINCT_COUNT_SMART_HLL — Pinot's adaptive distinct: serve the
     * EXACT count while a group's cardinality is below the threshold, switch
     * to the HLL sketch above it (bounded memory for heavy groups, exactness
@@ -278,5 +357,5 @@ object SketchQueries {
             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta, sketchRollup,
-    sketchSmart)
+    sketchThetaRollup, sketchSmart)
 }
