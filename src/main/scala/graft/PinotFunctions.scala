@@ -317,11 +317,31 @@ object PinotFunctions {
     "thetasketchintersect" -> (args => args.reduceLeft(
       graft.expressions.ThetaSetOp(_, _, "intersect"))),
     "thetasketchdiff" -> (args => graft.expressions.ThetaSetOp(args(0), args(1), "anotb")),
-    // Pinot 1.2's other approx-distinct families (CPC / UltraLogLog /
-    // HLL++) share the estimate contract; Spark's HLL++ serves them all
-    "distinctcountcpcsketch" -> fwd("approx_count_distinct"),
+    // real DataSketches CPC (expressions/CpcSketchExpressions) — estimate
+    // out for the DISTINCT form, persistable binary for RAW
+    "distinctcountcpcsketch" -> (args => graft.expressions.CpcSketchEstimate(
+      graft.expressions.CpcSketchAgg(args(0)).toAggregateExpression())),
+    "distinctcountrawcpcsketch" -> (args =>
+      graft.expressions.CpcSketchAgg(args(0)).toAggregateExpression()),
+    // UltraLogLog / HLL++ share the estimate contract; Spark's HLL++
+    // serves both
     "distinctcountull" -> fwd("approx_count_distinct"),
     "distinctcounthllplus" -> fwd("approx_count_distinct"),
+    // integer-sum TUPLE sketches (expressions/TupleSketchExpressions): the
+    // Pinot forms consume a BYTES column of serialized sketches, so each
+    // alias wraps the stored-column union-merge
+    "distinctcounttuplesketch" -> (args => graft.expressions.TupleSketchEstimate(
+      graft.expressions.TupleUnionAgg(args(0)).toAggregateExpression())),
+    "distinctcountrawintegersumtuplesketch" -> (args =>
+      graft.expressions.TupleUnionAgg(args(0)).toAggregateExpression()),
+    "sumvaluesintegersumtuplesketch" -> (args => graft.expressions.TupleSketchSumValues(
+      graft.expressions.TupleUnionAgg(args(0)).toAggregateExpression())),
+    "avgvalueintegersumtuplesketch" -> (args => graft.expressions.TupleSketchAvgValue(
+      graft.expressions.TupleUnionAgg(args(0)).toAggregateExpression())),
+    // frequent-strings sketch (expressions/FreqSketchExpressions): Pinot
+    // returns the serialized sketch bytes for client-side merging
+    "frequentstringssketch" -> (args =>
+      graft.expressions.FreqSketchAgg(args(0)).toAggregateExpression()),
     // raw serialized sketch out (Pinot returns the sketch bytes for
     // client-side merging; ours is the DataSketches HLL binary — mergeable
     // with hll_union/hll_union_agg, estimable with hll_sketch_estimate)
@@ -338,7 +358,13 @@ object PinotFunctions {
         .toAggregateExpression()),
     "percentileest" -> pctApprox,
     "percentiletdigest" -> pctApprox,
-    "percentilekll" -> pctApprox,
+    // real DataSketches KLL (expressions/KllSketchExpressions): proven
+    // rank-error bound + mergeable serialized state for the RAW form
+    "percentilekll" -> (args => graft.expressions.KllQuantile(
+      graft.expressions.KllSketchAgg(args(0)).toAggregateExpression(),
+      Divide(Cast(args(1), DoubleType), Literal(100.0)))),
+    "percentilerawkll" -> (args =>
+      graft.expressions.KllSketchAgg(args(0)).toAggregateExpression()),
     // IdSet pair: ID_SET aggregates to the serialized set literal the client
     // carries away; IN_ID_SET filters by membership in such a literal
     // (expressions/IdSetExpressions — sorted varint codec, binary search)

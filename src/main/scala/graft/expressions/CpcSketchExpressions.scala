@@ -1,0 +1,179 @@
+package graft.expressions
+
+import org.apache.datasketches.cpc.{CpcSketch, CpcUnion}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CPC (compressed probabilistic counting) distinct sketches — Pinot's
+  * `DISTINCT_COUNT_CPC_SKETCH` / `DISTINCT_COUNT_RAW_CPC_SKETCH` (`[P1.2]`,
+  * on the reference's unmodified Pinot 1.2 deployment — version pin
+  * `/root/reference/resources/pinot/userData/userdata-pinotserver.sh:5`).
+  * CPC is DataSketches' most space-accurate distinct sketch: ~40% smaller
+  * than HLL at equal error, at the cost of slower updates — the right
+  * trade for STORED sketch columns, where bytes-on-disk dominate.
+  *
+  * Same 100 TB posture as the theta/HLL families: TypedImperativeAggregate
+  * partials merge map-side, one ~0.6·2^lgK-byte sketch per group crosses
+  * the shuffle, and the compact binary output persists as a column that
+  * [[CpcUnionAgg]] re-merges at query time (union-only algebra, like HLL).
+  */
+object CpcOps {
+  def estimate(b: Array[Byte]): Long = Math.round(CpcSketch.heapify(b).getEstimate)
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = CpcSketch.heapify(a)
+    val u = new CpcUnion(sa.getLgK)
+    u.update(sa); u.update(CpcSketch.heapify(b))
+    u.getResult.toByteArray
+  }
+}
+
+/** Aggregation buffer: live sketch for raw updates + union for merged
+  * partials (CpcUnion cannot take single-row updates). */
+final class CpcBuffer(val lgK: Int) {
+  private var live: CpcSketch = null
+  private var union: CpcUnion = null
+
+  def liveSketch: CpcSketch = {
+    if (live == null) live = new CpcSketch(lgK)
+    live
+  }
+
+  def absorb(sk: CpcSketch): Unit = {
+    if (union == null) union = new CpcUnion(lgK)
+    union.update(sk)
+  }
+
+  def result: CpcSketch = {
+    if (union == null) { if (live == null) new CpcSketch(lgK) else live }
+    else {
+      if (live != null) { union.update(live); live = null }
+      union.getResult
+    }
+  }
+}
+
+/** Shared plumbing for the two CPC aggregates. */
+abstract class CpcAggBase extends TypedImperativeAggregate[CpcBuffer]
+    with UnaryLike[Expression] {
+  def lgK: Int
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): CpcBuffer = new CpcBuffer(lgK)
+
+  override def merge(a: CpcBuffer, b: CpcBuffer): CpcBuffer = { a.absorb(b.result); a }
+
+  override def eval(buf: CpcBuffer): Any = buf.result.toByteArray
+  override def serialize(buf: CpcBuffer): Array[Byte] = buf.result.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): CpcBuffer = {
+    val b = new CpcBuffer(lgK)
+    b.absorb(CpcSketch.heapify(bytes))
+    b
+  }
+}
+
+/** `cpc_sketch_agg(col[, lgK])` → serialized CPC sketch of the column's
+  * distinct values (Pinot DISTINCT_COUNT_RAW_CPC_SKETCH). */
+case class CpcSketchAgg(
+    child: Expression,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends CpcAggBase {
+
+  override def prettyName: String = "cpc_sketch_agg"
+
+  override def update(buf: CpcBuffer, input: InternalRow): CpcBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val sk = buf.liveSketch
+      child.dataType match {
+        case IntegerType => sk.update(v.asInstanceOf[Int].toLong)
+        case LongType => sk.update(v.asInstanceOf[Long])
+        case ShortType => sk.update(v.asInstanceOf[Short].toLong)
+        case ByteType => sk.update(v.asInstanceOf[Byte].toLong)
+        case DoubleType => sk.update(v.asInstanceOf[Double])
+        case FloatType => sk.update(v.asInstanceOf[Float].toDouble)
+        case StringType => sk.update(v.asInstanceOf[UTF8String].toString)
+        case BinaryType => sk.update(v.asInstanceOf[Array[Byte]])
+        case dt => throw new UnsupportedOperationException(
+          s"cpc_sketch_agg: unsupported input type $dt")
+      }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CpcSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CpcSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CpcSketchAgg =
+    copy(child = c)
+}
+
+/** `cpc_union_agg(sketchCol[, lgK])` → union of STORED CPC sketches — the
+  * query-time rollup merge over a persisted sketch column. */
+case class CpcUnionAgg(
+    child: Expression,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends CpcAggBase {
+
+  override def prettyName: String = "cpc_union_agg"
+
+  override def update(buf: CpcBuffer, input: InternalRow): CpcBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.absorb(CpcSketch.heapify(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CpcUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CpcUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CpcUnionAgg =
+    copy(child = c)
+}
+
+/** `cpc_sketch_estimate(sketch)` → rounded distinct estimate. */
+case class CpcSketchEstimate(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cpc_sketch_estimate"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def nullSafeEval(b: Any): Any =
+    CpcOps.estimate(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expressions.CpcOps.estimate($b)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API surface for the CPC family. */
+object CpcSketchApi {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.GraftBridge.{column, expression}
+
+  def cpcSketchAgg(c: Column, lgK: Int = 12): Column =
+    column(CpcSketchAgg(expression(c), lgK).toAggregateExpression())
+  def cpcUnionAgg(c: Column, lgK: Int = 12): Column =
+    column(CpcUnionAgg(expression(c), lgK).toAggregateExpression())
+  def cpcEstimate(c: Column): Column = column(CpcSketchEstimate(expression(c)))
+  def cpcUnion(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.udf
+    // two-sketch scalar union is rare enough that an opaque binary fn is
+    // fine here; hot paths use CpcUnionAgg
+    udf((x: Array[Byte], y: Array[Byte]) => CpcOps.union(x, y)).apply(a, b)
+  }
+}

@@ -356,6 +356,239 @@ object SketchQueries {
             |       TRUE AS within_5pct
             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** A5+: Pinot DISTINCT_COUNT_TUPLE_SKETCH / SUM_VALUES_ / AVG_VALUE_
+    * INTEGER_SUM_TUPLE_SKETCH — tuple sketches carry a per-distinct-key
+    * integer SUM next to each retained key
+    * ([[graft.expressions.TupleSketchAgg]], DataSketches tuple — the same
+    * library Pinot 1.2 embeds), answering "distinct users / total
+    * engagement / engagement per distinct user" from ONE mergeable sketch.
+    *
+    * Exercises the full stored-column rollup path: per-(day,type) sketch
+    * cells → query-time tuple_union_agg to type level (duplicate keys SUM
+    * their values across cells — per-user totals stay correct). Hard-oracle
+    * shape as q_sketch_hll: exact values hashed, estimates through
+    * within-bound booleans (θ=1 exact mode below 2^lgK at the gate SFs;
+    * TupleSketchSpec asserts sampling mode directly). */
+  private val sketchTuple = Q(
+    "q_sketch_tuple",
+    (spark, dir) => {
+      import graft.expressions.TupleSketch._
+      val e = Tables.t(spark, dir, "events")
+      val engaged = floor(col("value")).cast("int")
+      // segment rollup: one stored tuple sketch per (day, type) cell
+      val daily = e.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(tupleSketchAgg(col("user_id"), engaged).as("sk"))
+      // query-time union of STORED cells to type granularity
+      val est = daily.groupBy(col("event_type"))
+        .agg(tupleUnionAgg(col("sk")).as("tsk"))
+        .select(
+          col("event_type"),
+          tupleEstimate(col("tsk")).as("est_users"),
+          tupleSumValues(col("tsk")).as("est_sum"),
+          tupleAvgValue(col("tsk")).as("est_avg"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          sum(engaged).cast("long").as("exact_sum"))
+      def within(estC: String, exC: String, tol: Double) =
+        abs(col(estC).cast("double") - col(exC).cast("double")) /
+          col(exC).cast("double") <= tol
+      exact.join(est, Seq("event_type"))
+        .select(
+          col("event_type"), col("exact_users"), col("exact_sum"),
+          within("est_users", "exact_users", 0.05).as("users_within_5pct"),
+          within("est_sum", "exact_sum", 0.05).as("sum_within_5pct"),
+          (abs(col("est_avg") - col("exact_sum").cast("double") /
+            col("exact_users").cast("double")) /
+            (col("exact_sum").cast("double") / col("exact_users").cast("double")) <= 0.05)
+            .as("avg_within_5pct"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+            |       CAST(sum(FLOOR(value)) AS BIGINT) AS exact_sum,
+            |       TRUE AS users_within_5pct,
+            |       TRUE AS sum_within_5pct,
+            |       TRUE AS avg_within_5pct
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Tuple-sketch INTERSECTION with summaries — the metric-weighted
+    * retention primitive nothing in the HLL/theta family can answer from
+    * sketch state: intersect the two stored weekly sketches and the
+    * surviving keys' Sum-mode summaries add the two weeks' values, so
+    * "how many users were active BOTH weeks, and what was their combined
+    * engagement" reads straight off the intersection — no raw-row rescan.
+    * Same stored-rollup shape as q_sketch_theta_rollup (daily cells →
+    * weekly union → scalar set op), same hard-oracle contract. */
+  private val sketchTupleRetention = Q(
+    "q_sketch_tuple_retention",
+    (spark, dir) => {
+      import graft.expressions.TupleSketch._
+      val e = Tables.t(spark, dir, "events")
+      val w1 = lit("2024-01-01 00:00:00").cast("timestamp")
+      val w2 = lit("2024-01-08 00:00:00").cast("timestamp")
+      val wEnd = lit("2024-01-15 00:00:00").cast("timestamp")
+      val engaged = floor(col("value")).cast("int")
+      val daily = e.filter(col("ts") >= w1 && col("ts") < wEnd)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(tupleSketchAgg(col("user_id"), engaged).as("sk"))
+      val weekly = daily.groupBy(date_trunc("week", col("day")).as("week"), col("event_type"))
+        .agg(tupleUnionAgg(col("sk")).as("wsk"))
+      val s1 = weekly.filter(col("week") === w1).select(col("event_type"), col("wsk").as("sk1"))
+      val s2 = weekly.filter(col("week") === w2).select(col("event_type"), col("wsk").as("sk2"))
+      val est = s1.join(s2, Seq("event_type")).select(
+        col("event_type"),
+        tupleEstimate(tupleIntersect(col("sk1"), col("sk2"))).as("est_retained"),
+        tupleSumValues(tupleIntersect(col("sk1"), col("sk2"))).as("est_engagement"))
+      // exact side: per-(type,user) week flags + per-week value sums
+      val exact = e.filter(col("ts") >= w1 && col("ts") < wEnd)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          max(when(date_trunc("week", col("ts")) === w1, 1).otherwise(0)).as("a"),
+          max(when(date_trunc("week", col("ts")) === w2, 1).otherwise(0)).as("b"),
+          sum(when(date_trunc("week", col("ts")) === w1, engaged).otherwise(0))
+            .cast("long").as("va"),
+          sum(when(date_trunc("week", col("ts")) === w2, engaged).otherwise(0))
+            .cast("long").as("vb"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("a") * col("b")).cast("long").as("exact_retained"),
+          sum(col("a") * col("b") * (col("va") + col("vb"))).cast("long")
+            .as("exact_engagement"))
+      def within(estC: String, exC: String, tol: Double) =
+        col(exC) === 0 || (abs(col(estC).cast("double") - col(exC).cast("double")) /
+          col(exC).cast("double") <= tol)
+      exact.join(est, Seq("event_type"))
+        .select(
+          col("event_type"), col("exact_retained"), col("exact_engagement"),
+          within("est_retained", "exact_retained", 0.20).as("retained_within_20pct"),
+          within("est_engagement", "exact_engagement", 0.20).as("engagement_within_20pct"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH f AS (
+            |  SELECT event_type, user_id,
+            |    max(CASE WHEN date_trunc('week', ts) = TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS a,
+            |    max(CASE WHEN date_trunc('week', ts) = TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS b,
+            |    CAST(sum(CASE WHEN date_trunc('week', ts) = TIMESTAMP '2024-01-01' THEN FLOOR(value) ELSE 0 END) AS BIGINT) AS va,
+            |    CAST(sum(CASE WHEN date_trunc('week', ts) = TIMESTAMP '2024-01-08' THEN FLOOR(value) ELSE 0 END) AS BIGINT) AS vb
+            |  FROM events
+            |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+            |  GROUP BY event_type, user_id)
+            |SELECT event_type,
+            |       CAST(sum(a*b) AS BIGINT) AS exact_retained,
+            |       CAST(sum(a*b*(va+vb)) AS BIGINT) AS exact_engagement,
+            |       TRUE AS retained_within_20pct,
+            |       TRUE AS engagement_within_20pct
+            |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Pinot FREQUENT_STRINGS_SKETCH — real DataSketches frequent-items with
+    * SERIALIZED, mergeable state (q_sketch_topk covers the approx_top_k
+    * one-shot form; this is the stored-column rollup form): per-day sketch
+    * cells merge to weekly via freq_union_agg, the canonical top-3 string
+    * reads off the merged sketch, and the Misra–Gries bound is surfaced —
+    * is_exact asserts maxError = 0, so every emitted count is the true
+    * count (holds while distinct items < ~0.75·maxMapSize per cell). */
+  private val sketchFreq = Q(
+    "q_sketch_freq",
+    (spark, dir) => {
+      import graft.expressions.FreqSketch._
+      val e = Tables.t(spark, dir, "events")
+      val daily = e.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(freqSketchAgg(col("event_type"), 64).as("sk"))
+      daily.groupBy(date_trunc("week", col("day")).as("week"))
+        .agg(freqUnionAgg(col("sk"), 64).as("wsk"))
+        .select(
+          col("week"),
+          freqTopK(col("wsk"), 3).as("top3"),
+          (freqMaxError(col("wsk")) === 0).as("is_exact"))
+        .orderBy(col("week"))
+    },
+    Some("""WITH c AS (
+            |  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+            |         CAST(count(*) AS BIGINT) AS cnt
+            |  FROM events GROUP BY 1, 2),
+            |r AS (
+            |  SELECT week, event_type, cnt,
+            |         row_number() OVER (PARTITION BY week ORDER BY cnt DESC, event_type ASC) AS rk
+            |  FROM c)
+            |SELECT week,
+            |       string_agg(event_type || ':' || cnt, '|' ORDER BY rk) AS top3,
+            |       TRUE AS is_exact
+            |FROM r WHERE rk <= 3 GROUP BY week ORDER BY week""".stripMargin))
+
+  /** Pinot DISTINCT_COUNT_CPC_SKETCH — DataSketches CPC, the most
+    * bytes-per-accuracy-efficient distinct sketch (~40% smaller than HLL at
+    * equal error): the right stored-sketch-column format when disk/shuffle
+    * bytes dominate. Same hard-oracle shape as q_sketch_hll (exact counts
+    * hashed via separate two-level distinct passes, estimates through
+    * within-5% booleans; CPC rse at lgK=12 ≈ 1.2%). */
+  private val sketchCpc = Q(
+    "q_sketch_cpc",
+    (spark, dir) => {
+      import graft.expressions.CpcSketchApi._
+      val li = Tables.t(spark, dir, "lineitem")
+      val relErr = (approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
+        abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+      val exParts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      val exOrders = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(
+          cpcEstimate(cpcSketchAgg(col("l_partkey"))).as("ap"),
+          cpcEstimate(cpcSketchAgg(col("l_orderkey"))).as("ao"))
+      exParts.join(exOrders, Seq("l_returnflag")).join(sk, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          col("exact_orders"),
+          (relErr(col("ap"), col("exact_parts")) <= 0.05).as("parts_within_5pct"),
+          (relErr(col("ao"), col("exact_orders")) <= 0.05).as("orders_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+            |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+            |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+            |       TRUE AS parts_within_5pct,
+            |       TRUE AS orders_within_5pct
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Pinot PERCENTILE_KLL — DataSketches KLL quantiles with a PROVEN
+    * worst-case rank-error bound (~0.8% at k=400), a guarantee
+    * percentile_approx's Greenwald–Khanna does not make, plus mergeable
+    * serialized state (PERCENTILE_RAW_KLL stored-column form; KllSketchSpec
+    * covers the merge path). Same hard-oracle shape as q_sketch_percentile:
+    * exact interpolated percentiles hashed, KLL estimates through
+    * within-5% booleans. */
+  private val sketchKll = Q(
+    "q_sketch_kll",
+    (spark, dir) => {
+      import graft.expressions.KllSketch._
+      val li = Tables.t(spark, dir, "lineitem")
+      val relErr = (approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
+        abs(approx - exact.cast("double")) / exact.cast("double")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.99))).as("ex"),
+          kllSketchAgg(col("l_extendedprice"), k = 400).as("sk"))
+        .select(
+          col("l_returnflag"),
+          round(col("ex").getItem(0), 2).as("p50_exact"),
+          round(col("ex").getItem(1), 2).as("p99_exact"),
+          (relErr(kllQuantile(col("sk"), 0.5), col("ex").getItem(0)) <= 0.05)
+            .as("p50_within_5pct"),
+          (relErr(kllQuantile(col("sk"), 0.99), col("ex").getItem(1)) <= 0.05)
+            .as("p99_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+            |       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 2) AS p50_exact,
+            |       round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 2) AS p99_exact,
+            |       TRUE AS p50_within_5pct,
+            |       TRUE AS p99_within_5pct
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta, sketchRollup,
-    sketchThetaRollup, sketchSmart)
+    sketchThetaRollup, sketchSmart, sketchTuple, sketchTupleRetention, sketchFreq,
+    sketchCpc, sketchKll)
 }

@@ -390,4 +390,47 @@ class PinotCompatSpec extends GraftSuite {
     assert(pinot.sql("SELECT count(*) AS n FROM nulldef_t WHERE v < 5")
       .collect().head.getLong(0) === 1L)
   }
+
+  test("tuple / CPC / KLL / frequent-strings sketch families (Pinot 1.2 vocabulary)") {
+    import org.apache.spark.sql.functions._
+    // expectations computed on the PARENT session — the pinot session
+    // redefines percentile() to the 0-100 form (CLAUDE.md rule)
+    val events = Tables.t(spark, sfDir, "events")
+    val exactUsers = events.agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    val rows = events.filter(col("user_id").isNotNull).count()
+
+    // Pinot's tuple aggregates consume a BYTES column of serialized
+    // sketches (built at ingest time); stage per-type cells the same way
+    import graft.expressions.TupleSketch.tupleSketchAgg
+    Tables.t(pinot, sfDir, "events").groupBy(col("event_type"))
+      .agg(tupleSketchAgg(col("user_id"), lit(1)).as("sk"))
+      .createOrReplaceTempView("tuple_cells")
+    val t = one(
+      """SELECT DISTINCTCOUNTTUPLESKETCH(sk) AS dc,
+        |       SUMVALUESINTEGERSUMTUPLESKETCH(sk) AS sv,
+        |       AVGVALUEINTEGERSUMTUPLESKETCH(sk) AS av
+        |FROM tuple_cells""".stripMargin)
+    assert(t.getAs[Long]("dc") === exactUsers, "exact below 2^lgK")
+    assert(t.getAs[Long]("sv") === rows, "value-1 sums count every event per user")
+    assert(math.abs(t.getAs[Double]("av") - rows.toDouble / exactUsers) < 1e-9)
+
+    val cpc = one("SELECT DISTINCTCOUNTCPCSKETCH(user_id) AS dc FROM events")
+    assert(math.abs(cpc.getAs[Long]("dc").toDouble - exactUsers) / exactUsers < 0.05)
+
+    val p50Exact = events.agg(percentile(col("value"), lit(0.5)))
+      .collect().head.getDouble(0)
+    val kll = one("SELECT PERCENTILEKLL(value, 50) AS p50 FROM events")
+    assert(math.abs(kll.getAs[Double]("p50") - p50Exact) / p50Exact < 0.05)
+
+    // FREQUENTSTRINGSSKETCH returns the serialized sketch for client-side
+    // merging (Pinot contract); decode and check it carries exact counts
+    val fs = one("SELECT FREQUENTSTRINGSSKETCH(event_type) AS sk FROM events")
+    val bytes = fs.getAs[Array[Byte]]("sk")
+    assert(graft.expressions.FreqOps.maxError(bytes) === 0L)
+    val topExact = events.groupBy(col("event_type")).count()
+      .orderBy(col("count").desc, col("event_type").asc).limit(1)
+      .collect().head
+    assert(graft.expressions.FreqOps.topK(bytes, 1).toString ===
+      s"${topExact.getString(0)}:${topExact.getLong(1)}")
+  }
 }
