@@ -342,6 +342,18 @@ object PinotFunctions {
     // returns the serialized sketch bytes for client-side merging
     "frequentstringssketch" -> (args =>
       graft.expressions.FreqSketchAgg(args(0)).toAggregateExpression()),
+    // Pinot 1.2 scalar vector family (VectorFunctions, the vector-index
+    // sidecar): distances/norms over float[] embeddings — codegen'd
+    // kernels shared with the X2 similarity operators
+    "cosinedistance" -> (args => Coalesce(Seq(
+      Subtract(Literal(1.0), graft.expressions.CosineSimilarity(args(0), args(1))),
+      if (args.size >= 3) Cast(args(2), DoubleType) else Literal(Double.NaN)))),
+    "innerproduct" -> (args => graft.expressions.DotProduct(args(0), args(1))),
+    "l1distance" -> (args => graft.expressions.MinkowskiDistance(args(0), args(1), 1)),
+    "l2distance" -> (args => graft.expressions.MinkowskiDistance(args(0), args(1), 2)),
+    "vectordims" -> fwd("size"),
+    "vectornorm" -> (args => graft.expressions.VectorNorm(args(0))),
+    "vectornorms" -> (args => graft.expressions.VectorNorm(args(0))),
     // raw serialized sketch out (Pinot returns the sketch bytes for
     // client-side merging; ours is the DataSketches HLL binary — mergeable
     // with hll_union/hll_union_agg, estimable with hll_sketch_estimate)

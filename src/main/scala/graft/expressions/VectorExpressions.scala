@@ -45,6 +45,34 @@ object VectorOps {
     }
     acc
   }
+
+  /** Minkowski distance, p ∈ {1, 2} (Pinot l1Distance / l2Distance). */
+  def minkowski(a: ArrayData, b: ArrayData, p: Int): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
+      val d = math.abs(x - y)
+      acc += (if (p == 1) d else d * d)
+      i += 1
+    }
+    if (p == 1) acc else math.sqrt(acc)
+  }
+
+  /** L2 norm (Pinot vectorNorm). */
+  def norm(a: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
 }
 
 /** `cosine_sim(a, b)` — native Catalyst expression for the similarity-search
@@ -100,4 +128,43 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `minkowski_distance(a, b, p)` with p ∈ {1,2} — Pinot's l1Distance /
+  * l2Distance scalar vector family (vector index sidecar functions in 1.2). */
+case class MinkowskiDistance(left: Expression, right: Expression, p: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(p == 1 || p == 2, s"minkowski_distance: p must be 1 or 2, got $p")
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType, containsNull = true), ArrayType(FloatType, containsNull = true))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"l${p}_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.minkowski(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.VectorOps.minkowski($a, $b, $p)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `vector_norm(a)` — L2 norm (Pinot vectorNorm). */
+case class VectorNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType, containsNull = true))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_norm"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.norm(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.VectorOps.norm($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -433,4 +433,34 @@ class PinotCompatSpec extends GraftSuite {
     assert(graft.expressions.FreqOps.topK(bytes, 1).toString ===
       s"${topExact.getString(0)}:${topExact.getLong(1)}")
   }
+
+  test("scalar vector family: COSINEDISTANCE / INNERPRODUCT / L1,L2DISTANCE / VECTORDIMS / VECTORNORM") {
+    val r = one(
+      """SELECT COSINEDISTANCE(a.embedding, b.embedding) AS cosd,
+        |       COSINEDISTANCE(a.embedding, b.embedding, 0.0) AS cosd_dflt,
+        |       INNERPRODUCT(a.embedding, b.embedding) AS ip,
+        |       L1DISTANCE(a.embedding, b.embedding) AS l1,
+        |       L2DISTANCE(a.embedding, b.embedding) AS l2,
+        |       VECTORDIMS(a.embedding) AS dims,
+        |       VECTORNORM(a.embedding) AS nrm
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+    // hand-compute from the raw vectors (parent session, float64 folds)
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .filter("vec_id IN (0, 1)").orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    val Array(va, vb) = vecs
+    val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(va.map(x => x * x).sum)
+    val nb = math.sqrt(vb.map(x => x * x).sum)
+    assert(math.abs(r.getAs[Double]("cosd") - (1.0 - dot / (na * nb))) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cosd_dflt") - r.getAs[Double]("cosd")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ip") - dot) < 1e-9)
+    assert(math.abs(r.getAs[Double]("l1") -
+      va.zip(vb).map { case (x, y) => math.abs(x - y) }.sum) < 1e-9)
+    assert(math.abs(r.getAs[Double]("l2") -
+      math.sqrt(va.zip(vb).map { case (x, y) => (x - y) * (x - y) }.sum)) < 1e-9)
+    assert(r.getAs[Int]("dims") === va.length)
+    assert(math.abs(r.getAs[Double]("nrm") - na) < 1e-9)
+  }
 }
