@@ -48,11 +48,18 @@ import org.apache.spark.sql.types._
   */
 object StarTree {
 
-  /** One registered star-tree: canonical fact path → rollup scan. */
+  /** One registered star-tree: canonical fact path → rollup scan.
+    * `sketchCols` are Pinot functionColumnPair analogs
+    * (DISTINCTCOUNTHLL__col / DISTINCTCOUNTTHETASKETCH__col): the rollup
+    * stores one DataSketches HLL and one theta sketch per cell per column,
+    * and matching sketch aggregates over the fact rewrite to union-merges
+    * of the stored state. */
   final case class Spec(
       factPath: String,
       dims: Seq[String],
       metrics: Seq[String],
+      sketchCols: Seq[String],
+      sketchLgK: Int,
       rollupPath: String,
       relation: LogicalRelation)
 
@@ -66,6 +73,8 @@ object StarTree {
   private[graft] def sumOf(m: String): String = s"__st_sum_$m"
   private[graft] def minOf(m: String): String = s"__st_min_$m"
   private[graft] def maxOf(m: String): String = s"__st_max_$m"
+  private[graft] def hllOf(c: String): String = s"__st_hll_$c"
+  private[graft] def thetaOf(c: String): String = s"__st_theta_$c"
 
   /** Canonical spelling of a path as seen in HadoopFsRelation rootPaths
     * (scheme-stripped, normalized) so registration and plan matching agree. */
@@ -78,8 +87,14 @@ object StarTree {
   /** Rollup identity: fact path + config + fact data version
     * (graft.sources.Fingerprint — the engine's one staleness idiom), so a
     * regenerated fixture can never silently serve a stale rollup. */
-  private def fingerprint(factPath: String, dims: Seq[String], metrics: Seq[String]): String = {
+  private def fingerprint(
+      factPath: String,
+      dims: Seq[String],
+      metrics: Seq[String],
+      sketchCols: Seq[String],
+      sketchLgK: Int): String = {
     val key = s"${canon(factPath)}|${dims.mkString(",")}|${metrics.mkString(",")}|" +
+      s"${sketchCols.mkString(",")}|$sketchLgK|" +
       graft.sources.Fingerprint.of(canon(factPath))
     java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(key) & 0xffffffffL)
   }
@@ -105,15 +120,19 @@ object StarTree {
       factParquetPath: String,
       dims: Seq[String],
       metrics: Seq[String],
-      rollupDir: Option[String] = None): Spec = {
+      rollupDir: Option[String] = None,
+      sketchCols: Seq[String] = Nil,
+      sketchLgK: Int = 12): Spec = {
     import org.apache.spark.sql.functions._
     val fact = spark.read.parquet(factParquetPath)
     val fieldType = fact.schema.fields.map(f => f.name -> f.dataType).toMap
     require(dims.nonEmpty && dims.forall(fieldType.contains), s"dims must be fact columns: $dims")
     require(metrics.forall(m => fieldType.get(m).exists(metricTypeOk)),
       s"metrics must be non-decimal numeric fact columns: $metrics")
+    require(sketchCols.forall(fieldType.contains),
+      s"sketch columns must be fact columns: $sketchCols")
 
-    val fp = fingerprint(factParquetPath, dims, metrics)
+    val fp = fingerprint(factParquetPath, dims, metrics, sketchCols, sketchLgK)
     val out = rollupDir.getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_startree_$fp")
 
@@ -122,13 +141,18 @@ object StarTree {
         case FloatType | DoubleType => DoubleType
         case _ => LongType
       }
-      val aggs = count(lit(1)).as(cntCol) +: metrics.flatMap { m =>
+      val aggs = count(lit(1)).as(cntCol) +: (metrics.flatMap { m =>
         Seq(
           count(col(m)).as(cntOf(m)),
           sum(col(m).cast(sumType(m))).as(sumOf(m)),
           min(col(m)).as(minOf(m)),
           max(col(m)).as(maxOf(m)))
-      }
+      } ++ sketchCols.flatMap { c =>
+        // Pinot functionColumnPairs: one mergeable sketch per cell per col
+        Seq(
+          hll_sketch_agg(col(c), lit(sketchLgK)).as(hllOf(c)),
+          graft.expressions.ThetaSketch.thetaSketchAgg(col(c), sketchLgK).as(thetaOf(c)))
+      })
       fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
         .write.mode("overwrite").parquet(out)
     }
@@ -136,7 +160,7 @@ object StarTree {
     val relation = spark.read.parquet(out).queryExecution.analyzed
       .collectFirst { case l: LogicalRelation => l }
       .getOrElse(sys.error(s"rollup scan did not analyze to a LogicalRelation: $out"))
-    val spec = Spec(canon(factParquetPath), dims, metrics, out, relation)
+    val spec = Spec(canon(factParquetPath), dims, metrics, sketchCols, sketchLgK, out, relation)
     registry.put(spec.factPath, spec)
 
     // per-session opt-in: the rule only routes fact paths listed in THIS
@@ -211,7 +235,8 @@ object StarTreeRoutingRule extends Rule[LogicalPlan] {
       // fresh rollup attribute ids per rewrite (self-join safety)
       fresh = spec.relation.newInstance()
       byName = fresh.output.map(a => a.name -> a).toMap
-      newAggExprs <- traverseOption(agg.aggregateExpressions)(rewriteNamed(_, dims, metrics, byName))
+      newAggExprs <- traverseOption(agg.aggregateExpressions)(
+        rewriteNamed(_, dims, metrics, spec, byName))
     } yield {
       val newGrouping = agg.groupingExpressions.map {
         case a: AttributeReference => byName(a.name)
@@ -238,12 +263,13 @@ object StarTreeRoutingRule extends Rule[LogicalPlan] {
       ne: NamedExpression,
       dims: Set[String],
       metrics: Set[String],
+      spec: StarTree.Spec,
       byName: Map[String, AttributeReference]): Option[NamedExpression] = {
     val rewritten = ne match {
       case a: AttributeReference if dims.contains(a.name) =>
         Some(Alias(byName(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier))
       case al: Alias =>
-        rewriteExpr(al.child, dims, metrics, byName).map(c =>
+        rewriteExpr(al.child, dims, metrics, spec, byName).map(c =>
           Alias(c, al.name)(exprId = al.exprId, qualifier = al.qualifier,
             explicitMetadata = al.explicitMetadata))
       case _ => None
@@ -255,6 +281,7 @@ object StarTreeRoutingRule extends Rule[LogicalPlan] {
       e: Expression,
       dims: Set[String],
       metrics: Set[String],
+      spec: StarTree.Spec,
       byName: Map[String, AttributeReference]): Option[Expression] = {
     def attr(n: String) = byName(n)
     def sumAgg(n: String): Expression = Sum(attr(n)).toAggregateExpression()
@@ -288,6 +315,24 @@ object StarTreeRoutingRule extends Rule[LogicalPlan] {
             Some(Divide(
               Cast(sumAgg(StarTree.sumOf(a.name)), DoubleType),
               Cast(sumAgg(StarTree.cntOf(a.name)), DoubleType)))
+          // Pinot functionColumnPairs: sketch-agg over the fact becomes a
+          // union-merge of the stored per-cell sketch state. lgK must match
+          // the build config — a union buffer at a different k would
+          // silently resample, so mismatches veto the rewrite
+          case h: HllSketchAgg => h.left match {
+            case a: AttributeReference
+              if spec.sketchCols.contains(a.name) && h.lgConfigK == spec.sketchLgK =>
+              Some(ag.copy(aggregateFunction =
+                HllUnionAgg(attr(StarTree.hllOf(a.name)), Literal(false))))
+            case _ => None
+          }
+          case t: graft.expressions.ThetaSketchAgg => t.child match {
+            case a: AttributeReference
+              if spec.sketchCols.contains(a.name) && t.lgK == spec.sketchLgK =>
+              Some(ag.copy(aggregateFunction =
+                graft.expressions.ThetaUnionAgg(attr(StarTree.thetaOf(a.name)), t.lgK)))
+            case _ => None
+          }
           case _ => None
         }
         newFunc
@@ -295,7 +340,7 @@ object StarTreeRoutingRule extends Rule[LogicalPlan] {
       case a: AttributeReference =>
         if (dims.contains(a.name)) Some(attr(a.name)) else None
       case other if other.deterministic =>
-        traverseOption(other.children)(rewriteExpr(_, dims, metrics, byName))
+        traverseOption(other.children)(rewriteExpr(_, dims, metrics, spec, byName))
           .map(other.withNewChildren)
       case _ => None
     }

@@ -24,7 +24,8 @@ object StarTreeQueries {
     val s = spark.newSession()
     StarTree.register(s, s"$dir/lineitem.parquet",
       dims = Seq("l_returnflag", "l_linestatus"),
-      metrics = Seq("l_quantity", "l_extendedprice"))
+      metrics = Seq("l_quantity", "l_extendedprice"),
+      sketchCols = Seq("l_partkey"))
     s
   }
 
@@ -82,5 +83,45 @@ object StarTreeQueries {
             |GROUP BY l_linestatus
             |ORDER BY l_linestatus""".stripMargin))
 
-  val all: Seq[Q] = Seq(starTreeRollup, starTreeSubset)
+  /** Sketch measures — Pinot star-tree functionColumnPairs
+    * (DISTINCTCOUNTHLL__l_partkey / DISTINCTCOUNTTHETASKETCH__l_partkey):
+    * the rollup cells store one DataSketches HLL and one theta sketch per
+    * (returnflag, linestatus) cell, and the sketch aggregates written
+    * against the RAW scan are transparently rewritten to union-merges of
+    * the stored state (StarTreeSpec asserts the plan switch AND that the
+    * merged estimate is bit-identical to the raw-scan sketch — HLL
+    * register-max and theta k-smallest merges are lossless at equal lgK).
+    * Subset grouping (linestatus only) makes the union a real multi-cell
+    * merge. Hard-oracle shape as q_sketch_hll: exact distincts hashed,
+    * estimates through within-5% booleans. */
+  private val starTreeSketch = Q(
+    "q_startree_sketch",
+    (spark, dir) => {
+      import graft.expressions.ThetaSketch._
+      val s = routedSession(spark, dir)
+      val est = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12))).as("hll_est"),
+          thetaEstimate(thetaSketchAgg(col("l_partkey"))).as("theta_est"))
+      val exact = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_linestatus"), col("l_partkey")).distinct()
+        .groupBy(col("l_linestatus")).agg(count(lit(1)).as("exact_parts"))
+      def within(estC: String, tol: Double) =
+        abs(col(estC).cast("double") - col("exact_parts").cast("double")) /
+          col("exact_parts").cast("double") <= tol
+      exact.join(est, Seq("l_linestatus"))
+        .select(
+          col("l_linestatus"), col("exact_parts"),
+          within("hll_est", 0.05).as("hll_within_5pct"),
+          within("theta_est", 0.05).as("theta_within_5pct"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""SELECT l_linestatus,
+            |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+            |       TRUE AS hll_within_5pct,
+            |       TRUE AS theta_within_5pct
+            |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  val all: Seq[Q] = Seq(starTreeRollup, starTreeSubset, starTreeSketch)
 }

@@ -138,4 +138,56 @@ class StarTreeSpec extends GraftSuite {
       "the declared query must be served by the star-tree rollup")
     assert(df.count() > 0)
   }
+
+  test("sketch measures: hll/theta aggs route to union-merges of stored cells, bit-equal to raw") {
+    import graft.expressions.ThetaSketch._
+    // separate fact (the shared planted fact is registered without sketch
+    // cols by other tests; registry is keyed by path)
+    val path = java.nio.file.Files.createTempDirectory("graft-st-sk").toString + "/fact"
+    // 3 groups x 500 distinct u each (gcd(3,500)=1 => every residue appears)
+    spark.range(0, 3000).select(
+        (col("id") % 3).cast("string").as("d1"), (col("id") % 500).as("u"))
+      .write.mode("overwrite").parquet(path)
+
+    val s = spark.newSession()
+    StarTree.register(s, path, dims = Seq("d1"), metrics = Nil, sketchCols = Seq("u"))
+
+    def shape(x: SparkSession) = x.read.parquet(path)
+      .groupBy("d1")
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("u"), lit(12))).as("hll"),
+        thetaEstimate(thetaSketchAgg(col("u"))).as("theta"))
+      .orderBy("d1")
+    val routedDf = shape(s)
+    assert(routedDf.queryExecution.executedPlan.toString.contains("graft_startree_"),
+      "sketch aggregate must be served by the rollup")
+    // HLL register-max and theta k-smallest merges are lossless at equal
+    // lgK: merged-cell estimates must equal the single-pass raw estimates
+    assert(routedDf.collect().toSeq === shape(spark).collect().toSeq)
+    // and below 2^lgK theta is exact outright
+    routedDf.collect().foreach(r => assert(r.getAs[Long]("theta") === 500L))
+
+    // global (no group-by): a REAL multi-cell merge across all 3 cells —
+    // distincts overlap completely, so a naive sum of cells (1500) would be
+    // wrong; the union must answer 500
+    val g = s.read.parquet(path)
+      .agg(thetaEstimate(thetaSketchAgg(col("u"))).as("theta"),
+        hll_sketch_estimate(hll_sketch_agg(col("u"), lit(12))).as("hll"))
+    assert(g.queryExecution.executedPlan.toString.contains("graft_startree_"))
+    assert(g.collect()(0).getAs[Long]("theta") === 500L)
+
+    // lgK mismatch vetoes the rewrite (a different-k union would resample)
+    val mismatch = s.read.parquet(path)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), lit(13))).as("hll"))
+    assert(!mismatch.queryExecution.executedPlan.toString.contains("graft_startree_"))
+  }
+
+  test("declared q_startree_sketch routes through the rollup") {
+    val q = Registry.all.find(_.name == "q_startree_sketch").get
+    val df = q.run(spark, sfDir)
+    // the est side routes; the exact side (DISTINCT) stays on the raw scan
+    assert(df.queryExecution.executedPlan.toString.contains("graft_startree_"))
+    assert(df.collect().forall(r =>
+      r.getAs[Boolean]("hll_within_5pct") && r.getAs[Boolean]("theta_within_5pct")))
+  }
 }
