@@ -247,4 +247,41 @@ class HttpSqlEndpointSpec extends GraftSuite {
     assert(parents.zipWithIndex.exists { case (p, i) => i > 0 && p < i - 1 },
       s"join plan should branch, got chain parents: $parents")
   }
+
+  test("Pinot-mode endpoint answers the round-5 sketch vocabulary over the wire") {
+    import org.apache.spark.sql.functions._
+    // a console user points the broker URL at us and runs Pinot 1.2 sketch
+    // functions unmodified: endpoint on a PinotFunctions session
+    val pinot = spark.newSession()
+    PinotFunctions.register(pinot)
+    Tables.registerViews(pinot, sfDir)
+    val srv = server.HttpSqlEndpoint.start(pinot, port = 0, maxRows = 1000)
+    try {
+      val b = s"http://localhost:${srv.getAddress.getPort}"
+      def postTo(sql: String): com.fasterxml.jackson.databind.JsonNode = {
+        val body = mapper.createObjectNode(); body.put("sql", sql)
+        val req = HttpRequest.newBuilder(URI.create(s"$b/query/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+          .header("Content-Type", "application/json").build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() === 200, resp.body())
+        mapper.readTree(resp.body())
+      }
+      val exactUsers = Tables.t(spark, sfDir, "events")
+        .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+      val r = postTo(
+        """SELECT DISTINCTCOUNTCPCSKETCH(user_id) AS cpc,
+          |       DISTINCTCOUNTTHETASKETCH(user_id) AS theta,
+          |       PERCENTILEKLL(value, 50) AS p50
+          |FROM events""".stripMargin)
+      assert(r.get("exceptions").size() === 0, r.toString)
+      val row = r.get("resultTable").get("rows").get(0)
+      assert(math.abs(row.get(0).asLong().toDouble - exactUsers) / exactUsers < 0.05)
+      assert(row.get(1).asLong() === exactUsers, "theta exact below 2^lgK")
+      val p50Exact = Tables.t(spark, sfDir, "events")
+        .agg(percentile(col("value"), lit(0.5))).collect().head.getDouble(0)
+      assert(math.abs(row.get(2).asDouble() - p50Exact) / p50Exact < 0.05)
+    } finally srv.stop(0)
+  }
 }
