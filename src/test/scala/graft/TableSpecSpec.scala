@@ -131,6 +131,59 @@ class TableSpecSpec extends GraftSuite {
       "NULL filterFunction must keep the row, not drop it")
   }
 
+  test("ingestionConfig: sketch aggregation stores a mergeable sketch column (Pinot distinctCountRawHLL)") {
+    // Pinot 1.2 aggregationConfigs accepts distinctCountHLL-family
+    // functions: the rollup stores a serialized sketch per key that later
+    // queries union-merge. Ingest runs on a PinotFunctions session, so the
+    // spec JSON uses the Pinot vocabulary unmodified.
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    import s.implicits._
+    val sketchSchema =
+      """{
+        |  "schemaName": "pageViews",
+        |  "dimensionFieldSpecs": [{"name": "page", "dataType": "STRING"}],
+        |  "metricFieldSpecs": [{"name": "viewerSketch", "dataType": "BYTES"}],
+        |  "dateTimeFieldSpecs": [
+        |    {"name": "day", "dataType": "STRING",
+        |     "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd", "granularity": "1:DAYS"}
+        |  ]
+        |}""".stripMargin
+    val sketchConfig =
+      """{
+        |  "tableName": "pageViews",
+        |  "tableType": "REALTIME",
+        |  "segmentsConfig": {"timeColumnName": "day"},
+        |  "ingestionConfig": {
+        |    "aggregationConfigs": [
+        |      {"columnName": "viewerSketch",
+        |       "aggregationFunction": "DISTINCTCOUNTRAWHLL(viewerID)"}
+        |    ]
+        |  },
+        |  "tableIndexConfig": {"loadMode": "MMAP"}
+        |}""".stripMargin
+    val spec = TableSpec.parse(sketchSchema, sketchConfig)
+    // viewerID is a source-only field: consumed by the aggregation, absent
+    // from the rolled-up output (the Pinot shape — raw ids never land)
+    val raw = Seq(
+      ("home", "u1", "2024-05-01"), ("home", "u2", "2024-05-01"),
+      ("home", "u1", "2024-05-01"), ("docs", "u1", "2024-05-01"),
+      ("home", "u3", "2024-05-02")).toDF("page", "viewerID", "day")
+    val out = spec.ingest(raw)
+    assert(out.columns.toSet === Set("page", "day", "viewerSketch"))
+    assert(out.schema("viewerSketch").dataType === BinaryType)
+
+    import org.apache.spark.sql.functions._
+    val cells = out.persist()
+    assert(cells.count() === 3)
+    // stored cells answer per-page distincts by union-merging — and the
+    // cross-day merge deduplicates u1 seen on both days
+    val perPage = cells.groupBy(col("page"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(viewerSketch))").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perPage === Map("home" -> 3L, "docs" -> 1L))
+  }
+
   test("registerView serves parquet through the spec-declared schema") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
