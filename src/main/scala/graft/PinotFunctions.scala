@@ -52,6 +52,19 @@ object PinotFunctions {
     "toepochdays" -> (args => IntegralDivide(UnixSeconds(args(0)), Literal(86400L), evalMode = EvalMode.LEGACY)),
     "fromepochseconds" -> (args => SecondsToTimestamp(args(0))),
     "fromepochmillis" -> (args => MillisToTimestamp(args(0))),
+    // FromEpoch<Unit> for coarser units: scale back to seconds first
+    // (multiply in DOUBLE then SecondsToTimestamp accepts fractional input;
+    // the inputs are whole epoch units, so no precision is at stake)
+    "fromepochminutes" -> (args => SecondsToTimestamp(
+      Multiply(Cast(args(0), DoubleType), Literal(60.0)))),
+    "fromepochhours" -> (args => SecondsToTimestamp(
+      Multiply(Cast(args(0), DoubleType), Literal(3600.0)))),
+    "fromepochdays" -> (args => SecondsToTimestamp(
+      Multiply(Cast(args(0), DoubleType), Literal(86400.0)))),
+    // Calcite TIMESTAMPADD/TIMESTAMPDIFF (multistage) need no alias: the
+    // name is a parser special form, so Spark accepts the exact Pinot
+    // spelling TIMESTAMPADD(HOUR, 3, ts) natively (PinotCompatSpec) — and
+    // the parser would intercept any registry entry anyway
     // TIMECONVERT(value, fromUnit, toUnit) — epoch-unit rescaling with
     // Pinot's truncating integer semantics
     "timeconvert" -> (args => {
@@ -273,6 +286,10 @@ object PinotFunctions {
       Slice(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),
     "arraycontainsint" -> (args => ArrayContains(args(0), args(1))),
     "arraycontainsstring" -> (args => ArrayContains(args(0), args(1))),
+    // Pinot arrayIndexOf* is 0-based with -1 for missing; Spark
+    // array_position is 1-based with 0 for missing — shift by one
+    "arrayindexofint" -> (args => Subtract(ArrayPosition(args(0), args(1)), Literal(1L))),
+    "arrayindexofstring" -> (args => Subtract(ArrayPosition(args(0), args(1)), Literal(1L))),
     "valuein" -> (args => ArrayIntersect(args(0), CreateArray(args.drop(1)))),
     "mapvalue" -> fwd("element_at"),
     // ---- lookup join (C10/J6) ----
@@ -370,6 +387,11 @@ object PinotFunctions {
         .toAggregateExpression()),
     "percentileest" -> pctApprox,
     "percentiletdigest" -> pctApprox,
+    // SMART variant serves exact below Pinot's threshold, sketch above —
+    // percentile_approx at accuracy 10000 covers both regimes within the
+    // documented error envelope (the adaptive switch itself is exercised
+    // by q_sketch_smart for the HLL twin)
+    "percentilesmarttdigest" -> pctApprox,
     // real DataSketches KLL (expressions/KllSketchExpressions): proven
     // rank-error bound + mergeable serialized state for the RAW form
     "percentilekll" -> (args => graft.expressions.KllQuantile(

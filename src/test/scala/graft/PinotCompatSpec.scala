@@ -463,4 +463,24 @@ class PinotCompatSpec extends GraftSuite {
     assert(r.getAs[Int]("dims") === va.length)
     assert(math.abs(r.getAs[Double]("nrm") - na) < 1e-9)
   }
+
+  test("TIMESTAMPADD/TIMESTAMPDIFF, FromEpoch coarse units, ARRAYINDEXOF*") {
+    val r = one(
+      """SELECT TIMESTAMPADD(HOUR, 3, TIMESTAMP '2024-05-01 10:00:00') AS plus3h,
+        |       TIMESTAMPDIFF(MINUTE, TIMESTAMP '2024-05-01 10:00:00',
+        |                     TIMESTAMP '2024-05-01 11:30:00') AS diffm,
+        |       FROMEPOCHDAYS(19844) AS d,
+        |       FROMEPOCHHOURS(19844 * 24 + 6) AS h,
+        |       FROMEPOCHMINUTES(CAST(19844 AS BIGINT) * 1440 + 90) AS m,
+        |       ARRAYINDEXOFINT(ARRAY(7, 8, 9), 9) AS hit,
+        |       ARRAYINDEXOFSTRING(ARRAY('a', 'b'), 'z') AS miss""".stripMargin)
+    assert(r.getAs[java.sql.Timestamp]("plus3h").toString === "2024-05-01 13:00:00.0")
+    assert(r.getAs[Long]("diffm") === 90L)
+    // 19844 epoch days = 2024-05-01 UTC
+    assert(r.getAs[java.sql.Timestamp]("d").toString === "2024-05-01 00:00:00.0")
+    assert(r.getAs[java.sql.Timestamp]("h").toString === "2024-05-01 06:00:00.0")
+    assert(r.getAs[java.sql.Timestamp]("m").toString === "2024-05-01 01:30:00.0")
+    assert(r.getAs[Long]("hit") === 2L, "0-based index")
+    assert(r.getAs[Long]("miss") === -1L, "-1 for missing (Pinot contract)")
+  }
 }
