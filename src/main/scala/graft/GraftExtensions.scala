@@ -32,7 +32,8 @@ object GraftExtensions {
     "cosine_sim" -> (args => CosineSimilarity(args(0), args(1))),
     "dot_product" -> (args => DotProduct(args(0), args(1))),
     "simhash64" -> (args => SimHash64(args.head)),
-    "fingerprint64" -> (args => Fingerprint64(args.head)))
+    "fingerprint64" -> (args => Fingerprint64(args.head)),
+    "byte_avg" -> (args => ByteAvg(args.head)))
 
   /** Register on an existing session (used by tests and the local engine).
     * The optimizer rule goes through `experimental.extraOptimizations`

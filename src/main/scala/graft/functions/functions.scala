@@ -47,6 +47,9 @@ package object functions {
     * unlike Murmur3 `hash()`). */
   def fold_hash64(a: Column): Column = toCol(FoldHash64(toExpr(a)))
 
+  /** Mean unsigned byte value of a binary payload (X4 media kernel). */
+  def byte_avg(b: Column): Column = toCol(ByteAvg(toExpr(b)))
+
   /** Hamming distance between two 64-bit fingerprints — pure built-ins. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -162,21 +162,24 @@ object MultimodalQueries {
     (spark, dir) => {
       val frameSize = 256
       val stride = 4
-      val frames = mediaTable(spark, dir)
+      // generate ONLY the sampled frames (strided sequence) — an
+      // explode-then-filter materializes stride× the substring bytes for
+      // rows that are immediately dropped; per-frame features use the
+      // byte_avg kernel (one pass over the byte array) instead of the
+      // per-byte ascii(substring(...)) lambda, which re-scans the string
+      // per element. Values are bit-identical: the payload is ASCII, per-
+      // frame sums are exact integers in double either way
+      val sampled = mediaTable(spark, dir)
         .select(
           col("doc_id"),
           col("meta.kind").as("kind"),
           octet_length(col("payload")).as("n_bytes"),
-          posexplode(expr(
-            s"transform(sequence(0, CAST(ceil(octet_length(payload) / $frameSize.0) AS INT) - 1)," +
-              s" i -> substring(payload, i * $frameSize + 1, $frameSize))")))
-        .withColumnRenamed("pos", "frame_idx")
-        .withColumnRenamed("col", "frame")
-      val sampled = frames.filter(col("frame_idx") % stride === 0)
-        .withColumn("frame_mean",
-          round(aggregate(
-            expr("transform(sequence(1, octet_length(frame)), i -> CAST(ascii(substring(CAST(frame AS STRING), i, 1)) AS DOUBLE))"),
-            lit(0.0), (acc, v) => acc + v) / octet_length(col("frame")), 4))
+          explode(expr(
+            s"transform(sequence(0, CAST(ceil(octet_length(payload) / $frameSize.0) AS INT) - 1, $stride)," +
+              s" i -> struct(i AS frame_idx, substring(payload, i * $frameSize + 1, $frameSize) AS frame))")).as("f"))
+        .select(col("doc_id"), col("kind"), col("n_bytes"),
+          col("f.frame_idx").as("frame_idx"),
+          round(graft.functions.byte_avg(col("f.frame")), 4).as("frame_mean"))
       sampled.groupBy(col("doc_id"), col("kind"), col("n_bytes"))
         .agg(
           (max(col("frame_idx")).cast("long") / stride + 1).cast("long").as("n_sampled"),

@@ -80,6 +80,26 @@ class ExpressionSpec extends GraftSuite {
     assert(fp1 !== fp2)
   }
 
+  test("byte_avg: unsigned mean, empty binary is NULL, matches per-byte fold") {
+    val rnd = new scala.util.Random(11)
+    val payloads: Seq[(Long, Array[Byte])] = Seq(
+      1L -> Array[Byte](0xff.toByte),                  // unsigned: 255, not -1
+      2L -> Array[Byte](0, 0xff.toByte),               // 127.5
+      3L -> Array.emptyByteArray,                      // NULL
+      4L -> Array.fill(513)(rnd.nextInt(256).toByte))  // random, odd length
+    val got = payloads.toDF("id", "b")
+      .select($"id", byte_avg($"b").as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === Some(255.0))
+    assert(got(2L) === Some(127.5))
+    assert(got(3L) === None)
+    val expect4 = payloads.find(_._1 == 4L).get._2.map(_ & 0xff).map(_.toLong).sum.toDouble / 513
+    assert(math.abs(got(4L).get - expect4) < 1e-12)
+    // SQL-registered form agrees with the Column form
+    val sqlGot = spark.sql("SELECT byte_avg(X'00FF') AS m").collect().head.getDouble(0)
+    assert(sqlGot === 127.5)
+  }
+
   test("stable_hash64 differs by seed and is deterministic") {
     val s = UTF8String.fromString("hello")
     assert(TextOps.hash64(s, 0L) === TextOps.hash64(UTF8String.fromString("hello"), 0L))
