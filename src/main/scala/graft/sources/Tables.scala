@@ -81,16 +81,24 @@ object Tables {
     spark.conf.set("graft.bucketed.fp", fp)
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects.
-    * Read nanos as long (legacy conf) and convert to a microsecond
-    * TimestampType with integer division (a double division would lose
-    * precision above 2^53 ns). Declared queries bucket `ts` before comparing
-    * with the ns-precision DuckDB oracle (FIXTURES.md caveat). */
+  /** `events.ts` has shipped as TIMESTAMP(NANOS) in some fixture generations
+    * (vanilla Spark rejects it — read nanos as long and integer-divide; a
+    * double division would lose precision above 2^53 ns) and as plain
+    * TIMESTAMP(MICROS) in others (arrives as TimestampNTZ — cast to the
+    * session-zone TimestampType our queries expect; values are identical
+    * because every graft session pins spark.sql.session.timeZone=UTC).
+    * Declared queries bucket `ts` before comparing with the DuckDB oracle
+    * (FIXTURES.md caveat). */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Register every fixture as a temp view so `spark.sql` queries mirror the
