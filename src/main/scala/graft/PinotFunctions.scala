@@ -225,6 +225,23 @@ object PinotFunctions {
         If(EqualTo(base, Literal("")), args(3), base)
       else base
     }),
+    // Pinot 1.2 string generators (builders shared with the graft Column
+    // API — graft.expressions.StringGenerators): prefixes/suffixes/
+    // uniqueNgrams return arrays (empty, never error, on short input);
+    // SPLITPART drops empty tokens (commons splitByWholeSeparator) and is
+    // 0-based with the literal "null" out of bounds; ISJSON accepts scalar
+    // JSON literals like Pinot's JsonFunctions.isJson.
+    "splitpart" -> (args =>
+      graft.expressions.StringGenerators.splitPart(args(0), args(1), args(2))),
+    "prefixes" -> (args =>
+      graft.expressions.StringGenerators.prefixes(args(0), args(1))),
+    "suffixes" -> (args =>
+      graft.expressions.StringGenerators.suffixes(args(0), args(1))),
+    "uniquengrams" -> (args =>
+      if (args.length == 3)
+        graft.expressions.StringGenerators.uniqueNgrams(args(0), args(1), args(2))
+      else graft.expressions.StringGenerators.uniqueNgrams(args(0), args(1))),
+    "isjson" -> (args => graft.expressions.StringGenerators.isJson(args(0))),
     // ---- geospatial points (C9) ----
     // Pinot's geography point surface (ST_Point(x=lon, y=lat [, isGeog]),
     // ST_Distance → METERS via great-circle): points are (x, y) double

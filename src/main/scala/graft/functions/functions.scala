@@ -113,4 +113,32 @@ package object functions {
     }
     array(keys: _*)
   }
+
+  // ---- Pinot 1.2 string-generator family (shared builders with the SQL
+  // registry — graft.expressions.StringGenerators, so Column and SQL
+  // surfaces agree exactly) ----
+
+  /** All prefixes of length 1..min(length(s), maxLen), shortest first. */
+  def str_prefixes(s: Column, maxLen: Int): Column =
+    toCol(StringGenerators.prefixes(toExpr(s), toExpr(lit(maxLen))))
+
+  /** All suffixes of length 1..min(length(s), maxLen), shortest first. */
+  def str_suffixes(s: Column, maxLen: Int): Column =
+    toCol(StringGenerators.suffixes(toExpr(s), toExpr(lit(maxLen))))
+
+  /** Unique character n-grams of exactly length n (first-occurrence order). */
+  def unique_ngrams(s: Column, n: Int): Column =
+    toCol(StringGenerators.uniqueNgrams(toExpr(s), toExpr(lit(n))))
+
+  /** Unique character n-grams for every size in minGram..maxGram. */
+  def unique_ngrams(s: Column, minGram: Int, maxGram: Int): Column =
+    toCol(StringGenerators.uniqueNgrams(toExpr(s), toExpr(lit(minGram)), toExpr(lit(maxGram))))
+
+  /** Pinot SPLITPART: literal split, empty tokens dropped, 0-based index,
+    * "null" string when out of bounds. */
+  def split_part_pinot(s: Column, sep: String, idx: Int): Column =
+    toCol(StringGenerators.splitPart(toExpr(s), toExpr(lit(sep)), toExpr(lit(idx))))
+
+  /** Pinot isJson: true iff the string parses as JSON. */
+  def is_json(s: Column): Column = toCol(StringGenerators.isJson(toExpr(s)))
 }

@@ -335,6 +335,54 @@ object ScalarQueries {
             |       CAST(max(len(json_keys(props))) AS INT) AS max_keys
             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** C1 string-generator family (Pinot 1.2 vocabulary: PREFIXES / SUFFIXES /
+    * UNIQUENGRAMS both arities / SPLITPART / ISJSON — the text-index feeder
+    * functions). Builders are shared between the Column API used here and
+    * the SQL registry (`graft.expressions.StringGenerators`). Array results
+    * are canonicalized to '|'-joined strings (array cells break the driver's
+    * hash compare) — prefixes/suffixes have a defined natural order, so no
+    * sort is needed; the n-gram sets are compared by SIZE (first-occurrence
+    * vs hash order would differ). ISJSON runs over a synthesized mix of
+    * valid and truncated JSON. Map-only + one final sort. */
+  private val strGenFuncs = Q(
+    "q_scalar_strgen",
+    (spark, dir) => {
+      import graft.functions._
+      val d = Tables.t(spark, dir, "documents")
+      val short = substring(col("text"), 1, 12)
+      val probe = concat(lit("{\"a\":"), (col("n_chars") % 3).cast("string"),
+        when(col("n_chars") % 2 === 0, lit("}")).otherwise(lit("")))
+      d.select(
+          col("doc_id"),
+          array_join(str_prefixes(short, 4), "|").as("pfx"),
+          array_join(str_suffixes(short, 3), "|").as("sfx"),
+          size(unique_ngrams(short, 2)).cast("long").as("n2"),
+          size(unique_ngrams(short, 2, 3)).cast("long").as("n23"),
+          split_part_pinot(col("text"), " ", 2).as("sp"),
+          is_json(probe).as("isj"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (
+            |  SELECT doc_id, text, substr(text, 1, 12) AS short, n_chars FROM documents
+            |)
+            |SELECT doc_id,
+            |  array_to_string(list_transform(range(1, least(length(short), 4) + 1),
+            |                                 i -> substr(short, 1, CAST(i AS INT))), '|') AS pfx,
+            |  array_to_string(list_transform(range(1, least(length(short), 3) + 1),
+            |                                 i -> substr(short, length(short) - CAST(i AS INT) + 1, CAST(i AS INT))), '|') AS sfx,
+            |  CAST(len(list_distinct(list_transform(range(1, greatest(length(short) - 2 + 1, 0) + 1),
+            |                                        i -> substr(short, CAST(i AS INT), 2)))) AS BIGINT) AS n2,
+            |  CAST(len(list_distinct(flatten(list_transform(
+            |       list_filter(range(2, 4), g -> g <= length(short)),
+            |       g -> list_transform(range(1, length(short) - CAST(g AS INT) + 1 + 1),
+            |                           i -> substr(short, CAST(i AS INT), CAST(g AS INT))))))) AS BIGINT) AS n23,
+            |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 2
+            |       THEN list_filter(string_split(text, ' '), x -> x <> '')[3]
+            |       ELSE 'null' END AS sp,
+            |  json_valid('{"a":' || CAST(n_chars % 3 AS VARCHAR) ||
+            |             CASE WHEN n_chars % 2 = 0 THEN '}' ELSE '' END) AS isj
+            |FROM s ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
-    explodeMv, urlFuncs, geoFuncs, mapFuncs)
+    explodeMv, urlFuncs, geoFuncs, mapFuncs, strGenFuncs)
 }
