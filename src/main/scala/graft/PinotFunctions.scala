@@ -242,6 +242,8 @@ object PinotFunctions {
         graft.expressions.StringGenerators.uniqueNgrams(args(0), args(1), args(2))
       else graft.expressions.StringGenerators.uniqueNgrams(args(0), args(1))),
     "isjson" -> (args => graft.expressions.StringGenerators.isJson(args(0))),
+    // Pinot InetAddressFunctions: CIDR containment, IPv4 + IPv6
+    "issubnetof" -> (args => graft.expressions.IsSubnetOf(args(0), args(1))),
     // ---- geospatial points (C9) ----
     // Pinot's geography point surface (ST_Point(x=lon, y=lat [, isGeog]),
     // ST_Distance → METERS via great-circle): points are (x, y) double

@@ -141,4 +141,9 @@ package object functions {
 
   /** Pinot isJson: true iff the string parses as JSON. */
   def is_json(s: Column): Column = toCol(StringGenerators.isJson(toExpr(s)))
+
+  /** Pinot isSubnetOf(ipPrefix, ipAddress): CIDR containment (IPv4 + IPv6,
+    * codegen'd — graft.expressions.IsSubnetOf). */
+  def is_subnet_of(prefix: Column, address: Column): Column =
+    toCol(IsSubnetOf(toExpr(prefix), toExpr(address)))
 }

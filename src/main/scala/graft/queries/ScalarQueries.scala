@@ -383,6 +383,46 @@ object ScalarQueries {
             |             CASE WHEN n_chars % 2 = 0 THEN '}' ELSE '' END) AS isj
             |FROM s ORDER BY doc_id""".stripMargin))
 
+  /** Pinot InetAddressFunctions (ISSUBNETOF): the fixtures carry no IP
+    * column, so a deterministic IPv4 derives from event fields; Spark
+    * evaluates real CIDR containment through the string parser
+    * (`graft.expressions.IsSubnetOf`), while the oracle re-derives the same
+    * memberships with pure integer mask arithmetic on the octets — two
+    * independent evaluation paths over /10, /17 and /16 prefixes. Map-only
+    * + one 5-row agg. */
+  private val netFuncs = Q(
+    "q_scalar_net",
+    (spark, dir) => {
+      import graft.functions.is_subnet_of
+      val ev = Tables.t(spark, dir, "events")
+      val ip = concat(
+        lit("10."), (col("user_id") % 200).cast("string"),
+        lit("."), (col("event_id") % 250).cast("string"),
+        lit("."), ((col("user_id") * 7 + col("event_id")) % 256).cast("string"))
+      ev.withColumn("ip", ip)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(is_subnet_of(lit("10.64.0.0/10"), col("ip")).cast("long")).as("n_in_10_64_10"),
+          sum(is_subnet_of(lit("10.77.128.0/17"), col("ip")).cast("long")).as("n_in_10_77_128_17"),
+          sum(is_subnet_of(lit("10.5.0.0/16"), col("ip")).cast("long")).as("n_in_10_5_16"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH ip AS (
+            |  SELECT event_type,
+            |         user_id % 200 AS o2, event_id % 250 AS o3,
+            |         (user_id * 7 + event_id) % 256 AS o4
+            |  FROM events
+            |), v AS (
+            |  SELECT event_type, 10 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS addr FROM ip
+            |)
+            |SELECT event_type,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(sum(CASE WHEN addr // 4194304 = (10 * 16777216 + 64 * 65536) // 4194304 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_10_64_10,
+            |       CAST(sum(CASE WHEN addr // 32768 = (10 * 16777216 + 77 * 65536 + 128 * 256) // 32768 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_10_77_128_17,
+            |       CAST(sum(CASE WHEN addr // 65536 = (10 * 16777216 + 5 * 65536) // 65536 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_10_5_16
+            |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
-    explodeMv, urlFuncs, geoFuncs, mapFuncs, strGenFuncs)
+    explodeMv, urlFuncs, geoFuncs, mapFuncs, strGenFuncs, netFuncs)
 }
