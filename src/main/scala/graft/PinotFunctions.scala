@@ -244,6 +244,21 @@ object PinotFunctions {
     "isjson" -> (args => graft.expressions.StringGenerators.isJson(args(0))),
     // Pinot InetAddressFunctions: CIDR containment, IPv4 + IPv6
     "issubnetof" -> (args => graft.expressions.IsSubnetOf(args(0), args(1))),
+    // Pinot HashFunctions with no Spark native (MD5/CRC32/SHA/SHA2 resolve
+    // natively with identical semantics; SHA224 delegates to sha2(x, 224))
+    "adler32" -> (args => graft.expressions.Adler32(args(0))),
+    "crc32c" -> (args => graft.expressions.Crc32C(args(0))),
+    "murmurhash2" -> (args => graft.expressions.Murmur2(args(0))),
+    "murmurhash2utf8" -> (args => graft.expressions.Murmur2(args(0))),
+    "murmurhash3bit32" -> (args => {
+      val seed = args(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"MURMURHASH3BIT32 seed must be an integer literal, got $other")
+      }
+      graft.expressions.Murmur3Bit32(args(0), seed)
+    }),
+    "sha224" -> (args => Sha2(args(0), Literal(224))),
     // ---- geospatial points (C9) ----
     // Pinot's geography point surface (ST_Point(x=lon, y=lat [, isGeog]),
     // ST_Distance → METERS via great-circle): points are (x, y) double

@@ -146,4 +146,19 @@ package object functions {
     * codegen'd — graft.expressions.IsSubnetOf). */
   def is_subnet_of(prefix: Column, address: Column): Column =
     toCol(IsSubnetOf(toExpr(prefix), toExpr(address)))
+
+  // ---- Pinot HashFunctions kernels Spark lacks (MD5/CRC32/SHA are native) ----
+
+  /** zlib ADLER32 of the UTF-8 bytes, unsigned 32-bit in a long. */
+  def adler32(s: Column): Column = toCol(Adler32(toExpr(s)))
+
+  /** CRC-32C (Castagnoli) of the UTF-8 bytes, unsigned 32-bit in a long. */
+  def crc32c(s: Column): Column = toCol(Crc32C(toExpr(s)))
+
+  /** Kafka/Pinot murmur2 (seed 0x9747b28c) of the UTF-8 bytes, signed int —
+    * Pinot's "Murmur" segment-partition function. */
+  def murmur2(s: Column): Column = toCol(Murmur2(toExpr(s)))
+
+  /** Murmur3 x86 32-bit of the UTF-8 bytes with an explicit seed. */
+  def murmur3_32(s: Column, seed: Int): Column = toCol(Murmur3Bit32(toExpr(s), seed))
 }

@@ -423,6 +423,30 @@ object ScalarQueries {
             |       CAST(sum(CASE WHEN addr // 65536 = (10 * 16777216 + 5 * 65536) // 65536 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_10_5_16
             |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** C7 Pinot HashFunctions beyond the crypto digests: ADLER32 and
+    * MURMURHASH2 (the Kafka/Pinot segment-partition hash) as codegen'd
+    * kernels, hard-oracled through `graft.tools.DuckDbSql`-generated
+    * bit-exact SQL replicas (unsigned-32 arithmetic emulated in BIGINT);
+    * MD5 rides along as the native cross-check. CRC32C / MURMURHASH3BIT32
+    * are spec-checked against published test vectors instead (no clean
+    * DuckDB form). Map-only + one sort. */
+  private val hashFamily = Q(
+    "q_scalar_hash_family",
+    (spark, dir) => {
+      import graft.functions.{adler32 => gadler32, murmur2 => gmurmur2}
+      val d = Tables.t(spark, dir, "documents")
+      d.select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("md5_text"),
+          gadler32(col("text")).as("adl"),
+          gmurmur2(col("text")).as("m2"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, md5(text) AS md5_text,
+            |  ${graft.tools.DuckDbSql.adler32("text")} AS adl,
+            |  ${graft.tools.DuckDbSql.murmur2("text")} AS m2
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
-    explodeMv, urlFuncs, geoFuncs, mapFuncs, strGenFuncs, netFuncs)
+    explodeMv, urlFuncs, geoFuncs, mapFuncs, strGenFuncs, netFuncs, hashFamily)
 }

@@ -116,4 +116,58 @@ object DuckDbSql {
       s"list_reduce([${u(0xcbf29ce484222325L)}] || $listExpr, ($fh, $fb) -> $step)",
       u(0x9e3779b97f4a7c15L)))
   }
+
+  /** zlib ADLER32 over the ASCII bytes of `strExpr` (closed form: the two
+    * running sums are mod-65521 ring sums, so one final mod each matches the
+    * kernel's progressive reduction — `HashOps.adler32`). BIGINT result. */
+  def adler32(strExpr: String): String = let(strExpr) { s =>
+    let(s"length($s)") { n =>
+      val j = sym("j")
+      // list_sum widens to HUGEINT — pull each sum back to BIGINT so the
+      // result column stays int64 (the driver hashes raw dtypes)
+      val sumA = s"CAST(coalesce(list_sum(list_transform(range(1, $n+1), $j -> ascii($s[$j]))), 0) AS BIGINT)"
+      val sumB = s"CAST(coalesce(list_sum(list_transform(range(1, $n+1), $j -> ($n - $j + 1) * ascii($s[$j]))), 0) AS BIGINT)"
+      s"((($n + $sumB) % 65521) * 65536 + ((1 + $sumA) % 65521))"
+    }
+  }
+
+  /** Kafka/Pinot MurmurHash2 (seed 0x9747b28c) over the ASCII bytes of
+    * `strExpr`, as the signed INT Spark's `Murmur2` kernel returns. All
+    * arithmetic is unsigned-32 emulated in BIGINT (`& 4294967295` after
+    * every wrap multiply); the three tail xors target disjoint bit ranges,
+    * so they collapse into one additive constant. */
+  def murmur2(strExpr: String): String = let(strExpr) { s =>
+    let(s"length($s)") { n =>
+      val m = "1540483477"
+      val mask = "4294967295"
+      val c = sym("c")
+      def byt(pos: String) = s"ascii($s[$pos])"
+      val chunks =
+        s"list_transform(range(0, $n // 4), $c -> " +
+          s"${byt(s"4*$c+1")} + 256*${byt(s"4*$c+2")} + 65536*${byt(s"4*$c+3")} + 16777216*${byt(s"4*$c+4")})"
+      val fh = sym("h")
+      val fk = sym("k")
+      val step = let(s"($fk * $m) & $mask") { k1 =>
+        let(s"xor($k1, $k1 >> 24)") { k2 =>
+          s"xor(($fh * $m) & $mask, ($k2 * $m) & $mask)"
+        }
+      }
+      val folded = s"list_reduce([xor(2538058380, $n)] || $chunks, ($fh, $fk) -> $step)"
+      val tail = let(s"4 * ($n // 4)") { base =>
+        s"CASE ($n % 4) WHEN 3 THEN ${byt(s"$base+1")} + 256*${byt(s"$base+2")} + 65536*${byt(s"$base+3")} " +
+          s"WHEN 2 THEN ${byt(s"$base+1")} + 256*${byt(s"$base+2")} " +
+          s"WHEN 1 THEN ${byt(s"$base+1")} ELSE 0 END"
+      }
+      val mixed = let(folded) { h =>
+        s"CASE WHEN ($n % 4) = 0 THEN $h ELSE (xor($h, $tail) * $m) & $mask END"
+      }
+      let(mixed) { h =>
+        let(s"xor($h, $h >> 13)") { f1 =>
+          let(s"($f1 * $m) & $mask") { f2 =>
+            s"CAST(list_transform([xor($f2, $f2 >> 15)], x -> CASE WHEN x >= 2147483648 THEN x - 4294967296 ELSE x END)[1] AS INT)"
+          }
+        }
+      }
+    }
+  }
 }
