@@ -447,7 +447,15 @@ object PinotFunctions {
     "maxmv" -> (args => Max(UnresolvedFunction("array_max", Seq(args(0)), false)).toAggregateExpression()),
     "avgmv" -> (args => Divide(
       Sum(arraySum(args(0))).toAggregateExpression(),
-      Sum(Cast(Size(args(0)), DoubleType)).toAggregateExpression())))
+      Sum(Cast(Size(args(0)), DoubleType)).toAggregateExpression())),
+    // MV distinct/percentile family — real per-element aggregates (no
+    // explode; graft.expressions.MvAggs, shared with the Column API)
+    "distinctcountmv" -> (args => graft.expressions.MvAggs.distinctCountMv(args(0))),
+    "distinctcounthllmv" -> (args => graft.expressions.MvAggs.distinctCountHllMv(args(0))),
+    "distinctsummv" -> (args => graft.expressions.MvAggs.distinctSumMv(args(0))),
+    "distinctavgmv" -> (args => graft.expressions.MvAggs.distinctAvgMv(args(0))),
+    "percentilemv" -> (args => graft.expressions.MvAggs.percentileMv(args(0), args(1))),
+    "minmaxrangemv" -> (args => graft.expressions.MvAggs.minMaxRangeMv(args(0))))
 
   private def pctApprox: Seq[Expression] => Expression = args =>
     new ApproximatePercentile(args(0), Divide(Cast(args(1), DoubleType), Literal(100.0)))

@@ -161,4 +161,28 @@ package object functions {
 
   /** Murmur3 x86 32-bit of the UTF-8 bytes with an explicit seed. */
   def murmur3_32(s: Column, seed: Int): Column = toCol(Murmur3Bit32(toExpr(s), seed))
+
+  // ---- Pinot MV aggregate family (per-element group state, no explode —
+  // graft.expressions.MvAggs; same builders back the SQL registry) ----
+
+  /** Exact distinct element count across the group's arrays. */
+  def distinct_count_mv(arr: Column): Column = toCol(MvAggs.distinctCountMv(toExpr(arr)))
+
+  /** Approximate distinct element count (DataSketches HLL, one sketch per
+    * group — fixed state regardless of row count). */
+  def distinct_count_hll_mv(arr: Column, lgK: Int = 12): Column =
+    toCol(MvAggs.distinctCountHllMv(toExpr(arr), lgK))
+
+  /** Sum of the distinct numeric elements. */
+  def distinct_sum_mv(arr: Column): Column = toCol(MvAggs.distinctSumMv(toExpr(arr)))
+
+  /** Mean of the distinct numeric elements. */
+  def distinct_avg_mv(arr: Column): Column = toCol(MvAggs.distinctAvgMv(toExpr(arr)))
+
+  /** Percentile (0-100) over all elements, SV-percentile interpolation. */
+  def percentile_mv(arr: Column, p: Double): Column =
+    toCol(MvAggs.percentileMv(toExpr(arr), toExpr(lit(p))))
+
+  /** MAX(array_max) − MIN(array_min) over the group. */
+  def min_max_range_mv(arr: Column): Column = toCol(MvAggs.minMaxRangeMv(toExpr(arr)))
 }

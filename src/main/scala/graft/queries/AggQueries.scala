@@ -405,9 +405,70 @@ object AggQueries {
             |       CAST(count(*) AS BIGINT) AS n_orders
             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** Pinot MV aggregate family (DISTINCTCOUNTMV / DISTINCTCOUNTHLLMV /
+    * DISTINCTSUMMV / DISTINCTAVGMV / PERCENTILEMV / MINMAXRANGEMV) over MV
+    * columns built from the documents fixture: word bigrams (string MV,
+    * per-lang discriminating cardinality) and first-5 token lengths (int
+    * MV). The distinct aggregates are real per-element
+    * TypedImperativeAggregates (`expressions/MvAggExpressions.scala`) — the
+    * group state is the element set / one HLL sketch, no explode, so the
+    * shuffle carries |distinct| per group, not |rows × arity|. The HLL
+    * estimate is oracle-checked as a within-5% bound boolean (the
+    * q_sketch_hll pattern); everything else is exact. PERCENTILEMV uses the
+    * SV-percentile linear interpolation = DuckDB quantile_cont. */
+  private val aggMv = Q(
+    "q_agg_mv",
+    (spark, dir) => {
+      import graft.functions._
+      val d = Tables.t(spark, dir, "documents")
+      val toks = tokens(col("text"))
+      val prepped = d.select(
+        col("lang"),
+        toks.as("toks"),
+        wordShingles(toks, 2).as("bigrams"),
+        transform(slice(toks, 1, 5), x => length(x)).as("lens"))
+      prepped.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("n_toks"),
+          distinct_count_mv(col("bigrams")).as("dc"),
+          (abs(distinct_count_hll_mv(col("bigrams")) - distinct_count_mv(col("bigrams")))
+            <= greatest(lit(1.0), distinct_count_mv(col("bigrams")) * 0.05)).as("hll_ok"),
+          distinct_sum_mv(col("lens")).as("dsum"),
+          round(distinct_avg_mv(col("lens")), 6).as("davg"),
+          round(percentile_mv(col("lens"), 75.0), 6).as("p75"),
+          min_max_range_mv(col("lens")).cast("long").as("mmr"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+            |), l AS (
+            |  SELECT doc_id, lang, len(toks) AS ntok,
+            |         list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+            |                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams,
+            |         list_transform(toks[1:5], x -> length(x)) AS lens
+            |  FROM t
+            |), base AS (
+            |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_toks
+            |  FROM l GROUP BY lang
+            |), e AS (
+            |  SELECT lang, CAST(count(DISTINCT bg) AS BIGINT) AS dc, TRUE AS hll_ok
+            |  FROM (SELECT lang, unnest(bigrams) AS bg FROM l) GROUP BY lang
+            |), el AS (
+            |  SELECT lang,
+            |         CAST(sum(DISTINCT lv) AS BIGINT) AS dsum,
+            |         round(avg(DISTINCT lv), 6) AS davg,
+            |         round(quantile_cont(lv, 0.75), 6) AS p75,
+            |         CAST(max(lv) - min(lv) AS BIGINT) AS mmr
+            |  FROM (SELECT lang, unnest(lens) AS lv FROM l) GROUP BY lang
+            |)
+            |SELECT base.lang, n_docs, n_toks, dc, hll_ok, dsum, davg, p75, mmr
+            |FROM base JOIN e ON base.lang = e.lang JOIN el ON base.lang = el.lang
+            |ORDER BY base.lang""".stripMargin))
+
   val all: Seq[Q] = Seq(
     aggBasic, aggCount, aggMinMax, aggStats, aggPercentile, aggHistogram,
     aggMode, aggFirstLast, aggHaving, aggFilterClause, distinctRows,
     aggRollup, aggCube, aggGroupingSets, aggSumPrecision, aggArgMinMax,
-    aggSegPartDistinct, aggArrayAgg)
+    aggSegPartDistinct, aggArrayAgg, aggMv)
 }
