@@ -433,6 +433,57 @@ object PinotFunctions {
       Divide(Cast(args(1), DoubleType), Literal(100.0)))),
     "percentilerawkll" -> (args =>
       graft.expressions.KllSketchAgg(args(0)).toAggregateExpression()),
+    // RAW TDigest form: Pinot returns its serialized t-digest; our raw
+    // quantile-sketch interchange format is the KLL binary (same contract —
+    // opaque mergeable bytes the client feeds back into PERCENTILEKLL /
+    // kll_merge_agg), so the RAWTDIGEST name maps onto it (documented
+    // format divergence, COVERAGE.md A7)
+    "percentilerawtdigest" -> (args =>
+      graft.expressions.KllSketchAgg(args(0)).toAggregateExpression()),
+    // Pinot ARG_MIN/ARG_MAX(measuring, projection): the projection value on
+    // the row where the measuring expression is minimal/maximal
+    "arg_min" -> (args => MinBy(args(1), args(0)).toAggregateExpression()),
+    "arg_max" -> (args => MaxBy(args(1), args(0)).toAggregateExpression()),
+    // Pinot ArrayFunctions set ops (typed names share one generic impl)
+    "arrayunionint" -> fwd("array_union"),
+    "arrayunionstring" -> fwd("array_union"),
+    "arrayremoveint" -> fwd("array_remove"),
+    "arrayremovestring" -> fwd("array_remove"),
+    // HISTOGRAM(col, lower, upper, numBins) equal-width, or
+    // HISTOGRAM(col, ARRAY[e0, e1, ...]) explicit edges — DOUBLE[] counts,
+    // bins [e_i, e_{i+1}) with the LAST bin upper-inclusive (Pinot
+    // HistogramAggregationFunction convention); out-of-range values are
+    // not counted. Compiles to one Sum per bin (map-side partial, no
+    // second pass over the data).
+    "histogram" -> (args => {
+      def dbl(e: Expression): Double = e match {
+        case Literal(v, _) if v != null => v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"HISTOGRAM bounds must be numeric literals, got $other")
+      }
+      val edges: Seq[Double] =
+        if (args.length == 4) {
+          val lo = dbl(args(1)); val hi = dbl(args(2)); val n = dbl(args(3)).toInt
+          require(n > 0 && hi > lo, "HISTOGRAM needs upper > lower and bins > 0")
+          (0 to n).map(i => lo + i * (hi - lo) / n)
+        } else args(1) match {
+          case CreateArray(children, _) => children.map(dbl)
+          case other => throw new IllegalArgumentException(
+            s"HISTOGRAM edges must be an array literal, got $other")
+        }
+      val v = Cast(args(0), DoubleType)
+      val counts = edges.sliding(2).zipWithIndex.map { case (pair, i) =>
+        val (a, b) = (pair.head, pair.last)
+        val upper =
+          if (i == edges.length - 2) LessThanOrEqual(v, Literal(b))
+          else LessThan(v, Literal(b))
+        Cast(
+          Sum(If(And(GreaterThanOrEqual(v, Literal(a)), upper),
+            Literal(1L), Literal(0L))).toAggregateExpression(),
+          DoubleType)
+      }.toSeq
+      CreateArray(counts)
+    }),
     // IdSet pair: ID_SET aggregates to the serialized set literal the client
     // carries away; IN_ID_SET filters by membership in such a literal
     // (expressions/IdSetExpressions — sorted varint codec, binary search)

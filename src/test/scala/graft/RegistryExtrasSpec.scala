@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Round-5 registry additions: HISTOGRAM (both Pinot forms), ARG_MIN /
+  * ARG_MAX, typed array set-op aliases, PERCENTILERAWTDIGEST round-trip. */
+class RegistryExtrasSpec extends GraftSuite {
+
+  private lazy val pinot: org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    import s.implicits._
+    Seq((1, 2.0, "a"), (2, 7.0, "b"), (3, 5.0, "c"), (4, 10.0, "d"), (5, 10.0, "e"))
+      .toDF("k", "m", "tag").createOrReplaceTempView("hx")
+    s
+  }
+
+  private def one(sql: String): Row = pinot.sql(sql).collect().head
+
+  test("HISTOGRAM(col, lower, upper, bins): equal width, last bin upper-inclusive") {
+    val r = one("SELECT HISTOGRAM(m, 0, 10, 2) AS h FROM hx")
+    // bins [0,5) and [5,10]: 2.0 left; 7,5,10,10 right
+    assert(r.getSeq[Double](0) === Seq(1.0, 4.0))
+  }
+
+  test("HISTOGRAM(col, ARRAY[...]): explicit edges, out-of-range dropped") {
+    val r = one("SELECT HISTOGRAM(m, ARRAY(2, 6, 8)) AS h FROM hx")
+    // [2,6): 2,5 → 2; [6,8]: 7 → 1; the two 10s fall outside and are dropped
+    assert(r.getSeq[Double](0) === Seq(2.0, 1.0))
+  }
+
+  test("ARG_MIN / ARG_MAX return the projection at the measuring extremum") {
+    val r = one(
+      "SELECT ARG_MIN(m, tag) AS lo, ARG_MAX(m, k) AS hi FROM hx")
+    assert(r.getString(0) === "a") // tag at min(m)=2.0
+    // max(m)=10.0 is tied between k=4 and k=5 — either is a valid witness
+    assert(Set(4, 5).contains(r.getInt(1)))
+  }
+
+  test("typed array set-op aliases resolve") {
+    val r = one(
+      """SELECT ARRAYUNIONINT(ARRAY(1, 2), ARRAY(2, 3)) AS u,
+        |       ARRAYREMOVESTRING(ARRAY('a', 'b', 'a'), 'a') AS rm""".stripMargin)
+    assert(r.getSeq[Int](0).sorted === Seq(1, 2, 3))
+    assert(r.getSeq[String](1) === Seq("b"))
+  }
+
+  test("PERCENTILERAWTDIGEST bytes feed back through PERCENTILEKLL's scalar path") {
+    // raw form returns our mergeable quantile-sketch binary; estimating a
+    // quantile from it must agree with the direct PERCENTILEKLL call
+    val direct = one("SELECT PERCENTILEKLL(m, 50) AS p FROM hx").getDouble(0)
+    val raw = one("SELECT PERCENTILERAWTDIGEST(m) AS s FROM hx").getAs[Array[Byte]](0)
+    assert(raw.nonEmpty)
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val est = KllDoublesSketch.heapify(Memory.wrap(raw))
+      .getQuantile(0.5, QuantileSearchCriteria.INCLUSIVE)
+    assert(est === direct)
+  }
+}
