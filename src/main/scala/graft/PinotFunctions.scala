@@ -378,6 +378,7 @@ object PinotFunctions {
     // serves both
     "distinctcountull" -> fwd("approx_count_distinct"),
     "distinctcounthllplus" -> fwd("approx_count_distinct"),
+    "distinctcountrawhllplus" -> fwd("hll_sketch_agg"),
     // integer-sum TUPLE sketches (expressions/TupleSketchExpressions): the
     // Pinot forms consume a BYTES column of serialized sketches, so each
     // alias wraps the stored-column union-merge
@@ -444,6 +445,16 @@ object PinotFunctions {
     // the row where the measuring expression is minimal/maximal
     "arg_min" -> (args => MinBy(args(1), args(0)).toAggregateExpression()),
     "arg_max" -> (args => MaxBy(args(1), args(0)).toAggregateExpression()),
+    // pre-1.2 spellings of the same pair
+    "exprmin" -> (args => MinBy(args(1), args(0)).toAggregateExpression()),
+    "exprmax" -> (args => MaxBy(args(1), args(0)).toAggregateExpression()),
+    // Pinot spells it without the underscore; 3-arg and 4-arg (start pos)
+    // forms map directly, the occurrence/flags extensions do not exist in
+    // Spark and error loudly rather than silently diverge
+    "regexpreplace" -> (args =>
+      if (args.length <= 4) UnresolvedFunction("regexp_replace", args, false)
+      else throw new IllegalArgumentException(
+        "REGEXPREPLACE occurrence/flags arguments are not supported")),
     // Pinot ArrayFunctions set ops (typed names share one generic impl)
     "arrayunionint" -> fwd("array_union"),
     "arrayunionstring" -> fwd("array_union"),

@@ -45,6 +45,17 @@ class RegistryExtrasSpec extends GraftSuite {
     assert(r.getSeq[String](1) === Seq("b"))
   }
 
+  test("EXPRMIN/EXPRMAX legacy spellings and REGEXPREPLACE resolve") {
+    val r = one(
+      """SELECT EXPRMIN(m, tag) AS lo, EXPRMAX(m, k) AS hi,
+        |       min(REGEXPREPLACE('a1b2c3', '[0-9]', '_')) AS rr
+        |FROM hx""".stripMargin)
+    assert(r.getString(0) === "a")
+    assert(Set(4, 5).contains(r.getInt(1)))
+    assert(r.getString(2) === "a_b_c_")
+    intercept[Exception](one("SELECT REGEXPREPLACE('x', 'x', 'y', 1, 2) AS bad"))
+  }
+
   test("PERCENTILERAWTDIGEST bytes feed back through PERCENTILEKLL's scalar path") {
     // raw form returns our mergeable quantile-sketch binary; estimating a
     // quantile from it must agree with the direct PERCENTILEKLL call
