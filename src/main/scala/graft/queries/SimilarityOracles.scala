@@ -255,4 +255,63 @@ object SimilarityOracles {
        |)
        |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
+
+  /** Sequential float64 squared-L2 between 16-element block `b` (0-based,
+    * column `bCol`) of two float vectors — the `Pq.l2sqBlock`
+    * (`aggregate(zip_with(...))`) replica: fold order i = 1..16, diff
+    * squared as an explicit self-product. */
+  private def l2sqBlk(aCol: String, cCol: String, bCol: String): String = {
+    val i = sym("pi")
+    val diff = s"(CAST($aCol[$bCol*16+$i] AS DOUBLE) - CAST($cCol[$bCol*16+$i] AS DOUBLE))"
+    seqSum(s"list_transform(range(1, 17), $i -> $diff * $diff)")
+  }
+
+  /** Oracle for q_sim_ann_pq (IVF-PQ + ADC): coarse cells as in
+    * annIvfSql; PQ codes = per-(vector, block) argmin of the block
+    * distance to the 16 sample centroids (ties to the lowest j); a pair's
+    * ADC = the query's block distances at the candidate's codes, folded in
+    * block order (list(d ORDER BY b) — matches the Spark-side sequential
+    * aggregate over b = 1..4). */
+  lazy val annPqSql: String = {
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS j, embedding AS ce FROM embeddings WHERE vec_id < 16
+       |), cscored AS (
+       |  SELECT e.vec_id, e.embedding, c.j AS cell,
+       |         ${cos("e.embedding", "c.ce")} AS cs
+       |  FROM embeddings e, cents c
+       |), ranked_cells AS (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS crn
+       |  FROM cscored
+       |), blkd AS (
+       |  SELECT e.vec_id, blocks.b, c.j,
+       |         ${l2sqBlk("e.embedding", "c.ce", "blocks.b")} AS d
+       |  FROM embeddings e, cents c, (SELECT unnest(range(0, 4)) AS b) blocks
+       |), codes AS (
+       |  SELECT vec_id, b, j AS code FROM (
+       |    SELECT vec_id, b, j,
+       |           row_number() OVER (PARTITION BY vec_id, b ORDER BY d ASC, j ASC) AS rn
+       |    FROM blkd)
+       |  WHERE rn = 1
+       |), cands AS (
+       |  SELECT vec_id AS nid, cell FROM ranked_cells WHERE crn = 1
+       |), qs AS (
+       |  SELECT vec_id AS qid, cell FROM ranked_cells
+       |  WHERE crn <= 2 AND vec_id >= 20 AND vec_id < 40
+       |), pairs AS (
+       |  SELECT q.qid, c.nid FROM cands c JOIN qs q USING (cell) WHERE c.nid <> q.qid
+       |), adc AS (
+       |  SELECT p.qid, p.nid,
+       |         round(list_reduce(list(bl.d ORDER BY bl.b), (sa, sb) -> sa + sb), 4) AS adc
+       |  FROM pairs p
+       |  JOIN codes co ON co.vec_id = p.nid
+       |  JOIN blkd bl ON bl.vec_id = p.qid AND bl.b = co.b AND bl.j = co.code
+       |  GROUP BY p.qid, p.nid
+       |), ranked AS (
+       |  SELECT qid, nid, adc,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rn
+       |  FROM adc
+       |)
+       |SELECT qid, rn, nid, adc FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
 }

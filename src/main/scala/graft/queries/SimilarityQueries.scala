@@ -267,6 +267,59 @@ object SimilarityQueries {
     },
     Some(SimilarityOracles.annQuantizedLshSql))
 
+  /** X2 scale path #3: IVF-PQ with asymmetric distance computation — the
+    * canonical 100 TB ANN shape (FAISS IVFPQ). Coarse cells bound the
+    * candidate set (same vec_id<16 sample cells as q_sim_ann_ivf, probe 2);
+    * within a cell every candidate is ranked by ADC: the candidate carries
+    * only its m=4 PQ codes (argmin per 16-dim block over 16 per-block
+    * centroids), the query carries a 4×16 LUT of exact block distances,
+    * and a pair costs 4 lookups + 3 adds instead of 64 multiplies. The
+    * codebooks are the deterministic fixture sample (`Pq.sampleCodebooks`
+    * — the q_sim_ann_ivf precedent; production trains `Pq.train` on a
+    * corpus sample, PqSpec covers it). All folds are sequential float64 →
+    * the DuckDB oracle re-derives cells, codes, LUTs and ADC sums
+    * bit-exactly. On the isotropic random fixture ADC top-3 recall is
+    * intrinsically poor (no cluster structure) — production composes this
+    * with an exact re-rank of the ADC shortlist (the q_sim_ann_quantized
+    * two-stage shape); PqSpec asserts the shortlist-containment and
+    * relative-error properties that contract relies on. */
+  private val simAnnIvfPq = Q(
+    "q_sim_ann_pq",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val sample = e.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id"))
+        .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      val cb = graft.ops.Pq.sampleCodebooks(sample.map(_._2).toSeq, 4)
+      def cellOf(emb: Column, topN: Int): Column = {
+        val scored = sample.map { case (cell, ce) =>
+          val ceCol = array(ce.map(v => lit(v)): _*)
+          struct((-cosine_sim(emb, ceCol)).as("neg"), lit(cell).as("cell"))
+        }
+        slice(sort_array(array(scored.toIndexedSeq: _*)), 1, topN)
+      }
+      val cands = e
+        .withColumn("cell", cellOf(col("embedding"), 1)(0).getField("cell"))
+        .withColumn("codes", graft.ops.Pq.encodeCol(col("embedding"), cb))
+        .select(col("cell"), col("vec_id").as("nid"), col("codes"))
+      val qs = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select(col("vec_id").as("qid"),
+          graft.ops.Pq.lutCol(col("embedding"), cb).as("lut"),
+          explode(transform(cellOf(col("embedding"), 2), c => c.getField("cell"))).as("cell"))
+      val pairs = cands.join(qs, Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          round(graft.ops.Pq.adcCol(col("codes"), col("lut"), 4), 4).as("adc"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("nid"), col("adc"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(SimilarityOracles.annPqSql))
+
   val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnMultiprobe, simAnnIvf,
-    simCentroids, simAnnQuantized, simAnnQuantizedLsh)
+    simCentroids, simAnnQuantized, simAnnQuantizedLsh, simAnnIvfPq)
 }
