@@ -236,6 +236,45 @@ object TextQueries {
                    round(avg(chunk_tokens), 4) AS avg_chunk_tokens
             FROM chunks GROUP BY lang ORDER BY lang"""))
 
+  /** X3 text normalization — the first stage of every pretraining pipeline
+    * (C4/RefinedWeb-style cleaning): strip control characters, collapse
+    * whitespace runs, trim. The fixture text is already clean, so the query
+    * deterministically DIRTIES each document (tab/ctrl-char injection,
+    * doubled spaces) and proves the cleaner reconstructs the original
+    * byte-for-byte (`ok` per doc) — a round-trip oracle is stronger than
+    * comparing cleaner outputs, because both engines would agree on a
+    * shared bug. Map-only + final sort. */
+  private val textClean = Q(
+    "q_text_clean",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val dirty = concat(lit(" \t"),
+        regexp_replace(col("text"), lit(" "), lit("  ")),
+        lit("\u0001\u007f  "))
+      val clean = trim(regexp_replace(
+        regexp_replace(dirty, lit("[\\x00-\\x1F\\x7F]"), lit("")),
+        lit(" +"), lit(" ")))
+      d.select(
+          col("doc_id"),
+          (clean === col("text")).as("ok"),
+          length(dirty).cast("long").as("len_dirty"),
+          length(clean).cast("long").as("len_clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dirty AS (
+            |  SELECT doc_id, text,
+            |         ' ' || chr(9) || replace(text, ' ', '  ') || chr(1) || chr(127) || '  ' AS d
+            |  FROM documents
+            |), cleaned AS (
+            |  SELECT doc_id, text, d,
+            |         trim(regexp_replace(regexp_replace(d, '[\x00-\x1F\x7F]', '', 'g'), ' +', ' ', 'g')) AS c
+            |  FROM dirty
+            |)
+            |SELECT doc_id, c = text AS ok,
+            |       CAST(length(d) AS BIGINT) AS len_dirty,
+            |       CAST(length(c) AS BIGINT) AS len_clean
+            |FROM cleaned ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textTfidf,
-    textRepetition, textChunks)
+    textRepetition, textChunks, textClean)
 }
