@@ -394,6 +394,10 @@ object PinotFunctions {
     // returns the serialized sketch bytes for client-side merging
     "frequentstringssketch" -> (args =>
       graft.expressions.FreqSketchAgg(args(0)).toAggregateExpression()),
+    // longs variant rides the same Misra–Gries kernel over the decimal
+    // string form (raw-bytes format divergence documented, like RAWTDIGEST)
+    "frequentlongssketch" -> (args =>
+      graft.expressions.FreqSketchAgg(Cast(args(0), StringType)).toAggregateExpression()),
     // Pinot 1.2 scalar vector family (VectorFunctions, the vector-index
     // sidecar): distances/norms over float[] embeddings — codegen'd
     // kernels shared with the X2 similarity operators

@@ -56,6 +56,13 @@ class RegistryExtrasSpec extends GraftSuite {
     intercept[Exception](one("SELECT REGEXPREPLACE('x', 'x', 'y', 1, 2) AS bad"))
   }
 
+  test("FREQUENTLONGSSKETCH rides the frequent-items kernel over decimal strings") {
+    val raw = one("SELECT FREQUENTLONGSSKETCH(k) AS s FROM hx").getAs[Array[Byte]](0)
+    val sk = graft.expressions.FreqOps.wrap(raw)
+    assert(sk.getEstimate("3") === 1L) // k = 1..5, each once
+    assert(sk.getEstimate("99") === 0L)
+  }
+
   test("PERCENTILERAWTDIGEST bytes feed back through PERCENTILEKLL's scalar path") {
     // raw form returns our mergeable quantile-sketch binary; estimating a
     // quantile from it must agree with the direct PERCENTILEKLL call
