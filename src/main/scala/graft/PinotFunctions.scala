@@ -521,6 +521,9 @@ object PinotFunctions {
     "distinctsummv" -> (args => graft.expressions.MvAggs.distinctSumMv(args(0))),
     "distinctavgmv" -> (args => graft.expressions.MvAggs.distinctAvgMv(args(0))),
     "percentilemv" -> (args => graft.expressions.MvAggs.percentileMv(args(0), args(1))),
+    "percentilekllmv" -> (args => graft.expressions.MvAggs.percentileKllMv(args(0), args(1))),
+    "percentileestmv" -> (args => graft.expressions.MvAggs.percentileKllMv(args(0), args(1))),
+    "percentiletdigestmv" -> (args => graft.expressions.MvAggs.percentileKllMv(args(0), args(1))),
     "minmaxrangemv" -> (args => graft.expressions.MvAggs.minMaxRangeMv(args(0))))
 
   private def pctApprox: Seq[Expression] => Expression = args =>

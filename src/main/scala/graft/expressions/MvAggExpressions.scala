@@ -80,6 +80,16 @@ object MvAggs {
     Subtract(
       Max(fn("array_max", arr)).toAggregateExpression(),
       Min(fn("array_min", arr)).toAggregateExpression())
+
+  /** Approximate MV percentile (PERCENTILEKLLMV / PERCENTILEESTMV /
+    * PERCENTILETDIGESTMV): one KLL doubles sketch per group, updated per
+    * ELEMENT — the fixed-state alternative to [[percentileMv]]'s exact
+    * collect (state ≤ the KLL k-bound however many rows × arity flow in).
+    * p is the Pinot 0–100 convention. */
+  def percentileKllMv(arr: Expression, p: Expression): Expression =
+    KllQuantile(
+      KllMvAgg(arr).toAggregateExpression(),
+      Divide(Cast(p, DoubleType), Literal(100.0)))
 }
 
 object DistinctMvAgg {
@@ -265,6 +275,56 @@ case class HllMvAgg(
   override def withNewMutableAggBufferOffset(o: Int): HllMvAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HllMvAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-element KLL quantile sketch over an array column (the MV form of
+  * `kll_sketch_agg`): serialized mergeable sketch bytes out, ≤k-bounded
+  * state per group — feed [[KllQuantile]] for the PERCENTILE…MV estimate
+  * or persist the bytes as a sketch column. */
+case class KllMvAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KllAggBase {
+
+  private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"kll_mv_agg expects an array column, got $other")
+  }
+
+  override def prettyName: String = "kll_mv_agg"
+
+  override def update(sk: org.apache.datasketches.kll.KllDoublesSketch,
+      input: InternalRow): org.apache.datasketches.kll.KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) elemType match {
+          case DoubleType => sk.update(arr.getDouble(i))
+          case FloatType => sk.update(arr.getFloat(i).toDouble)
+          case IntegerType => sk.update(arr.getInt(i).toDouble)
+          case LongType => sk.update(arr.getLong(i).toDouble)
+          case ShortType => sk.update(arr.getShort(i).toDouble)
+          case ByteType => sk.update(arr.getByte(i).toDouble)
+          case other => throw new IllegalArgumentException(
+            s"kll_mv_agg: unsupported element type $other")
+        }
+        i += 1
+      }
+    }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMvAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMvAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

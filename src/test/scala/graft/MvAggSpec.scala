@@ -65,6 +65,25 @@ class MvAggSpec extends GraftSuite {
     assert(got === Seq(3, 7)) // a: 4-1, b: 10-3
   }
 
+  test("PERCENTILEKLLMV tracks the exact MV percentile within the KLL rank-error bound") {
+    import org.apache.spark.sql.graft.GraftBridge
+    def kllMv(arr: org.apache.spark.sql.Column, p: Double) =
+      GraftBridge.column(graft.expressions.MvAggs.percentileKllMv(
+        GraftBridge.expression(arr), GraftBridge.expression(lit(p))))
+    // 10k elements over 2.5k arrays and 16 partitions: serialize/merge runs
+    val wide = (0 until 2500).map(i => (i % 4, Seq(2 * i, 2 * i + 1))).toDF("g", "arr")
+      .repartition(16)
+    val got = wide.groupBy($"g")
+      .agg(kllMv($"arr", 50.0).as("est"), percentile_mv($"arr", 50.0).as("exact"))
+      .collect()
+    got.foreach { r =>
+      // k=200 → ~1.65% rank error; values are ~uniform on [g, 5000), so a
+      // 5%-of-range tolerance comfortably covers the rank-error bound
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 250.0,
+        s"g=${r.get(0)}: kll ${r.getDouble(1)} vs exact ${r.getDouble(2)}")
+    }
+  }
+
   test("SQL vocabulary resolves: DISTINCTCOUNTMV / PERCENTILEMV / MINMAXRANGEMV") {
     val pinot = spark.newSession()
     PinotFunctions.register(pinot)

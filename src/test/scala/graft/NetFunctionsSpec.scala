@@ -46,6 +46,30 @@ class NetFunctionsSpec extends GraftSuite {
       intercept[IllegalArgumentException](bad())
   }
 
+  test("parser agrees with java.net.InetAddress on random valid literals") {
+    // literal forms only — InetAddress.getByName does no DNS for them
+    val rnd = new scala.util.Random(42)
+    val v4s = (0 until 200).map(_ =>
+      Seq.fill(4)(rnd.nextInt(256)).mkString("."))
+    val v6s = (0 until 200).map { _ =>
+      val groups = Seq.fill(8)(rnd.nextInt(0x10000))
+      val full = groups.map(g => f"$g%x").mkString(":")
+      // half the cases: elide one random run of groups with ::
+      if (rnd.nextBoolean()) full
+      else {
+        val start = rnd.nextInt(7)
+        val len = 1 + rnd.nextInt(7 - start)
+        val left = groups.take(start).map(g => f"$g%x").mkString(":")
+        val right = groups.drop(start + len).map(g => f"$g%x").mkString(":")
+        s"$left::$right"
+      }
+    }
+    for (s <- v4s ++ v6s) {
+      val expect = java.net.InetAddress.getByName(s).getAddress
+      assert(java.util.Arrays.equals(NetOps.parse(s), expect), s"parse($s)")
+    }
+  }
+
   test("ISSUBNETOF resolves through the Pinot SQL vocabulary") {
     val pinot = spark.newSession()
     PinotFunctions.register(pinot)
