@@ -107,15 +107,21 @@ object Pq {
   }
 
   /** Sequential float64 squared-L2 between a block slice of `emb` and a
-    * literal centroid block — `aggregate(zip_with(...))`, the
-    * DuckDB-list_reduce-replicable fold. */
+    * literal centroid block. Computed as the square of the codegen'd
+    * [[graft.expressions.MinkowskiDistance]] L2 kernel rather than an
+    * `aggregate(zip_with(...))` fold: Spark's higher-order functions
+    * evaluate their lambdas interpreted per element, and with m×k folds
+    * per row the HOF path measured ~2× slower. sqrt-then-square costs a
+    * ulp vs the raw fold but stays bit-replicable (the oracle applies the
+    * identical sqrt·square composition to the identical sequential fold —
+    * |x−y|² == (x−y)², so the kernel's abs changes nothing). */
   private def l2sqBlock(emb: Column, off: Int, cent: Array[Float]): Column = {
+    import org.apache.spark.sql.graft.GraftBridge
     val centLit = array(cent.map(v => lit(v)): _*)
-    aggregate(
-      zip_with(slice(emb, off + 1, cent.length), centLit,
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0),
-      (acc, v) => acc + v)
+    val l2 = GraftBridge.column(graft.expressions.MinkowskiDistance(
+      GraftBridge.expression(slice(emb, off + 1, cent.length)),
+      GraftBridge.expression(centLit), 2))
+    l2 * l2
   }
 
   /** PQ codes for an embedding column: array<int> of length m, code b =

@@ -257,13 +257,17 @@ object SimilarityOracles {
   }
 
   /** Sequential float64 squared-L2 between 16-element block `b` (0-based,
-    * column `bCol`) of two float vectors — the `Pq.l2sqBlock`
-    * (`aggregate(zip_with(...))`) replica: fold order i = 1..16, diff
-    * squared as an explicit self-product. */
+    * column `bCol`) of two float vectors — the `Pq.l2sqBlock` replica:
+    * the i = 1..16 sequential fold of (x−y)², then sqrt, then square —
+    * matching the Spark side's MinkowskiDistance-kernel-then-square
+    * composition exactly (same fold value → same IEEE sqrt → same
+    * product). */
   private def l2sqBlk(aCol: String, cCol: String, bCol: String): String = {
     val i = sym("pi")
     val diff = s"(CAST($aCol[$bCol*16+$i] AS DOUBLE) - CAST($cCol[$bCol*16+$i] AS DOUBLE))"
-    seqSum(s"list_transform(range(1, 17), $i -> $diff * $diff)")
+    val fold = seqSum(s"list_transform(range(1, 17), $i -> $diff * $diff)")
+    val s = sym("sq")
+    s"(list_transform([sqrt($fold)], $s -> $s * $s)[1])"
   }
 
   /** Oracle for q_sim_ann_pq (IVF-PQ + ADC): coarse cells as in
