@@ -170,6 +170,22 @@ object PinotFunctions {
       if (args.length >= 4) Coalesce(Seq(casted, Cast(args(3), resultType))) else casted
     }),
     "jsonformat" -> fwd("to_json"),
+    // Pinot jsonPath* scalar family (ingestion-transform names usable in
+    // queries): typed extraction along a JsonPath, null → default arg
+    "jsonpathstring" -> (args => {
+      val e = GetJsonObject(args(0), args(1))
+      if (args.length >= 3) Coalesce(Seq(e, Cast(args(2), StringType))) else e
+    }),
+    "jsonpathlong" -> (args => {
+      val e = Cast(GetJsonObject(args(0), args(1)), LongType)
+      if (args.length >= 3) Coalesce(Seq(e, Cast(args(2), LongType)))
+      else Coalesce(Seq(e, Literal(Long.MinValue))) // Pinot default when absent
+    }),
+    "jsonpathdouble" -> (args => {
+      val e = Cast(GetJsonObject(args(0), args(1)), DoubleType)
+      if (args.length >= 3) Coalesce(Seq(e, Cast(args(2), DoubleType)))
+      else Coalesce(Seq(e, Literal(Double.NegativeInfinity))) // Pinot default
+    }),
     // ---- index-predicate superset (F8) ----
     // The reference deploys NO text/JSON index (kinesisTableConfigFile
     // .json:12-27), but the broker still parses TEXT_MATCH/JSON_MATCH; this

@@ -56,6 +56,22 @@ class RegistryExtrasSpec extends GraftSuite {
     intercept[Exception](one("SELECT REGEXPREPLACE('x', 'x', 'y', 1, 2) AS bad"))
   }
 
+  test("jsonPath* scalar family: typed extraction with Pinot sentinel defaults") {
+    val r = one(
+      """SELECT JSONPATHSTRING('{"a": {"b": "x"}}', '$.a.b') AS s,
+        |       JSONPATHLONG('{"n": 7}', '$.n') AS n,
+        |       JSONPATHLONG('{"n": 7}', '$.missing') AS n_missing,
+        |       JSONPATHLONG('{"n": 7}', '$.missing', 42) AS n_dflt,
+        |       JSONPATHDOUBLE('{"d": 2.5}', '$.d') AS d,
+        |       JSONPATHDOUBLE('{"d": 2.5}', '$.missing') AS d_missing""".stripMargin)
+    assert(r.getString(0) === "x")
+    assert(r.getLong(1) === 7L)
+    assert(r.getLong(2) === Long.MinValue) // Pinot sentinel when absent
+    assert(r.getLong(3) === 42L)
+    assert(r.getDouble(4) === 2.5)
+    assert(r.getDouble(5).isNegInfinity)
+  }
+
   test("FREQUENTLONGSSKETCH rides the frequent-items kernel over decimal strings") {
     val raw = one("SELECT FREQUENTLONGSSKETCH(k) AS s FROM hx").getAs[Array[Byte]](0)
     val sk = graft.expressions.FreqOps.wrap(raw)
