@@ -185,4 +185,9 @@ package object functions {
 
   /** MAX(array_max) − MIN(array_min) over the group. */
   def min_max_range_mv(arr: Column): Column = toCol(MvAggs.minMaxRangeMv(toExpr(arr)))
+
+  /** Approximate MV percentile (0-100): one KLL sketch per group updated
+    * per element — fixed state regardless of rows × arity. */
+  def percentile_kll_mv(arr: Column, p: Double): Column =
+    toCol(MvAggs.percentileKllMv(toExpr(arr), toExpr(lit(p))))
 }

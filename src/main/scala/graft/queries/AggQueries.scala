@@ -437,6 +437,12 @@ object AggQueries {
           distinct_sum_mv(col("lens")).as("dsum"),
           round(distinct_avg_mv(col("lens")), 6).as("davg"),
           round(percentile_mv(col("lens"), 75.0), 6).as("p75"),
+          // the fixed-state approximate MV percentile must land within the
+          // KLL rank-error envelope of the exact form (bound boolean —
+          // the q_sketch_* oracle pattern); lens spans [1, ~10] so a ±1
+          // value tolerance generously covers the ~1.65% rank error at k=200
+          (abs(graft.functions.percentile_kll_mv(col("lens"), 75.0)
+            - percentile_mv(col("lens"), 75.0)) <= 1.0).as("kll_ok"),
           min_max_range_mv(col("lens")).cast("long").as("mmr"))
         .orderBy(col("lang"))
     },
@@ -459,10 +465,11 @@ object AggQueries {
             |         CAST(sum(DISTINCT lv) AS BIGINT) AS dsum,
             |         round(avg(DISTINCT lv), 6) AS davg,
             |         round(quantile_cont(lv, 0.75), 6) AS p75,
+            |         TRUE AS kll_ok,
             |         CAST(max(lv) - min(lv) AS BIGINT) AS mmr
             |  FROM (SELECT lang, unnest(lens) AS lv FROM l) GROUP BY lang
             |)
-            |SELECT base.lang, n_docs, n_toks, dc, hll_ok, dsum, davg, p75, mmr
+            |SELECT base.lang, n_docs, n_toks, dc, hll_ok, dsum, davg, p75, kll_ok, mmr
             |FROM base JOIN e ON base.lang = e.lang JOIN el ON base.lang = el.lang
             |ORDER BY base.lang""".stripMargin))
 
