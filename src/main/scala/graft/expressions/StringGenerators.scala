@@ -88,7 +88,9 @@ object StringGenerators {
     val toks = fn("filter", StringSplitSQL(s, sep),
       LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
     val i = Cast(idx, IntegerType)
-    If(GreaterThan(Size(toks), i),
+    // the index guard must also reject negatives: element_at(toks, 0)
+    // would throw under ANSI instead of answering "null"
+    If(And(GreaterThanOrEqual(i, Literal(0)), GreaterThan(Size(toks), i)),
       ElementAt(toks, Add(i, Literal(1))),
       Literal("null"))
   }

@@ -54,6 +54,9 @@ class StringGeneratorsSpec extends GraftSuite {
     assert(r.getString(0) === "b") // "a  b c" → [a, b, c], not [a, "", b, c]
     assert(r.getString(1) === "a")
     assert(r.getString(2) === "null")
+    // negative index answers "null" too (must not hit ANSI element_at(.., 0))
+    val neg = one("SELECT SPLITPART('a,b', ',', -1) AS v")
+    assert(neg.getString(0) === "null")
   }
 
   test("ISJSON accepts objects, arrays, and scalar literals; rejects truncation") {
