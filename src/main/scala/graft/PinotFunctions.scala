@@ -502,6 +502,9 @@ object PinotFunctions {
           case other => throw new IllegalArgumentException(
             s"HISTOGRAM edges must be an array literal, got $other")
         }
+      require(edges.length >= 2, "HISTOGRAM needs at least 2 bin edges")
+      require(edges.sliding(2).forall(p => p.head < p.last),
+        s"HISTOGRAM edges must be strictly increasing: ${edges.mkString(",")}")
       val v = Cast(args(0), DoubleType)
       val counts = edges.sliding(2).zipWithIndex.map { case (pair, i) =>
         val (a, b) = (pair.head, pair.last)
