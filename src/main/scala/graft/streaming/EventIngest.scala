@@ -318,11 +318,20 @@ object EventIngest {
   case object Ignore extends MergeStrategy
   /** Numeric running sum of stored + incoming (Pinot INCREMENT). */
   case object Increment extends MergeStrategy
+  /** Numeric max of stored and incoming (Pinot MAX). */
+  case object MaxOf extends MergeStrategy
+  /** Numeric min of stored and incoming (Pinot MIN). */
+  case object MinOf extends MergeStrategy
+  /** MV column: incoming elements appended to the stored array (Pinot APPEND). */
+  case object Append extends MergeStrategy
+  /** MV column: set union of stored and incoming arrays, stored-first
+    * order (Pinot UNION). */
+  case object UnionOf extends MergeStrategy
 
   private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Merge two payload JSONs column-by-column under the strategy map. */
-  private[streaming] def mergeJson(
+  private[graft] def mergeJson(
       oldJson: String, newJson: String,
       strategies: Map[String, MergeStrategy]): String = {
     val tref = new com.fasterxml.jackson.core.`type`.TypeReference[
@@ -341,6 +350,30 @@ object EventIngest {
             out.put(k, java.lang.Long.valueOf(a.longValue() + b.longValue()))
           case (a: Number, b: Number) =>
             out.put(k, java.lang.Double.valueOf(a.doubleValue() + b.doubleValue()))
+          case _ => out.put(k, v)
+        }
+        case MaxOf => (out.get(k), v) match {
+          case (a: Number, b: Number) =>
+            if (b.doubleValue() > a.doubleValue()) out.put(k, v)
+          case _ => out.put(k, v)
+        }
+        case MinOf => (out.get(k), v) match {
+          case (a: Number, b: Number) =>
+            if (b.doubleValue() < a.doubleValue()) out.put(k, v)
+          case _ => out.put(k, v)
+        }
+        case Append => (out.get(k), v) match {
+          case (a: java.util.List[_], b: java.util.List[_]) =>
+            val merged = new java.util.ArrayList[Object](a.asInstanceOf[java.util.List[Object]])
+            merged.addAll(b.asInstanceOf[java.util.List[Object]])
+            out.put(k, merged)
+          case _ => out.put(k, v)
+        }
+        case UnionOf => (out.get(k), v) match {
+          case (a: java.util.List[_], b: java.util.List[_]) =>
+            val merged = new java.util.LinkedHashSet[Object](a.asInstanceOf[java.util.List[Object]])
+            merged.addAll(b.asInstanceOf[java.util.List[Object]])
+            out.put(k, new java.util.ArrayList[Object](merged))
           case _ => out.put(k, v)
         }
       }

@@ -150,4 +150,18 @@ class StreamingUpsertSpec extends GraftSuite {
       assert(r.getAs[String]("color") === "blue", r.toString)
     } finally q.stop()
   }
+
+  test("partial upsert strategies MAX/MIN/APPEND/UNION complete the Pinot set") {
+    import EventIngest._
+    val merged = mergeJson(
+      """{"hi":5,"lo":5,"tags":["a","b"],"all":["a","b"]}""",
+      """{"hi":3,"lo":3,"tags":["b","c"],"all":["b","c"]}""",
+      Map("hi" -> MaxOf, "lo" -> MinOf, "tags" -> UnionOf, "all" -> Append))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(merged, classOf[java.util.Map[String, Object]])
+    assert(m.get("hi") === 5)   // MAX keeps the larger stored value
+    assert(m.get("lo") === 3)   // MIN takes the smaller incoming value
+    assert(m.get("tags").toString === "[a, b, c]")     // UNION dedups, stored-first
+    assert(m.get("all").toString === "[a, b, b, c]")   // APPEND concatenates
+  }
 }
