@@ -276,7 +276,9 @@ object SimilarityOracles {
     * ADC = the query's block distances at the candidate's codes, folded in
     * block order (list(d ORDER BY b) — matches the Spark-side sequential
     * aggregate over b = 1..4). */
-  lazy val annPqSql: String = {
+  /** Shared CTE chain for the PQ oracles: cells, block distances, codes,
+    * probed pairs, and the per-pair ADC sum. */
+  private lazy val annPqCtes: String = {
     s"""WITH cents AS (
        |  SELECT CAST(vec_id AS INTEGER) AS j, embedding AS ce FROM embeddings WHERE vec_id < 16
        |), cscored AS (
@@ -306,16 +308,51 @@ object SimilarityOracles {
        |  SELECT q.qid, c.nid FROM cands c JOIN qs q USING (cell) WHERE c.nid <> q.qid
        |), adc AS (
        |  SELECT p.qid, p.nid,
-       |         round(list_reduce(list(bl.d ORDER BY bl.b), (sa, sb) -> sa + sb), 4) AS adc
+       |         list_reduce(list(bl.d ORDER BY bl.b), (sa, sb) -> sa + sb) AS adc
        |  FROM pairs p
        |  JOIN codes co ON co.vec_id = p.nid
        |  JOIN blkd bl ON bl.vec_id = p.qid AND bl.b = co.b AND bl.j = co.code
        |  GROUP BY p.qid, p.nid
-       |), ranked AS (
-       |  SELECT qid, nid, adc,
-       |         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rn
+       |)""".stripMargin
+  }
+
+  /** Oracle for q_sim_ann_pq (IVF-PQ + ADC): coarse cells as in
+    * annIvfSql; PQ codes = per-(vector, block) argmin of the block
+    * distance to the 16 sample centroids (ties to the lowest j); a pair's
+    * ADC = the query's block distances at the candidate's codes, folded in
+    * block order (list(d ORDER BY b) — matches the Spark-side sequential
+    * aggregate over b = 1..4). */
+  lazy val annPqSql: String = {
+    s"""$annPqCtes, ranked AS (
+       |  -- rank on the ROUNDED value: the Spark side rounds before its
+       |  -- window, so the tiebreak must see the same numbers
+       |  SELECT qid, nid, round(adc, 4) AS adc,
+       |         row_number() OVER (PARTITION BY qid ORDER BY round(adc, 4) ASC, nid ASC) AS rn
        |  FROM adc
        |)
        |SELECT qid, rn, nid, adc FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** Oracle for q_sim_ann_pq_rerank: the 10-wide ADC shortlist of the PQ
+    * oracle, exact-cosine re-ranked to top-3. */
+  lazy val annPqRerankSql: String = {
+    s"""$annPqCtes, shortlist AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS srn
+       |    FROM adc)
+       |  WHERE srn <= 10
+       |), reranked AS (
+       |  SELECT s.qid, s.nid,
+       |         round(${cos("q.embedding", "c.embedding")}, 4) AS sim
+       |  FROM shortlist s
+       |  JOIN embeddings q ON q.vec_id = s.qid
+       |  JOIN embeddings c ON c.vec_id = s.nid
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+       |  FROM reranked
+       |)
+       |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 }

@@ -320,6 +320,58 @@ object SimilarityQueries {
     },
     Some(SimilarityOracles.annPqSql))
 
+  /** The complete production IVF-PQ shape: ADC ranks a cheap 10-wide
+    * shortlist inside the probed cells (4 code lookups per pair), then an
+    * exact cosine re-rank of ONLY the shortlist picks the final top-3 —
+    * compression for the scan, exactness for the answer. At 100 TB the
+    * full vectors are fetched for |shortlist| candidates per query, never
+    * the corpus (here they ride the same join for fixture simplicity).
+    * Same deterministic codebooks/cells as q_sim_ann_pq; the oracle
+    * extends the PQ replica with the rerank CTE. */
+  private val simAnnIvfPqRerank = Q(
+    "q_sim_ann_pq_rerank",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val sample = e.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id"))
+        .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      val cb = graft.ops.Pq.sampleCodebooks(sample.map(_._2).toSeq, 4)
+      def cellOf(emb: Column, topN: Int): Column = {
+        val scored = sample.map { case (cell, ce) =>
+          val ceCol = array(ce.map(v => lit(v)): _*)
+          struct((-cosine_sim(emb, ceCol)).as("neg"), lit(cell).as("cell"))
+        }
+        slice(sort_array(array(scored.toIndexedSeq: _*)), 1, topN)
+      }
+      val cands = e
+        .withColumn("cell", cellOf(col("embedding"), 1)(0).getField("cell"))
+        .withColumn("codes", graft.ops.Pq.encodeCol(col("embedding"), cb))
+        .select(col("cell"), col("vec_id").as("nid"), col("codes"), col("embedding"))
+      val qs = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          graft.ops.Pq.lutCol(col("embedding"), cb).as("lut"),
+          explode(transform(cellOf(col("embedding"), 2), c => c.getField("cell"))).as("cell"))
+      val pairs = cands.join(qs, Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), col("qe"), col("embedding"),
+          graft.ops.Pq.adcCol(col("codes"), col("lut"), 4).as("adc"))
+      val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+      val shortlist = pairs.withColumn("srn", row_number().over(wAdc))
+        .filter(col("srn") <= 10)
+      val reranked = shortlist
+        .select(col("qid"), col("nid"),
+          round(cosine_sim(col("qe"), col("embedding")), 4).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+      reranked.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("nid"), col("sim"))
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(SimilarityOracles.annPqRerankSql))
+
   val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnMultiprobe, simAnnIvf,
-    simCentroids, simAnnQuantized, simAnnQuantizedLsh, simAnnIvfPq)
+    simCentroids, simAnnQuantized, simAnnQuantizedLsh, simAnnIvfPq,
+    simAnnIvfPqRerank)
 }
