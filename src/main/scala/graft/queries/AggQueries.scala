@@ -422,10 +422,18 @@ object AggQueries {
       import graft.functions._
       val d = Tables.t(spark, dir, "documents")
       val toks = tokens(col("text"))
+      // bigrams via zip_with of the two adjacent-token slices rather than
+      // wordShingles' per-index slice+array_join: one lambda invocation per
+      // bigram instead of an array allocation + join (same strings out)
+      val nTok = size(toks)
+      val bigrams = zip_with(
+        slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+        slice(toks, lit(2), greatest(nTok - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
       val prepped = d.select(
         col("lang"),
         toks.as("toks"),
-        wordShingles(toks, 2).as("bigrams"),
+        bigrams.as("bigrams"),
         transform(slice(toks, 1, 5), x => length(x)).as("lens"))
       prepped.groupBy(col("lang"))
         .agg(
