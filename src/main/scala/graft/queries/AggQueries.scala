@@ -148,11 +148,15 @@ object AggQueries {
           round(col("p").getItem(0), 2).as("p90_price"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""SELECT l_returnflag,
-            round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
-            round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-            round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
-            round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+    // quantile_cont's interpolation association and DuckDB's
+    // shortest-repr round() both diverge from Spark by 1 ulp / at .xx5
+    // boundaries (observed at sf0.001) — the DuckDbSql replicas mirror
+    // Spark Percentile and Spark round() exactly
+    Some(s"""SELECT l_returnflag,
+            ${graft.tools.DuckDbSql.sparkRound(graft.tools.DuckDbSql.sparkPercentile("l_quantity", "0.25"), 4)} AS p25_qty,
+            ${graft.tools.DuckDbSql.sparkRound(graft.tools.DuckDbSql.sparkPercentile("l_quantity", "0.5"), 4)} AS p50_qty,
+            ${graft.tools.DuckDbSql.sparkRound(graft.tools.DuckDbSql.sparkPercentile("l_quantity", "0.75"), 4)} AS p75_qty,
+            ${graft.tools.DuckDbSql.sparkRound(graft.tools.DuckDbSql.sparkPercentile("l_extendedprice", "0.9"), 2)} AS p90_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** A8: HISTOGRAM as fixed-width bucketing + count (Pinot HISTOGRAM is the

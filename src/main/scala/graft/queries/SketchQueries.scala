@@ -117,9 +117,12 @@ object SketchQueries {
           (relErr(col("ax").getItem(1), col("ex").getItem(1)) <= 0.05).as("p99_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""SELECT l_returnflag,
-            |       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 2) AS p50_exact,
-            |       round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 2) AS p99_exact,
+    // Spark-exact percentile + rounding replicas (DuckDbSql): quantile_cont
+    // association and DuckDB round() both diverge from Spark at ulp/.xx5
+    // boundaries (seen at sf0.001)
+    Some(s"""SELECT l_returnflag,
+            |       ${graft.tools.DuckDbSql.sparkRound(graft.tools.DuckDbSql.sparkPercentile("l_extendedprice", "0.5"), 2)} AS p50_exact,
+            |       ${graft.tools.DuckDbSql.sparkRound(graft.tools.DuckDbSql.sparkPercentile("l_extendedprice", "0.99"), 2)} AS p99_exact,
             |       TRUE AS p50_within_5pct,
             |       TRUE AS p99_within_5pct
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
@@ -602,9 +605,12 @@ object SketchQueries {
             .as("p99_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
-    Some("""SELECT l_returnflag,
-            |       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 2) AS p50_exact,
-            |       round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 2) AS p99_exact,
+    // Spark-exact percentile + rounding replicas (DuckDbSql): quantile_cont
+    // association and DuckDB round() both diverge from Spark at ulp/.xx5
+    // boundaries (seen at sf0.001)
+    Some(s"""SELECT l_returnflag,
+            |       ${graft.tools.DuckDbSql.sparkRound(graft.tools.DuckDbSql.sparkPercentile("l_extendedprice", "0.5"), 2)} AS p50_exact,
+            |       ${graft.tools.DuckDbSql.sparkRound(graft.tools.DuckDbSql.sparkPercentile("l_extendedprice", "0.99"), 2)} AS p99_exact,
             |       TRUE AS p50_within_5pct,
             |       TRUE AS p99_within_5pct
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))

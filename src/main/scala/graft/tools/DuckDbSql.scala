@@ -117,6 +117,45 @@ object DuckDbSql {
       u(0x9e3779b97f4a7c15L)))
   }
 
+  /** Spark `round(x, scale)` on a DOUBLE, replicated exactly. Spark rounds
+    * HALF_UP over `BigDecimal.valueOf(x)` — i.e. over the SHORTEST decimal
+    * representation (`Double.toString`): probe-verified both ways at
+    * sf0.001 — raw 95471.295 (exact binary ...94999…) rounds to .30, raw
+    * 52724.244999999995 (shortest repr needs all 17 digits) rounds to .24.
+    * DuckDB's own `round(DOUBLE, n)` disagrees on such boundaries, but
+    * `CAST(DOUBLE AS VARCHAR)` produces exactly the shortest round-trip
+    * repr, and DECIMAL rounding is HALF_UP — so round the VARCHAR-cast
+    * value. Interpolated percentiles are structurally boundary-prone
+    * (fractions of .5 on 2-decimal prices), hence the dedicated replica. */
+  def sparkRound(expr: String, scale: Int): String =
+    s"CAST(round(CAST(CAST(CAST($expr AS DOUBLE) AS VARCHAR) AS DECIMAL(38, 17)), $scale) AS DOUBLE)"
+
+  /** Spark `percentile(col, q)` (exact interpolated) replicated term for
+    * term — aggregate-context expression. DuckDB's `quantile_cont` computes
+    * the same mathematical interpolation with a different association
+    * (`v[lo] + (v[hi]−v[lo])·frac` vs Spark Percentile's
+    * `(hi−pos)·v[lo] + (pos−lo)·v[hi]`), which can differ by 1 ulp — and a
+    * 1-ulp difference under [[sparkRound]]'s exact-expansion rounding (or a
+    * boundary under any rounding) flips the output. Combine with
+    * [[sparkRound]] for bit-exact rounded percentiles. */
+  def sparkPercentile(col: String, q: String): String = {
+    val vs = sym("vs")
+    // q must be a DOUBLE: a bare 0.9 literal is DECIMAL in DuckDB, making
+    // the position arithmetic exact where Spark's is binary (0.9*1961 =
+    // 1764.9 exactly vs 1764.9000000000001 in float64 — an ulp that moves
+    // the interpolation fraction)
+    val pos = s"(CAST($q AS DOUBLE) * CAST(len($vs) - 1 AS DOUBLE))"
+    val lo = s"floor($pos)"
+    val hi = s"ceil($pos)"
+    val vLo = s"$vs[CAST($lo AS BIGINT) + 1]"
+    val vHi = s"$vs[CAST($hi AS BIGINT) + 1]"
+    val inner =
+      s"CASE WHEN len($vs) = 0 THEN NULL " +
+        s"WHEN $lo = $hi THEN $vLo " +
+        s"ELSE ($hi - $pos) * $vLo + ($pos - $lo) * $vHi END"
+    s"(list_transform([list(CAST($col AS DOUBLE) ORDER BY $col) FILTER (WHERE $col IS NOT NULL)], $vs -> $inner)[1])"
+  }
+
   /** zlib ADLER32 over the ASCII bytes of `strExpr` (closed form: the two
     * running sums are mod-65521 ring sums, so one final mod each matches the
     * kernel's progressive reduction — `HashOps.adler32`). BIGINT result. */
