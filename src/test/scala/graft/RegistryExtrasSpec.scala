@@ -56,6 +56,13 @@ class RegistryExtrasSpec extends GraftSuite {
     intercept[Exception](one("SELECT REGEXPREPLACE('x', 'x', 'y', 1, 2) AS bad"))
   }
 
+  test("the Pinot registry has no duplicate names (createOrReplace is last-wins and silent)") {
+    val names = PinotFunctions.registry.map(_._1)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry entries: ${dups.mkString(",")}")
+    assert(names.size >= 139) // the round-5 vocabulary floor
+  }
+
   test("jsonPath* scalar family: typed extraction with Pinot sentinel defaults") {
     val r = one(
       """SELECT JSONPATHSTRING('{"a": {"b": "x"}}', '$.a.b') AS s,
