@@ -177,12 +177,14 @@ object PinotFunctions {
       if (args.length >= 3) Coalesce(Seq(e, Cast(args(2), StringType))) else e
     }),
     "jsonpathlong" -> (args => {
-      val e = Cast(GetJsonObject(args(0), args(1)), LongType)
+      // TRY cast: under ANSI a non-numeric node would THROW, and Coalesce
+      // can't catch a throw — Pinot's jsonPathLong falls to the default
+      val e = Cast(GetJsonObject(args(0), args(1)), LongType, None, EvalMode.TRY)
       if (args.length >= 3) Coalesce(Seq(e, Cast(args(2), LongType)))
       else Coalesce(Seq(e, Literal(Long.MinValue))) // Pinot default when absent
     }),
     "jsonpathdouble" -> (args => {
-      val e = Cast(GetJsonObject(args(0), args(1)), DoubleType)
+      val e = Cast(GetJsonObject(args(0), args(1)), DoubleType, None, EvalMode.TRY)
       if (args.length >= 3) Coalesce(Seq(e, Cast(args(2), DoubleType)))
       else Coalesce(Seq(e, Literal(Double.NegativeInfinity))) // Pinot default
     }),

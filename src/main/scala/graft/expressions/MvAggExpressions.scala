@@ -67,12 +67,17 @@ object MvAggs {
       Cast(Subtract(n, Literal(1)), DoubleType))
     val lo = Floor(idx)
     val hi = Ceil(idx)
-    val frac = Subtract(idx, Cast(lo, DoubleType))
     val vLo = ElementAt(lst, Cast(Add(lo, Literal(1L)), IntegerType))
     val vHi = ElementAt(lst, Cast(Add(hi, Literal(1L)), IntegerType))
+    // Spark Percentile's association: (hi−pos)·vLo + (pos−lo)·vHi, with the
+    // exact-index short-circuit — NOT vLo + (vHi−vLo)·frac, which differs by
+    // up to 1 ulp on non-exact doubles (ADVICE r5)
+    val interp = Add(
+      Multiply(Subtract(Cast(hi, DoubleType), idx), vLo),
+      Multiply(Subtract(idx, Cast(lo, DoubleType)), vHi))
     If(LessThan(n, Literal(1)),
       Literal(null, DoubleType),
-      Add(vLo, Multiply(Subtract(vHi, vLo), frac)))
+      If(EqualTo(lo, hi), vLo, interp))
   }
 
   /** MAX(array_max) − MIN(array_min) over the group (MINMAXRANGEMV). */

@@ -63,14 +63,20 @@ object StringGenerators {
 
   /** Unique character n-grams for every gram size in minGram..maxGram. */
   def uniqueNgrams(s: Expression, minGram: Expression, maxGram: Expression): Expression = {
+    val lo = Cast(minGram, IntegerType)
+    val hi = Cast(maxGram, IntegerType)
     val g = UnresolvedNamedLambdaVariable(Seq("g"))
     val sizes = fn("filter",
-      fn("sequence", Cast(minGram, IntegerType), Cast(maxGram, IntegerType)),
+      fn("sequence", lo, hi),
       LambdaFunction(LessThanOrEqual(g, Length(s)), Seq(g)))
     val g2 = UnresolvedNamedLambdaVariable(Seq("g"))
-    ArrayDistinct(Flatten(
-      fn("transform", sizes,
-        LambdaFunction(ngramsOf(s, Cast(g2, IntegerType)), Seq(g2)))))
+    // sequence(lo, hi) is DESCENDING when lo > hi (the sequence(1,0) gotcha):
+    // an inverted range must be empty, as Pinot returns, not descending grams
+    If(GreaterThan(lo, hi),
+      emptyStrArray,
+      ArrayDistinct(Flatten(
+        fn("transform", sizes,
+          LambdaFunction(ngramsOf(s, Cast(g2, IntegerType)), Seq(g2))))))
   }
 
   private def ngramsOf(s: Expression, n: Expression): Expression = {

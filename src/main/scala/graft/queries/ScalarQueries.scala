@@ -429,13 +429,18 @@ object ScalarQueries {
     * bit-exact SQL replicas (unsigned-32 arithmetic emulated in BIGINT);
     * MD5 rides along as the native cross-check. CRC32C / MURMURHASH3BIT32
     * are spec-checked against published test vectors instead (no clean
-    * DuckDB form). Map-only + one sort. */
+    * DuckDB form). The SQL replicas hash CODEPOINTS (ascii per char) while
+    * the kernels hash UTF-8 BYTES — identical only on ASCII input, so both
+    * sides restrict to ASCII rows (byte length == char length), making the
+    * oracle robust to a non-ASCII fixture regeneration (ADVICE r5).
+    * Map-only + one sort. */
   private val hashFamily = Q(
     "q_scalar_hash_family",
     (spark, dir) => {
       import graft.functions.{adler32 => gadler32, murmur2 => gmurmur2}
       val d = Tables.t(spark, dir, "documents")
-      d.select(
+      d.filter(octet_length(col("text")) === length(col("text")))
+        .select(
           col("doc_id"),
           md5(col("text").cast("binary")).as("md5_text"),
           gadler32(col("text")).as("adl"),
@@ -445,7 +450,8 @@ object ScalarQueries {
     Some(s"""SELECT doc_id, md5(text) AS md5_text,
             |  ${graft.tools.DuckDbSql.adler32("text")} AS adl,
             |  ${graft.tools.DuckDbSql.murmur2("text")} AS m2
-            |FROM documents ORDER BY doc_id""".stripMargin))
+            |FROM documents WHERE strlen(text) = length(text)
+            |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
     explodeMv, urlFuncs, geoFuncs, mapFuncs, strGenFuncs, netFuncs, hashFamily)

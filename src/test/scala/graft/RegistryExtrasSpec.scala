@@ -79,6 +79,18 @@ class RegistryExtrasSpec extends GraftSuite {
     assert(r.getDouble(5).isNegInfinity)
   }
 
+  test("jsonPath* numeric forms fall to the default on non-numeric nodes (TRY cast under ANSI)") {
+    // Pinot's jsonPathLong answers the default when the node exists but is
+    // not numeric; a plain ANSI Cast would THROW and Coalesce can't catch it
+    val r = one(
+      """SELECT JSONPATHLONG('{"n": "abc"}', '$.n', 42) AS bad_str,
+        |       JSONPATHLONG('{"n": {"x": 1}}', '$.n') AS bad_obj,
+        |       JSONPATHDOUBLE('{"d": "zzz"}', '$.d', 1.5) AS bad_dbl""".stripMargin)
+    assert(r.getLong(0) === 42L)
+    assert(r.getLong(1) === Long.MinValue)
+    assert(r.getDouble(2) === 1.5)
+  }
+
   test("FREQUENTLONGSSKETCH rides the frequent-items kernel over decimal strings") {
     val raw = one("SELECT FREQUENTLONGSSKETCH(k) AS s FROM hx").getAs[Array[Byte]](0)
     val sk = graft.expressions.FreqOps.wrap(raw)

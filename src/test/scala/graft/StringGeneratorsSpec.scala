@@ -46,6 +46,12 @@ class StringGeneratorsSpec extends GraftSuite {
     assert(r.getSeq[String](1) === Seq("a", "b", "c", "ab", "bc", "abc"))
   }
 
+  test("UNIQUENGRAMS with minGram > maxGram returns empty, not descending grams") {
+    // sequence(lo, hi) is DESCENDING when lo > hi — an inverted range must be []
+    val r = one("SELECT UNIQUENGRAMS('abcdef', 3, 2) AS inv")
+    assert(r.getSeq[String](0).isEmpty)
+  }
+
   test("SPLITPART is 0-based, drops empty tokens, and answers 'null' out of bounds") {
     val r = one(
       """SELECT SPLITPART('a  b c', ' ', 1) AS empties_dropped,
