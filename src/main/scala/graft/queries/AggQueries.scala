@@ -128,18 +128,21 @@ object AggQueries {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** A7: exact interpolated percentiles (Pinot PERCENTILE; we declare the
-    * exact form so the oracle hash-matches — SURVEY.md §7.4.1). */
+    * exact form so the oracle hash-matches — SURVEY.md §7.4.1).
+    *
+    * Routed through [[graft.ops.ExactPercentile]] (round-6 verdict #1):
+    * `percentile()`'s value-map buffer grows with rows-per-group (an OOM at
+    * 100× on near-unique `l_extendedprice`); the distributed two-pass rank
+    * plan is bit-identical (ExactPercentileSpec) with bounded task memory. */
   private val aggPercentile = Q(
     "q_agg_percentile",
     (spark, dir) => {
       val li = Tables.t(spark, dir, "lineitem")
-      // one percentile buffer per COLUMN (array form), not per quantile:
-      // three scalar percentile() calls on l_quantity would each build and
-      // merge their own per-group value map
-      li.groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("q"),
-          percentile(col("l_extendedprice"), array(lit(0.9))).as("p"))
+      val qty = graft.ops.ExactPercentile.groupPercentiles(
+        li, Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75), out = "q")
+      val price = graft.ops.ExactPercentile.groupPercentiles(
+        li, Seq("l_returnflag"), "l_extendedprice", Seq(0.9), out = "p")
+      qty.join(price, "l_returnflag")
         .select(
           col("l_returnflag"),
           round(col("q").getItem(0), 4).as("p25_qty"),
