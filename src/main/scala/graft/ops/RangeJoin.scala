@@ -15,6 +15,35 @@ import org.apache.spark.sql.functions._
   * false candidates per bin; much narrower → interval explode amplifies. */
 object RangeJoin {
 
+  /** Derive a good bin width from the interval side with ONE cheap stats
+    * pre-pass: the approx-median interval width (bins-per-interval ≈ 1–2, so
+    * the explode amplification is bounded while candidates-per-point stay
+    * O(local density)). Median beats mean under width skew — a few huge
+    * intervals would inflate the mean and put thousands of points per bin.
+    * The scan reads only (lo, hi) after column pruning; at 100 TB the
+    * interval side is typically the small side of the join, and the pass is
+    * a single partial-aggregated sketch (no shuffle of data rows). Falls
+    * back to the mean when the median is 0 (>=50% zero-width intervals),
+    * then to 1.0 (any width is correct for pure point intervals). */
+  def deriveBinWidth(intervals: DataFrame, loCol: String, hiCol: String): Double = {
+    val row = intervals.select(
+      percentile_approx((col(hiCol) - col(loCol)).cast("double"), lit(0.5), lit(100)).as("med"),
+      avg(col(hiCol) - col(loCol)).as("mean")).first()
+    val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val mean = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    if (med > 0) med else if (mean > 0) mean else 1.0
+  }
+
+  /** No-tuning form: bin width auto-derived via [[deriveBinWidth]]. */
+  def binnedRangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String): DataFrame =
+    binnedRangeJoin(points, intervals, pointCol, loCol, hiCol,
+      deriveBinWidth(intervals, loCol, hiCol))
+
   def binnedRangeJoin(
       points: DataFrame,
       intervals: DataFrame,

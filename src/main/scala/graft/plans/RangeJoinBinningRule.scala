@@ -19,17 +19,56 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *   join ON __bin = __bin AND <original predicate>, then project the
   *   original output.
   *
-  * Guarded by `spark.graft.rangeJoin.binWidth` (unset/0 = off): bin width
-  * is a data property (≈ typical interval width), so it stays an explicit
-  * knob rather than a guess. Fires only on INNER joins whose condition is
-  * exactly the two double-typed bounds; the rewritten join's condition has
-  * an equality conjunct at the top, so the rule cannot re-fire on its own
-  * output. Null bounds produce a null sequence, which `explode` drops —
-  * matching BETWEEN's null-is-false semantics.
+  * Guarded by `spark.graft.rangeJoin.binWidth` (unset/0 = off). Set it to a
+  * number to pin the width, or to `auto` to DERIVE it: one cheap stats
+  * pre-pass over the interval side computes the approx-median interval
+  * width (the `RangeJoin.deriveBinWidth` heuristic — bins-per-interval
+  * ≈ 1–2, candidates-per-point O(local density), median robust to width
+  * skew), cached per canonicalized (plan, lo, hi) so optimizer fixed-point
+  * iterations and repeated queries don't re-scan. Fires only on INNER joins
+  * whose condition is exactly the two double-typed bounds; the rewritten
+  * join's condition has an equality conjunct at the top, so the rule cannot
+  * re-fire on its own output. Null bounds produce a null sequence, which
+  * `explode` drops — matching BETWEEN's null-is-false semantics.
   */
 object RangeJoinBinningRule extends Rule[LogicalPlan] {
 
   private val ConfKey = "spark.graft.rangeJoin.binWidth"
+
+  /** Re-entrancy guard: the `auto` pre-pass executes a sub-query on this
+    * thread; the rule must not fire inside its own derivation. */
+  private val deriving = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Derived widths keyed by canonicalized (interval plan, lo, hi) —
+    * bounded; survives across queries in a session (same table+bounds =
+    * same width). */
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Expression, Expression), java.lang.Double]()
+
+  private def derivedWidth(right: LogicalPlan, lo: Expression, hi: Expression): Double = {
+    val key = (right.canonicalized, lo.canonicalized, hi.canonicalized)
+    val cached = widthCache.get(key)
+    if (cached != null) return cached.doubleValue()
+    deriving.set(true)
+    val w = try {
+      val df = org.apache.spark.sql.graft.GraftBridge.ofRows(
+        org.apache.spark.sql.SparkSession.active, right)
+      val wcol = org.apache.spark.sql.graft.GraftBridge.column(Subtract(hi, lo))
+      val row = df.select(
+        org.apache.spark.sql.functions.percentile_approx(
+          wcol, org.apache.spark.sql.functions.lit(0.5),
+          org.apache.spark.sql.functions.lit(100)).as("med"),
+        org.apache.spark.sql.functions.avg(wcol).as("mean")).first()
+      val med = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val mean = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+      if (med > 0) med else if (mean > 0) mean else 1.0
+    } finally deriving.set(false)
+    if (widthCache.size() > 100) widthCache.clear()
+    widthCache.put(key, w)
+    w
+  }
 
   /** Normalize one conjunct to (point, bound, boundIsLower) if it is a
     * double comparison between a left-side point and a right-side bound. */
@@ -50,8 +89,11 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(ConfKey, "0").toDouble
-    if (w <= 0) return plan
+    val confVal = conf.getConfString(ConfKey, "0").trim
+    val auto = confVal.equalsIgnoreCase("auto")
+    val pinned = if (auto) 0.0 else confVal.toDouble
+    if (!auto && pinned <= 0) return plan
+    if (deriving.get()) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(And(c1, c2)), hint) =>
         // accept the bounds in either conjunct order: `p >= lo AND p <= hi`
@@ -64,6 +106,7 @@ object RangeJoinBinningRule extends Rule[LogicalPlan] {
           (p1, lo, _) = if (b1._3) b1 else b2
           (_, hi, _) = if (b1._3) b2 else b1
         } yield {
+          val w = if (auto) derivedWidth(right, lo, hi) else pinned
           val binAlias = Alias(Floor(Divide(p1, Literal(w))), "__graft_bin")()
           val newLeft = Project(left.output :+ binAlias, left)
           // Sequence is TimeZoneAwareExpression: unresolved until a zone is
