@@ -73,6 +73,98 @@ object Pq {
     Codebooks(m, dim, cents)
   }
 
+  /** Raw sequential-float64 squared-L2 fold between a float-array column
+    * and a literal centroid — the EXACT composition of [[nearest]]'s inner
+    * loop (no sqrt-square detour: that differs by a ulp and could flip a
+    * near-tie argmin vs the driver trainer). Interpreted HOF is fine here:
+    * training touches only the sample, never the corpus. */
+  private def rawL2sq(blk: Column, cent: Array[Float]): Column = {
+    val centLit = array(cent.map(v => lit(v)): _*)
+    aggregate(
+      zip_with(blk, centLit, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Distributed Lloyd's k-means per block — the 100 TB training path: the
+    * driver-side [[train]] collects the whole sample; this runs every pass
+    * as DataFrame operators, so the training sample can be as large as the
+    * cluster, not the driver. Per iteration: (1) assignment is a map-only
+    * pass (current centroids ride along as literals — the broadcast-tiny
+    * pattern, m×k×sub floats); (2) the centroid update aggregates per
+    * (block, code, dim) — m×k×sub groups total, so the shuffle after
+    * map-side partial collapse is tiny regardless of sample size; (3) only
+    * the m×k×sub new centroid VALUES are collected (never data rows). No
+    * lineage growth across iterations: each pass re-plans from the
+    * persisted sample with fresh literals, so no checkpoint discipline is
+    * needed (unlike Components, nothing iterates over its own output).
+    *
+    * BIT-IDENTICAL to [[train]] on the same sample in `idCol` order: the
+    * update folds each group's values in id order (sort_array(collect_list
+    * (struct(id, v)))) then sums sequentially in float64, divides by the
+    * count, casts to float32 — exactly the driver trainer's
+    * `(sums/counts).toFloat` with the same addition order, so floating-
+    * point non-associativity never diverges the two. Empty clusters keep
+    * their previous centroid, ties go to the lowest code — both as in
+    * [[train]]. PqSpec asserts the equality exactly, not approximately. */
+  def trainDistributed(
+      sample: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      k: Int,
+      iters: Int): Codebooks = {
+    val dim = sample.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val sub = dim / m
+    val s = sample
+      .select(col(idCol).cast("long").as("__sid"), col(embCol).as("__emb"))
+      .persist()
+    try {
+      // init = first k sample vectors in id order (train's pts.take(k))
+      var cents: Array[Array[Array[Float]]] = {
+        val first = s.orderBy(col("__sid")).limit(k).collect()
+          .map(_.getSeq[Float](1).toArray)
+        Array.tabulate(m)(b => first.map(_.slice(b * sub, (b + 1) * sub)))
+      }
+      var it = 0
+      while (it < iters) {
+        val perBlock = (0 until m).map { b =>
+          val blk = slice(col("__emb"), b * sub + 1, sub)
+          // two-step select: a lambda-HOF column loses its alias inside
+          // struct() (fields degrade to colN), so name the distances first
+          val distCols = cents(b).zipWithIndex.map { case (c, j) =>
+            rawL2sq(blk, c).as(s"__d$j")
+          }
+          val withD = s.select(
+            (Seq(col("__sid"), blk.as("__blk")) ++ distCols).toIndexedSeq: _*)
+          val scored = cents(b).indices.map(j =>
+            struct(col(s"__d$j").as("d"), lit(j).as("j")))
+          withD.select(lit(b).as("b"), col("__sid"),
+            sort_array(array(scored.toIndexedSeq: _*))(0).getField("j").as("code"),
+            posexplode(col("__blk")).as(Seq("pos", "v")))
+        }
+        val updated = perBlock.reduce(_ union _)
+          .groupBy(col("b"), col("code"), col("pos"))
+          .agg(sort_array(collect_list(struct(col("__sid"), col("v")))).as("lst"))
+          .select(col("b"), col("code"), col("pos"),
+            (aggregate(col("lst"), lit(0.0),
+              (acc, x) => acc + x.getField("v").cast("double"))
+              / size(col("lst"))).cast("float").as("c"))
+          .collect()
+        val next = Array.tabulate(m)(b => cents(b).map(_.clone()))
+        updated.foreach { r =>
+          next(r.getAs[Int]("b"))(r.getAs[Int]("code"))(r.getAs[Int]("pos")) =
+            r.getAs[Float]("c")
+        }
+        cents = next
+        it += 1
+      }
+      Codebooks(m, dim, cents)
+    } finally { s.unpersist(); () }
+  }
+
   /** Index of the nearest centroid (squared L2, ties to the lowest index). */
   def nearest(p: Array[Float], cb: Array[Array[Float]]): Int = {
     var best = 0

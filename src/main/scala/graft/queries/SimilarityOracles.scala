@@ -333,6 +333,92 @@ object SimilarityOracles {
        |SELECT qid, rn, nid, adc FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Oracle for q_sim_ann_pq_trained — the distributed k-means trainer
+    * (Pq.trainDistributed) UNROLLED in SQL: two Lloyd iterations as chained
+    * CTEs. Replication is bit-exact because both engines are deterministic
+    * by construction: assignment distances fold (v−c)² sequentially in
+    * element order (the rawL2sq zip_with replica — init-0.0 left fold and
+    * DuckDB's seedless list_reduce bracket identically since 0.0+x == x);
+    * centroid updates sum float64 in sid order (list(... ORDER BY sid))
+    * then /count then CAST to REAL — exactly the ordered-fold update the
+    * Spark side uses; empty clusters COALESCE back to the previous
+    * centroid; argmin ties break to the lowest code. The final corpus
+    * encode uses the l2sqBlk sqrt-then-square composition (encodeCol's
+    * MinkowskiDistance kernel), NOT the raw training fold — the two folds
+    * differ by a ulp and each side must use its own. */
+  lazy val annPqTrainedSql: String = {
+    def trainFold(v: String, c: String, ord: String): String = {
+      val dd = s"(CAST($v AS DOUBLE) - CAST($c AS DOUBLE))"
+      val (fa, fb) = (sym("fa"), sym("fb"))
+      s"list_reduce(list($dd * $dd ORDER BY $ord), ($fa, $fb) -> $fa + $fb)"
+    }
+    def sumFold(v: String, ord: String): String = {
+      val (ga, gb) = (sym("ga"), sym("gb"))
+      s"list_reduce(list(CAST($v AS DOUBLE) ORDER BY $ord), ($ga, $gb) -> $ga + $gb)"
+    }
+    def iteration(n: Int): String = {
+      val prev = s"cents${n - 1}"
+      s"""d$n AS (
+         |  SELECT s.sid, s.b, c.j, ${trainFold("s.v", "c.c", "s.pos")} AS d
+         |  FROM sblk s JOIN $prev c ON c.b = s.b AND c.pos = s.pos
+         |  GROUP BY s.sid, s.b, c.j
+         |), a$n AS (
+         |  SELECT sid, b, j AS code FROM (
+         |    SELECT sid, b, j,
+         |           row_number() OVER (PARTITION BY sid, b ORDER BY d ASC, j ASC) AS rn
+         |    FROM d$n) WHERE rn = 1
+         |), u$n AS (
+         |  SELECT a.b, a.code AS j, s.pos,
+         |         CAST(${sumFold("s.v", "s.sid")} / count(*) AS REAL) AS c
+         |  FROM a$n a JOIN sblk s ON s.sid = a.sid AND s.b = a.b
+         |  GROUP BY a.b, a.code, s.pos
+         |), cents$n AS (
+         |  SELECT p.b, p.j, p.pos, COALESCE(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN u$n u ON u.b = p.b AND u.j = p.j AND u.pos = p.pos
+         |)""".stripMargin
+    }
+    val encDiff = s"(CAST(e.embedding[c.b*16 + c.pos] AS DOUBLE) - CAST(c.c AS DOUBLE))"
+    val (ea, eb) = (sym("ea"), sym("eb"))
+    val encFold = s"list_reduce(list($encDiff * $encDiff ORDER BY c.pos), ($ea, $eb) -> $ea + $eb)"
+    val esq = sym("esq")
+    s"""WITH sample AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS sid, embedding FROM embeddings WHERE vec_id < 32
+       |), sblk AS (
+       |  SELECT s.sid, CAST(bl.b AS INTEGER) AS b, CAST(p.pos AS INTEGER) AS pos,
+       |         s.embedding[bl.b*16 + p.pos] AS v
+       |  FROM sample s,
+       |       (SELECT unnest(range(0, 4)) AS b) bl,
+       |       (SELECT unnest(range(1, 17)) AS pos) p
+       |), init AS (
+       |  SELECT sid, CAST(j AS INTEGER) AS j FROM (
+       |    SELECT sid, row_number() OVER (ORDER BY sid) - 1 AS j FROM sample)
+       |  WHERE j < 4
+       |), cents0 AS (
+       |  SELECT sb.b, i.j, sb.pos, sb.v AS c
+       |  FROM init i JOIN sblk sb ON sb.sid = i.sid
+       |), ${iteration(1)}, ${iteration(2)}, encd AS (
+       |  SELECT e.vec_id, c.b, c.j,
+       |         (list_transform([sqrt($encFold)], $esq -> $esq * $esq)[1]) AS d
+       |  FROM embeddings e, cents2 c
+       |  GROUP BY e.vec_id, c.b, c.j
+       |), codes AS (
+       |  SELECT vec_id, b, j AS code FROM (
+       |    SELECT vec_id, b, j,
+       |           row_number() OVER (PARTITION BY vec_id, b ORDER BY d ASC, j ASC) AS rn
+       |    FROM encd) WHERE rn = 1
+       |), hist AS (
+       |  SELECT b, code, CAST(count(*) AS BIGINT) AS n_vecs FROM codes GROUP BY b, code
+       |), csum AS (
+       |  SELECT b, j AS code, ${sumFold("c", "pos")} AS raw_sum
+       |  FROM cents2 GROUP BY b, j
+       |)
+       |SELECT CAST(cs.b AS INTEGER) AS b, CAST(cs.code AS INTEGER) AS code,
+       |       CAST(COALESCE(h.n_vecs, 0) AS BIGINT) AS n_vecs,
+       |       ${graft.tools.DuckDbSql.sparkRound("cs.raw_sum", 4)} AS cent_sum
+       |FROM csum cs LEFT JOIN hist h ON h.b = cs.b AND h.code = cs.code
+       |ORDER BY b, code""".stripMargin
+  }
+
   /** Oracle for q_sim_ann_pq_rerank: the 10-wide ADC shortlist of the PQ
     * oracle, exact-cosine re-ranked to top-3. */
   lazy val annPqRerankSql: String = {

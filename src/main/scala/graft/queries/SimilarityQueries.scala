@@ -371,7 +371,40 @@ object SimilarityQueries {
     },
     Some(SimilarityOracles.annPqRerankSql))
 
+  /** X2 100-TB training path, oracle-anchored: PQ codebooks TRAINED by the
+    * distributed k-means trainer (`Pq.trainDistributed` — two Lloyd
+    * iterations as DataFrame passes, k=4 per 16-dim block over the
+    * vec_id<32 sample), then the whole corpus encoded against the trained
+    * centroids. Output: per-(block, code) corpus assignment histogram plus
+    * a centroid fingerprint (ordered float64 fold of the centroid values).
+    * The DuckDB oracle UNROLLS the k-means iterations as CTE chains and
+    * reproduces every centroid bit-for-bit — possible because the trainer
+    * is deterministic end-to-end (id-ordered folds, lowest-code ties,
+    * empty clusters keep their centroid), which is itself the property
+    * that makes distributed training reproducible at 100 TB. */
+  private val simAnnPqTrained = Q(
+    "q_sim_ann_pq_trained",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val cb = graft.ops.Pq.trainDistributed(
+        e.filter(col("vec_id") < 32).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", m = 4, k = 4, iters = 2)
+      val hist = e
+        .select(posexplode(graft.ops.Pq.encodeCol(col("embedding"), cb)).as(Seq("b", "code")))
+        .groupBy(col("b"), col("code")).agg(count(lit(1)).as("n_vecs"))
+      val centRows = spark.createDataFrame(
+        for { b <- 0 until 4; j <- 0 until 4 } yield
+          (b, j, cb.cents(b)(j).foldLeft(0.0)((acc, v) => acc + v.toDouble)))
+        .toDF("b", "code", "raw_sum")
+      centRows.join(hist, Seq("b", "code"), "left")
+        .select(col("b"), col("code"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          round(col("raw_sum"), 4).as("cent_sum"))
+        .orderBy(col("b"), col("code"))
+    },
+    Some(SimilarityOracles.annPqTrainedSql))
+
   val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnMultiprobe, simAnnIvf,
     simCentroids, simAnnQuantized, simAnnQuantizedLsh, simAnnIvfPq,
-    simAnnIvfPqRerank)
+    simAnnIvfPqRerank, simAnnPqTrained)
 }

@@ -25,6 +25,41 @@ class PqSpec extends GraftSuite {
     assert(e8 < e0 * 0.9, s"training barely moved: $e0 -> $e8")
   }
 
+  test("distributed trainer is bit-identical to the driver-side trainer") {
+    // same sample, same id order, same init, same iteration count → the
+    // deterministic ordered-fold update must reproduce Pq.train EXACTLY
+    // (not approximately): float64 sums in id order, /count, cast float32.
+    val sampleDf = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 256)
+      .select(col("vec_id"), col("embedding"))
+    val driverSample = vecs.take(256).toSeq
+    for (iters <- Seq(0, 1, 3)) {
+      val d = Pq.train(driverSample, m = 4, k = 16, iters = iters)
+      val dist = Pq.trainDistributed(sampleDf, "vec_id", "embedding",
+        m = 4, k = 16, iters = iters)
+      assert(dist.m === d.m && dist.dim === d.dim)
+      (0 until d.m).foreach { b =>
+        (0 until d.k).foreach { j =>
+          assert(java.util.Arrays.equals(dist.cents(b)(j), d.cents(b)(j)),
+            s"iters=$iters block=$b centroid=$j diverged: " +
+              s"${dist.cents(b)(j).take(4).mkString(",")} vs ${d.cents(b)(j).take(4).mkString(",")}")
+        }
+      }
+    }
+  }
+
+  test("distributed trainer improves quantization error like the driver trainer") {
+    val sampleDf = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 256)
+      .select(col("vec_id"), col("embedding"))
+    val sample = vecs.take(256).toSeq
+    val e0 = Pq.quantizationError(sample,
+      Pq.trainDistributed(sampleDf, "vec_id", "embedding", m = 4, k = 16, iters = 0))
+    val e3 = Pq.quantizationError(sample,
+      Pq.trainDistributed(sampleDf, "vec_id", "embedding", m = 4, k = 16, iters = 3))
+    assert(e3 < e0, s"distributed training must reduce error: $e0 -> $e3")
+  }
+
   test("encodeCol matches the Scala nearest-centroid reference per block") {
     val cb = Pq.sampleCodebooks(vecs.take(16).toSeq, m = 4)
     val got = Tables.t(spark, sfDir, "embeddings")
