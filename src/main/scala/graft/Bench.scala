@@ -63,7 +63,7 @@ object Bench {
     def jsonLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
     }
     // stdout carries ONLY a total-line (<100 B). Rounds 1-3 all recorded
     // "parsed": null because the driver captures a small stdout tail and any

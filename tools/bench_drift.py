@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Bench drift guard: flag queries slower than their best recorded time.
+
+Compares a fresh BENCH.json per-query map against the BEST time each query
+ever recorded in git history (every committed version of BENCH.json), and
+separates REGRESSION from ENVIRONMENTAL drift:
+
+  - the median ratio (current / best) across all queries estimates host
+    noise — quiet-host runs sit near 1.0-1.3, a throttled host shifts every
+    query uniformly (the round-4 adjudication problem this tool replaces);
+  - a query is flagged only when it is BOTH >1.5x its best AND >1.5x the
+    median ratio (i.e. it moved more than the host did).
+
+Usage: python3 tools/bench_drift.py [BENCH.json]   (run from the repo root)
+Exit 0 = clean or uniform-environmental; exit 1 = isolated regressions.
+"""
+import json
+import statistics
+import subprocess
+import sys
+
+
+# First commit with the honest noop-write sink (ff17daf, round 5). Earlier
+# BENCH.json versions drove queries with .count(), under which Catalyst
+# pruned unreferenced aggregate work and top-level sorts — those times are
+# NOT comparable (BASELINE.md documents the same-code 51.2s -> 91.2s shift),
+# so best-of-history starts at the sink change.
+HONEST_SINK_COMMIT = "ff17daf"
+
+
+def history_best(sf, cpus):
+    """Best per-query time over committed BENCH.json versions at the SAME
+    scale factor and core count (a sf0.001 or 8-cpu run is not a baseline
+    for a sf0.1 32-cpu run; entries without a cpus field predate it and
+    were all 32-cpu driver runs)."""
+    revs = subprocess.check_output(
+        ["git", "log", "--format=%H", f"{HONEST_SINK_COMMIT}~1..HEAD",
+         "--", "BENCH.json"], text=True).split()
+    best = {}
+    for rev in revs:
+        try:
+            doc = json.loads(subprocess.check_output(
+                ["git", "show", f"{rev}:BENCH.json"], text=True,
+                stderr=subprocess.DEVNULL))
+        except Exception:
+            continue
+        if doc.get("sf") != sf or doc.get("cpus", 32) != cpus:
+            continue
+        for q, t in (doc.get("queries") or {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                best[q] = min(best.get(q, t), t)
+    return best
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH.json"
+    doc = json.load(open(path))
+    cur = doc.get("queries") or {}
+    if not cur:
+        print(f"no per-query map in {path}")
+        return 2
+    sf, cpus = doc.get("sf"), doc.get("cpus", 32)
+    print(f"current run: {len(cur)} queries, sf={sf}, cpus={cpus}")
+    best = history_best(sf, cpus)
+    ratios = {q: cur[q] / best[q] for q in cur if q in best and best[q] > 0}
+    if not ratios:
+        print("no overlapping history — nothing to compare")
+        return 0
+    med = statistics.median(ratios.values())
+    host = ("quiet" if med <= 1.3 else
+            f"UNIFORM DRIFT (median {med:.2f}x = environmental, not regression)")
+    print(f"{len(ratios)} queries vs best-of-history; median ratio "
+          f"{med:.2f}x -> host: {host}")
+    flagged = sorted(
+        ((q, r) for q, r in ratios.items() if r > 1.5 and r > 1.5 * med),
+        key=lambda x: -x[1])
+    new = sorted(q for q in cur if q not in best)
+    if new:
+        print(f"{len(new)} queries with no history (new this round): "
+              + ", ".join(new[:8]) + ("..." if len(new) > 8 else ""))
+    if not flagged:
+        print("no isolated regressions (every slow query moved with the host)")
+        return 0
+    print(f"\n{len(flagged)} ISOLATED regression suspects "
+          "(moved >1.5x best AND >1.5x the host median):")
+    for q, r in flagged:
+        print(f"  {q}: {cur[q]:.2f}s vs best {best[q]:.2f}s = {r:.1f}x")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
