@@ -63,4 +63,38 @@ object TextOracles {
        |FROM best WHERE rn = 1
        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
   }
+
+  /** Oracle for q_text_rare_ngram: same bigram derivation (adjacent token
+    * pairs of the single-space split), per-(doc, bigram) occurrence counts,
+    * corpus totals, hapax-occurrence ratio. The ratio is BIGINT/BIGINT in
+    * float64 — correctly-rounded IEEE division, bit-identical to Spark with
+    * no fold-order subtleties; sparkRound guards the display rounding. */
+  lazy val rareNgramSql: String = {
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), bi AS (
+       |  SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS bg
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+       |), perdoc AS (
+       |  SELECT doc_id, bg, count(*) AS occ FROM bi GROUP BY doc_id, bg
+       |), corpus AS (
+       |  SELECT bg, CAST(sum(occ) AS BIGINT) AS c FROM perdoc GROUP BY bg
+       |), docstat AS (
+       |  SELECT p.doc_id,
+       |         CAST(sum(p.occ) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(CASE WHEN c.c <= 1 THEN p.occ ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM perdoc p JOIN corpus c USING (bg)
+       |  GROUP BY p.doc_id
+       |), ranked AS (
+       |  SELECT doc_id, n_bigrams, n_rare,
+       |         CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS ratio,
+       |         row_number() OVER (
+       |           ORDER BY CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) DESC,
+       |                    doc_id ASC) AS rn
+       |  FROM docstat WHERE n_bigrams >= 5
+       |)
+       |SELECT CAST(rn AS INTEGER) AS rn, doc_id, n_bigrams, n_rare,
+       |       ${graft.tools.DuckDbSql.sparkRound("ratio", 6)} AS rare_ratio
+       |FROM ranked WHERE rn <= 15 ORDER BY rn""".stripMargin
+  }
 }

@@ -275,6 +275,49 @@ object TextQueries {
             |       CAST(length(c) AS BIGINT) AS len_clean
             |FROM cleaned ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint, textTfidf,
+  /** X3 quality scoring, n-gram-LM flavor (the Gopher/C4 rare-ngram rule
+    * class): a document whose bigrams are mostly corpus hapaxes is unusual
+    * text — boilerplate/noise in a web corpus, or genuinely novel content.
+    * Pipeline: per-(doc, bigram) occurrence counts (pre-aggregated BEFORE
+    * the join so the bigram-keyed shuffle carries one row per distinct
+    * (doc, bigram), not one per occurrence — the 100 TB shape), corpus
+    * totals from a second tiny rollup of the same frame (persisted: the
+    * self-join rule), join-back, per-doc hapax-occurrence ratio. The ratio
+    * is int/int in float64 — correctly-rounded IEEE division both engines,
+    * so the oracle matches bit-exactly with no fold-order caveats. Top-15
+    * via orderBy+limit (TakeOrderedAndProject — no global window sort);
+    * row_number only over the 15 survivors. */
+  private val textRareNgram = Q(
+    "q_text_rare_ngram",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val bigrams = zip_with(
+        slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+        slice(toks, lit(2), greatest(nTok - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      val perDoc = d.select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("occ"))
+        .persist()
+      val corpus = perDoc.groupBy(col("bg")).agg(sum(col("occ")).as("c"))
+      val ratio = col("n_rare").cast("double") / col("n_bigrams").cast("double")
+      val docstat = perDoc.join(corpus, "bg")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("occ")).cast("long").as("n_bigrams"),
+          sum(when(col("c") <= 1, col("occ")).otherwise(lit(0L))).cast("long").as("n_rare"))
+        .filter(col("n_bigrams") >= 5)
+        .withColumn("ratio", ratio)
+      val top = docstat.orderBy(col("ratio").desc, col("doc_id").asc).limit(15)
+      val w = Window.orderBy(col("ratio").desc, col("doc_id").asc)
+      top.withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("doc_id"), col("n_bigrams"), col("n_rare"),
+          round(col("ratio"), 6).as("rare_ratio"))
+        .orderBy(col("rn"))
+    },
+    Some(TextOracles.rareNgramSql))
+
+  val all: Seq[Q] = Seq(textRareNgram, textTokens, textQuality, textLangId, textFingerprint, textTfidf,
     textRepetition, textChunks, textClean)
 }
