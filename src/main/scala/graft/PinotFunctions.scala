@@ -42,6 +42,20 @@ object PinotFunctions {
       false)
   }
 
+  /** Whole epoch units since 1970 (floor division of epoch seconds). */
+  private def epochUnits(ts: Expression, secondsPerUnit: Long): Expression =
+    IntegralDivide(UnixSeconds(ts), Literal(secondsPerUnit), evalMode = EvalMode.LEGACY)
+
+  /** `(units div n) * n` — epoch value floored to the nearest n units. */
+  private def epochRounded(units: Expression, n: Expression): Expression = {
+    val nn = Cast(n, LongType)
+    Multiply(IntegralDivide(units, nn, evalMode = EvalMode.LEGACY), nn)
+  }
+
+  /** `units div n` — the bucket index. */
+  private def epochBucket(units: Expression, n: Expression): Expression =
+    IntegralDivide(units, Cast(n, LongType), evalMode = EvalMode.LEGACY)
+
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // ---- date/time (C3) ----
     "datetrunc" -> (args => TruncTimestamp(args(0), args(1))),
@@ -61,6 +75,33 @@ object PinotFunctions {
       Multiply(Cast(args(0), DoubleType), Literal(3600.0)))),
     "fromepochdays" -> (args => SecondsToTimestamp(
       Multiply(Cast(args(0), DoubleType), Literal(86400.0)))),
+    // ToEpoch<Unit>Rounded(ts, n) → epoch units floored to the nearest n;
+    // ToEpoch<Unit>Bucket(ts, n) → the bucket INDEX (epoch units / n);
+    // FromEpoch<Unit>Bucket(idx, n) → timestamp of the bucket start — the
+    // Pinot granularity-bucketing trio for every epoch unit the plain
+    // ToEpoch<Unit> forms above cover. Bucket size may be any integral
+    // expression; division floors (LEGACY IntegralDivide, same as the
+    // plain minute/hour/day forms).
+    "toepochmillisrounded" -> (args => epochRounded(UnixMillis(args(0)), args(1))),
+    "toepochsecondsrounded" -> (args => epochRounded(UnixSeconds(args(0)), args(1))),
+    "toepochminutesrounded" -> (args => epochRounded(epochUnits(args(0), 60L), args(1))),
+    "toepochhoursrounded" -> (args => epochRounded(epochUnits(args(0), 3600L), args(1))),
+    "toepochdaysrounded" -> (args => epochRounded(epochUnits(args(0), 86400L), args(1))),
+    "toepochmillisbucket" -> (args => epochBucket(UnixMillis(args(0)), args(1))),
+    "toepochsecondsbucket" -> (args => epochBucket(UnixSeconds(args(0)), args(1))),
+    "toepochminutesbucket" -> (args => epochBucket(epochUnits(args(0), 60L), args(1))),
+    "toepochhoursbucket" -> (args => epochBucket(epochUnits(args(0), 3600L), args(1))),
+    "toepochdaysbucket" -> (args => epochBucket(epochUnits(args(0), 86400L), args(1))),
+    "fromepochmillisbucket" -> (args => MillisToTimestamp(
+      Multiply(Cast(args(0), LongType), Cast(args(1), LongType)))),
+    "fromepochsecondsbucket" -> (args => SecondsToTimestamp(
+      Multiply(Cast(args(0), LongType), Cast(args(1), LongType)))),
+    "fromepochminutesbucket" -> (args => SecondsToTimestamp(
+      Multiply(Multiply(Cast(args(0), LongType), Cast(args(1), LongType)), Literal(60L)))),
+    "fromepochhoursbucket" -> (args => SecondsToTimestamp(
+      Multiply(Multiply(Cast(args(0), LongType), Cast(args(1), LongType)), Literal(3600L)))),
+    "fromepochdaysbucket" -> (args => SecondsToTimestamp(
+      Multiply(Multiply(Cast(args(0), LongType), Cast(args(1), LongType)), Literal(86400L)))),
     // Calcite TIMESTAMPADD/TIMESTAMPDIFF (multistage) need no alias: the
     // name is a parser special form, so Spark accepts the exact Pinot
     // spelling TIMESTAMPADD(HOUR, 3, ts) natively (PinotCompatSpec) — and
@@ -319,6 +360,15 @@ object PinotFunctions {
         Multiply(Multiply(Multiply(Cos(rad(y(args(0)))), Cos(rad(y(args(1))))), s2), s2))
       Multiply(Literal(2.0 * graft.functions.EarthRadiusMeters), Asin(Sqrt(h)))
     }),
+    // Polygon family (round 6 — expressions/GeoExpressions): polygons are
+    // array<struct<x,y>> ring vertices; containment = canonical even-odd
+    // ray cast, area = planar shoelace. ST_GeomFromText parses POLYGON WKT
+    // (points keep ST_GeogFromText above); ST_Within(point, poly) is
+    // containment with the Pinot argument order.
+    "st_geomfromtext" -> (args => graft.expressions.StPolygonFromText(args(0))),
+    "st_contains" -> (args => graft.expressions.StContains(args(0), args(1))),
+    "st_within" -> (args => graft.expressions.StContains(args(1), args(0))),
+    "st_area" -> (args => graft.expressions.StArea(args(0))),
     // ---- binary/hash (C7) ----
     "tobase64" -> (args => Base64(args(0))),
     "frombase64" -> (args => UnBase64(args(0))),
@@ -545,7 +595,17 @@ object PinotFunctions {
     "percentilekllmv" -> (args => graft.expressions.MvAggs.percentileKllMv(args(0), args(1))),
     "percentileestmv" -> (args => graft.expressions.MvAggs.percentileKllMv(args(0), args(1))),
     "percentiletdigestmv" -> (args => graft.expressions.MvAggs.percentileKllMv(args(0), args(1))),
-    "minmaxrangemv" -> (args => graft.expressions.MvAggs.minMaxRangeMv(args(0))))
+    "minmaxrangemv" -> (args => graft.expressions.MvAggs.minMaxRangeMv(args(0))),
+    // Funnel aggregates — Pinot funnelMaxStep(ts, windowSize, numSteps,
+    // step1, …, stepN) family as one TypedImperativeAggregate
+    // (expressions/FunnelExpressions; greedy-min chain semantics, shared
+    // with ops.Funnel and FunnelSqlSpec-proven against it)
+    "funnelmaxstep" -> graft.expressions.FunnelAggs.sqlBuilder(
+      graft.expressions.FunnelAgg.MaxStep),
+    "funnelmatchstep" -> graft.expressions.FunnelAggs.sqlBuilder(
+      graft.expressions.FunnelAgg.MatchStep),
+    "funnelcompletecount" -> graft.expressions.FunnelAggs.sqlBuilder(
+      graft.expressions.FunnelAgg.Complete))
 
   private def pctApprox: Seq[Expression] => Expression = args =>
     new ApproximatePercentile(args(0), Divide(Cast(args(1), DoubleType), Literal(100.0)))

@@ -337,6 +337,68 @@ object EventQueries {
         |       CAST(n_users - coalesce(lead(n_users) OVER (ORDER BY step), 0) AS BIGINT) AS n_users
         |FROM (%COUNTS%) ORDER BY max_step""".stripMargin)))
 
+  /** Pinot funnelMaxStep/funnelMatchStep as AGGREGATE EXPRESSIONS
+    * (expressions/FunnelExpressions — round 6): the same greedy-min chain
+    * as the ops.Funnel pipeline queries above, but computed per GROUP BY
+    * user inside one TypedImperativeAggregate, i.e. the literal Pinot SQL
+    * shape `SELECT funnelMaxStep(ts, w, 3, …) … GROUP BY user`. A 48 h
+    * window and a 3-step chain keep it distinct from the 72 h/4-step
+    * pipeline queries. Output = max-step histogram including step 0 (users
+    * with events but no chain entry) plus the match-step bit string, which
+    * under chain semantics must equal the 1^max_step prefix — the oracle
+    * re-derives both from per-stage CTE membership. */
+  val aggFunnelSql = Q(
+    "q_agg_funnel_sql",
+    (spark, dir) => {
+      val stepCols = Seq("view", "click", "purchase")
+        .map(t => col("event_type") === t)
+      val w = 48L * 3600L * 1000000L
+      Tables.t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+        .groupBy(col("user_id"))
+        .agg(
+          graft.expressions.FunnelAggs.maxStep(col("tus"), w, stepCols).as("m"),
+          graft.expressions.FunnelAggs.matchStep(col("tus"), w, stepCols).as("msarr"))
+        .groupBy(col("m").as("max_step"),
+          concat_ws(",", col("msarr")).as("match_step"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("max_step"))
+    },
+    Some {
+      val d = 48L * 3600L * 1000000L
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(tus) AS t, min(tus) AS t0
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(tus) AS t, min(t0) AS t0
+        |  FROM ev e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND tus >= s1.t AND tus <= s1.t0 + %D%
+        |  GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(tus) AS t, min(t0) AS t0
+        |  FROM ev e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tus >= s2.t AND tus <= s2.t0 + %D%
+        |  GROUP BY 1
+        |), per_user AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |         WHEN s2.user_id IS NOT NULL THEN 2
+        |         WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS max_step
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN s1 USING (user_id)
+        |  LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |)
+        |SELECT CAST(max_step AS INT) AS max_step,
+        |       CASE max_step WHEN 3 THEN '1,1,1' WHEN 2 THEN '1,1,0'
+        |                     WHEN 1 THEN '1,0,0' ELSE '0,0,0' END AS match_step,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM per_user GROUP BY 1, 2 ORDER BY max_step""".stripMargin
+        .replace("%D%", d.toString)
+    })
+
   /** Pinot GAPFILL analog: complete hourly spine per event_type (explode a
     * sequence between the observed min/max hour — bounds travel as a
     * broadcast one-row aggregate, never a collect), left-join the actual
@@ -545,6 +607,7 @@ object EventQueries {
 
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
-    eventsFunnelWindow, eventsFunnelMaxstep, eventsGapfill, eventsGapfillDefault,
+    eventsFunnelWindow, eventsFunnelMaxstep, aggFunnelSql, eventsGapfill,
+    eventsGapfillDefault,
     eventsCohort, eventsIdSet, eventsHybrid)
 }

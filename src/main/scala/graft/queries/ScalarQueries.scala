@@ -300,6 +300,114 @@ object ScalarQueries {
             |SELECT c_custkey, round(lon, 4) AS lon, round(lat, 4) AS lat, dist_m
             |FROM d ORDER BY c_custkey LIMIT 100""".stripMargin))
 
+  /** C3 epoch granularity-bucketing trio (round 6): Pinot
+    * ToEpoch<Unit>Rounded / ToEpoch<Unit>Bucket / FromEpoch<Unit>Bucket —
+    * run through the REGISTRY SPELLINGS on a dedicated Pinot-vocabulary
+    * session (the same dispatch a Pinot user's SQL hits), grouped into
+    * 15-minute buckets over events. The oracle re-derives every form with
+    * integer floor arithmetic on epoch seconds; timestamps stay positive so
+    * Spark's truncating IntegralDivide equals DuckDB's floor `//`. */
+  private val epochBucketFuncs = Q(
+    "q_scalar_epoch_bucket",
+    (spark, dir) => {
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT toEpochMinutesBucket(ts, 15) AS m15_idx,
+          |  toEpochMillis(fromEpochMinutesBucket(toEpochMinutesBucket(ts, 15), 15)) AS m15_start_ms,
+          |  min(toEpochSecondsRounded(ts, 300)) AS min_s300,
+          |  max(toEpochHoursBucket(ts, 6)) AS max_h6,
+          |  max(toEpochDaysRounded(ts, 2)) AS max_d2,
+          |  count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS es FROM events
+        |)
+        |SELECT CAST(es // 60 // 15 AS BIGINT) AS m15_idx,
+        |       CAST((es // 60 // 15) * 15 * 60 * 1000 AS BIGINT) AS m15_start_ms,
+        |       CAST(min((es // 300) * 300) AS BIGINT) AS min_s300,
+        |       CAST(max(es // 3600 // 6) AS BIGINT) AS max_h6,
+        |       CAST(max((es // 86400 // 2) * 2) AS BIGINT) AS max_d2,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM ev GROUP BY 1, 2 ORDER BY m15_idx""".stripMargin))
+
+  /** C9 polygon family (round 6 — expressions/GeoExpressions):
+    * ST_GeomFromText('POLYGON …') → ST_Contains / ST_Area over a synthetic
+    * plane (x = c_acctbal, y = c_nationkey). The oracle UNROLLS the exact
+    * even-odd ray-cast edge test and the shoelace fold per edge of the
+    * literal quad — identical IEEE double expressions in both engines, so
+    * every containment boolean and the area double match bit for bit (no
+    * epsilon, no rounding). */
+  private val geoPoly: Q = {
+    // ring order matters: kernel edges are (i, j=i-1 mod n)
+    val verts = Seq(
+      (1000.03, 2.57), (8000.11, 2.93), (9000.07, 19.31), (2000.19, 21.87))
+    val wkt = verts.map { case (x, y) => s"$x $y" }
+      .mkString("POLYGON ((", ", ", "))")
+    val n = verts.length
+    // DuckDB parses bare decimal literals as DECIMAL and folds them with
+    // exact decimal arithmetic — cast every coordinate to DOUBLE so both
+    // engines run the identical IEEE ops (the sparkRound lesson, again)
+    def d(v: Double) = s"CAST($v AS DOUBLE)"
+    // per-edge ray-cast terms, same (i, j) pairing and arithmetic as
+    // GeoKernels.contains
+    val edgeTerms = (0 until n).map { i =>
+      val j = (i + n - 1) % n
+      val (xi, yi) = verts(i)
+      val (xj, yj) = verts(j)
+      s"""CASE WHEN (${d(yi)} > py) <> (${d(yj)} > py)
+         | AND px < (${d(xj)} - ${d(xi)}) * (py - ${d(yi)}) / (${d(yj)} - ${d(yi)}) + ${d(xi)}
+         |THEN 1 ELSE 0 END""".stripMargin.replace("\n", "")
+    }
+    // shoelace fold in GeoKernels.area order: acc += xi*yk − xk*yi, k=i+1
+    val areaSql = (0 until n).map { i =>
+      val k = (i + 1) % n
+      val (xi, yi) = verts(i)
+      val (xk, yk) = verts(k)
+      s"(${d(xi)} * ${d(yk)} - ${d(xk)} * ${d(yi)})"
+    }.mkString("abs(", " + ", s") / 2.0")
+    Q(
+      "q_scalar_geo_poly",
+      (spark, dir) => {
+        import org.apache.spark.sql.graft.GraftBridge
+        import graft.expressions.{StArea, StContains, StPolygonFromText}
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val poly = StPolygonFromText(Literal(wkt))
+        val pt = struct(
+          col("c_acctbal").as("x"),
+          col("c_nationkey").cast("double").as("y"))
+        Tables.t(spark, dir, "customer")
+          .select(col("c_mktsegment"),
+            GraftBridge.column(
+              StContains(poly, GraftBridge.expression(pt))).as("inside"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
+            count(lit(1)).as("n_total"))
+          .withColumn("ring_area", GraftBridge.column(StArea(poly)))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(
+        s"""WITH pts AS (
+           |  SELECT c_mktsegment,
+           |         c_acctbal AS px,
+           |         CAST(c_nationkey AS DOUBLE) AS py
+           |  FROM customer
+           |), hits AS (
+           |  SELECT c_mktsegment,
+           |         (${edgeTerms.mkString(" + ")}) % 2 AS parity
+           |  FROM pts
+           |)
+           |SELECT c_mktsegment,
+           |       CAST(sum(CASE WHEN parity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           |       CAST(count(*) AS BIGINT) AS n_total,
+           |       $areaSql AS ring_area
+           |FROM hits GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+  }
+
   /** C6 map access as a DECLARED query (was test-only — no map column in
     * the fixtures, so one is built from the JSON props): `from_json` to
     * MapType, `element_at` / `map_keys` / `map_contains_key` drive the
@@ -454,5 +562,6 @@ object ScalarQueries {
             |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
-    explodeMv, urlFuncs, geoFuncs, mapFuncs, strGenFuncs, netFuncs, hashFamily)
+    explodeMv, urlFuncs, geoFuncs, geoPoly, epochBucketFuncs, mapFuncs,
+    strGenFuncs, netFuncs, hashFamily)
 }

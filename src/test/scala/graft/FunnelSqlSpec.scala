@@ -1,0 +1,135 @@
+package graft
+
+import graft.expressions.FunnelAggs
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** FUNNELMAXSTEP / FUNNELMATCHSTEP / FUNNELCOMPLETECOUNT — the funnel
+  * aggregate expressions (expressions/FunnelExpressions): parity with the
+  * ops.Funnel stage-frame pipeline on the events fixture, planted edge
+  * cases (window cutoff, one event matching two steps, timestamp ties),
+  * and the serialize/merge path under forced repartition.
+  */
+class FunnelSqlSpec extends GraftSuite {
+
+  private lazy val pinot = {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    s
+  }
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def eventsDf = Tables.t(spark, sfDir, "events")
+    .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+
+  test("maxStep distribution matches ops.Funnel on the events fixture") {
+    val stepCols = steps.map(s => col("event_type") === s)
+    val window = 72L * 3600 * 1000000 // 72h in micros
+    val perUser = eventsDf
+      .groupBy(col("user_id"))
+      .agg(FunnelAggs.maxStep(col("tus"), window, stepCols).as("max_step"))
+      .groupBy(col("max_step")).agg(count(lit(1)).as("n_users"))
+      .filter(col("max_step") > 0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // ops.Funnel counts are CUMULATIVE step counts; its maxStepDistribution
+    // yields the same exclusive histogram the aggregate produces
+    val dist = graft.ops.Funnel
+      .maxStepDistribution(
+        eventsDf, "user_id", col("tus"), stepCols, Some(window))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .filter(_._2 != 0L)
+
+    assert(perUser === dist)
+  }
+
+  test("completeCount matches ops.Funnel.completeCount") {
+    val stepCols = steps.map(s => col("event_type") === s)
+    val window = 72L * 3600 * 1000000
+    val total = eventsDf
+      .groupBy(col("user_id"))
+      .agg(FunnelAggs.completeCount(col("tus"), window, stepCols).as("c"))
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    val expected = graft.ops.Funnel
+      .completeCount(eventsDf, "user_id", col("tus"), stepCols, Some(window))
+      .collect()(0).getLong(0)
+    assert(total === expected)
+  }
+
+  test("matchStep is the contiguous prefix of maxStep") {
+    val stepCols = steps.map(s => col("event_type") === s)
+    val rows = eventsDf
+      .groupBy(col("user_id"))
+      .agg(
+        FunnelAggs.maxStep(col("tus"), 0L, stepCols).as("m"),
+        FunnelAggs.matchStep(col("tus"), 0L, stepCols).as("ms"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getInt(1)
+      val ms = r.getSeq[Int](2)
+      assert(ms.length === 3)
+      assert(ms === (0 until 3).map(i => if (i < m) 1 else 0))
+    }
+  }
+
+  test("planted: window cutoff, shared-event steps, ties, merge path") {
+    import spark.implicits._
+    val df = Seq(
+      // u1: full chain inside window
+      ("u1", 100L, "view"), ("u1", 150L, "click"), ("u1", 190L, "purchase"),
+      // u2: purchase lands past t1+window=210 → max step 2
+      ("u2", 100L, "view"), ("u2", 150L, "click"), ("u2", 400L, "purchase"),
+      // u3: click BEFORE first view → never chains past step 1
+      ("u3", 50L, "click"), ("u3", 100L, "view"), ("u3", 90L, "purchase"),
+      // u4: tie — click at the same ts as the anchoring view (>= admits it)
+      ("u4", 100L, "view"), ("u4", 100L, "click"),
+      // u5: no step-1 event at all
+      ("u5", 10L, "purchase")
+    ).toDF("user_id", "tus", "event_type")
+      .repartition(8) // force partial buffers through serialize+merge
+    val stepCols = steps.map(s => col("event_type") === s)
+    val got = df.groupBy(col("user_id"))
+      .agg(FunnelAggs.maxStep(col("tus"), 110L, stepCols).as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("u1" -> 3, "u2" -> 2, "u3" -> 1, "u4" -> 2, "u5" -> 0))
+  }
+
+  test("one event matching two consecutive steps serves both") {
+    import spark.implicits._
+    // event B is both click and purchase by predicate (type IN (...)):
+    // ts >= t(k-1) admits the SAME timestamp, so the chain completes
+    val df = Seq(("u", 1L, "view"), ("u", 2L, "click_and_buy"))
+      .toDF("user_id", "tus", "event_type")
+    val stepCols = Seq(
+      col("event_type") === "view",
+      col("event_type").isin("click", "click_and_buy"),
+      col("event_type").isin("purchase", "click_and_buy"))
+    val m = df.groupBy(col("user_id"))
+      .agg(FunnelAggs.maxStep(col("tus"), 0L, stepCols).as("m"))
+      .collect()(0).getInt(1)
+    assert(m === 3)
+  }
+
+  test("SQL spellings resolve on the Pinot session") {
+    Tables.t(pinot, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .createOrReplaceTempView("ev_funnel")
+    val rows = pinot.sql(
+      """SELECT user_id,
+        |  funnelMaxStep(tus, 259200000000, 3,
+        |    event_type = 'view', event_type = 'click', event_type = 'purchase') AS m,
+        |  funnelCompleteCount(tus, 259200000000, 3,
+        |    event_type = 'view', event_type = 'click', event_type = 'purchase') AS c,
+        |  funnelMatchStep(tus, 259200000000, 3,
+        |    event_type = 'view', event_type = 'click', event_type = 'purchase') AS ms
+        |FROM ev_funnel GROUP BY user_id""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getInt(1)
+      assert(r.getLong(2) === (if (m == 3) 1L else 0L))
+      assert(r.getSeq[Int](3) === (0 until 3).map(i => if (i < m) 1 else 0))
+    }
+  }
+}
