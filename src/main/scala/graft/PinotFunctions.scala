@@ -605,7 +605,11 @@ object PinotFunctions {
     "funnelmatchstep" -> graft.expressions.FunnelAggs.sqlBuilder(
       graft.expressions.FunnelAgg.MatchStep),
     "funnelcompletecount" -> graft.expressions.FunnelAggs.sqlBuilder(
-      graft.expressions.FunnelAgg.Complete))
+      graft.expressions.FunnelAgg.Complete),
+    // the per-transition duration vector (−1 = unreached) that Pinot's
+    // funnelStepDurationStats statistics summarize
+    "funnelstepdurations" -> graft.expressions.FunnelAggs.sqlBuilder(
+      graft.expressions.FunnelAgg.Durations))
 
   private def pctApprox: Seq[Expression] => Expression = args =>
     new ApproximatePercentile(args(0), Divide(Cast(args(1), DoubleType), Literal(100.0)))

@@ -72,6 +72,11 @@ object FunnelAggs {
       agg(FunnelAgg.Complete, GraftBridge.expression(ts), window,
         steps.map(GraftBridge.expression)))
 
+  def stepDurations(ts: Column, window: Long, steps: Seq[Column]): Column =
+    GraftBridge.column(
+      agg(FunnelAgg.Durations, GraftBridge.expression(ts), window,
+        steps.map(GraftBridge.expression)))
+
   /** SQL-registry builder for the Pinot spellings
     * `funnelMaxStep(tsExpr, windowSize, numSteps, step1, ..., stepN)` —
     * windowSize and numSteps must be literals (Pinot requires the same).
@@ -102,6 +107,11 @@ object FunnelAgg {
   case object MaxStep extends Mode
   case object MatchStep extends Mode
   case object Complete extends Mode
+
+  /** Per-transition durations t(k+1)−t(k) of the greedy-min chain
+    * (−1.0 marks a transition the chain never reached) — the duration
+    * vector Pinot's funnelStepDurationStats statistics summarize. */
+  case object Durations extends Mode
 }
 
 /** The shared funnel aggregate. Buffer = matching events as (ts, stepBits);
@@ -126,12 +136,14 @@ case class FunnelAgg(
     case FunnelAgg.MaxStep => "funnel_max_step"
     case FunnelAgg.MatchStep => "funnel_match_step"
     case FunnelAgg.Complete => "funnel_complete_count"
+    case FunnelAgg.Durations => "funnel_step_durations"
   }
 
   override def dataType: DataType = mode match {
     case FunnelAgg.MaxStep => IntegerType
     case FunnelAgg.MatchStep => ArrayType(IntegerType, containsNull = false)
     case FunnelAgg.Complete => LongType
+    case FunnelAgg.Durations => ArrayType(DoubleType, containsNull = false)
   }
 
   override def nullable: Boolean = false
@@ -202,6 +214,11 @@ case class FunnelAgg(
           t.map(v => if (v != Long.MinValue) 1 else 0))
       case FunnelAgg.Complete =>
         if (t(numSteps - 1) != Long.MinValue) 1L else 0L
+      case FunnelAgg.Durations =>
+        new GenericArrayData(
+          (1 until numSteps).map { k =>
+            if (t(k) != Long.MinValue) (t(k) - t(k - 1)).toDouble else -1.0
+          }.toArray)
     }
   }
 

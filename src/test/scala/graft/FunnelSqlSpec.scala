@@ -112,6 +112,22 @@ class FunnelSqlSpec extends GraftSuite {
     assert(m === 3)
   }
 
+  test("stepDurations: planted transition times and -1 sentinels") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 100L, "view"), ("u1", 150L, "click"), ("u1", 190L, "purchase"),
+      ("u2", 100L, "view"), ("u2", 170L, "click"),
+      ("u3", 10L, "purchase")
+    ).toDF("user_id", "tus", "event_type")
+    val stepCols = steps.map(s => col("event_type") === s)
+    val got = df.groupBy(col("user_id"))
+      .agg(FunnelAggs.stepDurations(col("tus"), 0L, stepCols).as("d"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("u1") === Seq(50.0, 40.0))
+    assert(got("u2") === Seq(70.0, -1.0))
+    assert(got("u3") === Seq(-1.0, -1.0))
+  }
+
   test("SQL spellings resolve on the Pinot session") {
     Tables.t(pinot, sfDir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
