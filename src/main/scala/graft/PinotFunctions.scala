@@ -360,6 +360,14 @@ object PinotFunctions {
         Multiply(Multiply(Multiply(Cos(rad(y(args(0)))), Cos(rad(y(args(1))))), s2), s2))
       Multiply(Literal(2.0 * graft.functions.EarthRadiusMeters), Asin(Sqrt(h)))
     }),
+    // CLP log columns (round 6 — expressions/ClpExpressions): Pinot's
+    // CLPDECODE(logtype, dictionaryVars, encodedVars[, default]) over the
+    // three-column CLP model, plus the encoder that produces it
+    "clpdecode" -> (args => {
+      val d = graft.expressions.ClpDecode(args(0), args(1), args(2))
+      if (args.length >= 4) Coalesce(Seq(d, args(3))) else d
+    }),
+    "clpencode" -> (args => graft.expressions.ClpEncode(args(0))),
     // Polygon family (round 6 — expressions/GeoExpressions): polygons are
     // array<struct<x,y>> ring vertices; containment = canonical even-odd
     // ray cast, area = planar shoelace. ST_GeomFromText parses POLYGON WKT

@@ -334,6 +334,47 @@ object ScalarQueries {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM ev GROUP BY 1, 2 ORDER BY m15_idx""".stripMargin))
 
+  /** CLP log-column model (round 6 — expressions/ClpExpressions; Pinot
+    * CLPDECODE): synthesize a log line per event, clp_encode it into
+    * (logtype, dictionary_vars, encoded_vars), clpdecode it back, and
+    * report the logtype census — placeholders are translated to visible
+    * markers (I/D/F) for the output. The oracle re-derives the expected
+    * logtype per event_type directly from the known line structure
+    * ('user=<int> did <type> at <dict shard token>') and asserts every row
+    * round-trips; the general tokenizer is property-tested in ClpSpec. */
+  private val clpFuncs = Q(
+    "q_scalar_clp",
+    (spark, dir) => {
+      import org.apache.spark.sql.graft.GraftBridge
+      import graft.expressions.{ClpDecode, ClpEncode}
+      val msg = concat(
+        lit("user="), col("user_id"), lit(" did "), col("event_type"),
+        lit(" at shard-"), pmod(col("user_id"), lit(16)))
+      val df = Tables.t(spark, dir, "events")
+        .select(col("event_type"), msg.as("msg"))
+        .withColumn("e", GraftBridge.column(
+          ClpEncode(GraftBridge.expression(col("msg")))))
+        .withColumn("back", GraftBridge.column(ClpDecode(
+          GraftBridge.expression(col("e.logtype")),
+          GraftBridge.expression(col("e.dictionary_vars")),
+          GraftBridge.expression(col("e.encoded_vars")))))
+      df.groupBy(
+          translate(col("e.logtype"), "\u0011\u0012\u0013", "IDF").as("logtype_d"),
+          size(col("e.dictionary_vars")).as("n_dict"),
+          size(col("e.encoded_vars")).as("n_enc"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("back") === col("msg"), 1L).otherwise(0L)).as("n_roundtrip"))
+        .orderBy(col("logtype_d"))
+    },
+    Some(
+      """SELECT 'user=I did ' || event_type || ' at D' AS logtype_d,
+        |       CAST(1 AS INT) AS n_dict,
+        |       CAST(1 AS INT) AS n_enc,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_roundtrip
+        |FROM events GROUP BY event_type ORDER BY logtype_d""".stripMargin))
+
   /** C9 polygon family (round 6 — expressions/GeoExpressions):
     * ST_GeomFromText('POLYGON …') → ST_Contains / ST_Area over a synthetic
     * plane (x = c_acctbal, y = c_nationkey). The oracle UNROLLS the exact
@@ -562,6 +603,6 @@ object ScalarQueries {
             |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
-    explodeMv, urlFuncs, geoFuncs, geoPoly, epochBucketFuncs, mapFuncs,
-    strGenFuncs, netFuncs, hashFamily)
+    explodeMv, urlFuncs, geoFuncs, geoPoly, epochBucketFuncs, clpFuncs,
+    mapFuncs, strGenFuncs, netFuncs, hashFamily)
 }
