@@ -284,4 +284,50 @@ class HttpSqlEndpointSpec extends GraftSuite {
       assert(math.abs(row.get(2).asDouble() - p50Exact) / p50Exact < 0.05)
     } finally srv.stop(0)
   }
+
+  test("Pinot-mode endpoint answers the round-6 vocabulary over the wire") {
+    // funnel aggregates, CLP decode, polygon containment, epoch buckets —
+    // all through the broker wire protocol in one session
+    val pinot = spark.newSession()
+    PinotFunctions.register(pinot)
+    Tables.registerViews(pinot, sfDir)
+    val srv = server.HttpSqlEndpoint.start(pinot, port = 0, maxRows = 1000)
+    try {
+      val b = s"http://localhost:${srv.getAddress.getPort}"
+      def postTo(sql: String): com.fasterxml.jackson.databind.JsonNode = {
+        val body = mapper.createObjectNode(); body.put("sql", sql)
+        val req = HttpRequest.newBuilder(URI.create(s"$b/query/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+          .header("Content-Type", "application/json").build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() === 200, resp.body())
+        mapper.readTree(resp.body())
+      }
+      val f = postTo(
+        """SELECT max(m) AS deepest FROM (
+          |  SELECT funnelMaxStep(toEpochMillis(ts), 259200000, 3,
+          |    event_type = 'view', event_type = 'click', event_type = 'purchase') AS m
+          |  FROM events GROUP BY user_id)""".stripMargin)
+      assert(f.get("exceptions").size() === 0, f.toString)
+      assert(f.get("resultTable").get("rows").get(0).get(0).asInt() === 3)
+
+      val c = postTo(
+        """SELECT clpdecode(e.logtype, e.dictionary_vars, e.encoded_vars) AS back
+          |FROM (SELECT clpencode('user=7 at node-3f') AS e)""".stripMargin)
+      assert(c.get("exceptions").size() === 0, c.toString)
+      assert(c.get("resultTable").get("rows").get(0).get(0).asText()
+        === "user=7 at node-3f")
+
+      val g = postTo(
+        """SELECT st_contains(st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10))'),
+          |                   st_point(5, 5)) AS c_in,
+          |       toEpochMinutesBucket(ts, 15) AS m15
+          |FROM events LIMIT 1""".stripMargin)
+      assert(g.get("exceptions").size() === 0, g.toString)
+      val grow = g.get("resultTable").get("rows").get(0)
+      assert(grow.get(0).asBoolean())
+      assert(grow.get(1).asLong() > 0L)
+    } finally srv.stop(0)
+  }
 }
