@@ -584,6 +584,8 @@ object PinotFunctions {
     "id_set" -> (args =>
       graft.expressions.IdSetSerialize(CollectSet(args(0)).toAggregateExpression())),
     "in_id_set" -> (args => graft.expressions.InIdSet(args(0), args(1))),
+    "idset" -> (args =>
+      graft.expressions.IdSetSerialize(CollectSet(args(0)).toAggregateExpression())),
     "firstwithtime" -> (args => MinBy(args(0), args(1)).toAggregateExpression()),
     "lastwithtime" -> (args => MaxBy(args(0), args(1)).toAggregateExpression()),
     "countmv" -> (args => Sum(Cast(Size(args(0)), LongType)).toAggregateExpression()),
@@ -631,6 +633,26 @@ object PinotFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // IN_SUBQUERY(col, 'inner sql') — Pinot's broker-side two-phase form:
+    // the inner query (typically `SELECT id_set(x) FROM …`) is executed
+    // FIRST on this session and its single serialized-IdSet result becomes
+    // the IN_ID_SET literal of the outer filter. The builder captures the
+    // session, so execution happens at analysis time — exactly when Pinot's
+    // broker runs the inner query. Nested IN_SUBQUERY recurses naturally
+    // (the inner analysis triggers its own builder).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "in_subquery",
+      (args: Seq[Expression]) => {
+        val sql = args(1) match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"IN_SUBQUERY inner query must be a string literal, got $other")
+        }
+        val rows = spark.sql(sql).collect()
+        require(rows.length == 1 && rows.head.length == 1 && !rows.head.isNullAt(0),
+          s"IN_SUBQUERY inner query must return exactly one IdSet value: $sql")
+        graft.expressions.InIdSet(args(0), Literal(rows.head.getString(0)))
+      }, "built-in")
     // Pinot's implicit LIMIT 10 (O2) and default null substitution (F6) —
     // both conf-guarded, off unless the session opts in
     // (graft.pinot.implicitLimit / graft.pinot.nullDefaults)

@@ -60,4 +60,27 @@ class IdSetSpec extends GraftSuite {
       .head().getLong(0)
     assert(n === expected)
   }
+
+  test("IN_SUBQUERY executes the inner query broker-style, one round trip") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    Tables.registerViews(s, sfDir)
+    val n = s.sql(
+      """SELECT count(*) AS n FROM events
+        |WHERE event_type = 'view'
+        |  AND IN_SUBQUERY(user_id,
+        |    'SELECT IDSET(user_id) FROM events WHERE event_type = ''purchase''')""".stripMargin)
+      .head().getLong(0)
+    val expected = s.sql(
+      """SELECT count(*) FROM events
+        |WHERE event_type = 'view'
+        |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin)
+      .head().getLong(0)
+    assert(n === expected)
+    // non-literal inner query errors loudly
+    val e = intercept[Exception](
+      s.sql("SELECT IN_SUBQUERY(user_id, event_type) FROM events").collect())
+    assert(e.getMessage.contains("string literal")
+      || Option(e.getCause).exists(_.getMessage.contains("string literal")))
+  }
 }
