@@ -127,6 +127,40 @@ object AggQueries {
             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** A9 superset (round 6): Pinot SKEWNESS / KURTOSIS (fourth-moment
+    * family) — Spark's same-named natives compute the population forms
+    * (g1 = m3/m2^1.5, excess g2 = m4/m2²−3). DuckDB's skewness/kurtosis
+    * are the SAMPLE-corrected forms, so the oracle re-derives the
+    * population moments with an explicit two-pass (mean join, then
+    * avg((x−a)^k)); Spark's single-pass streaming update agrees to far
+    * below the rounded 4 decimals on these group sizes. */
+  private val aggMoments = Q(
+    "q_agg_moments",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(
+          round(skewness(col("value")), 4).as("skew_v"),
+          round(kurtosis(col("value")), 4).as("kurt_v"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH m AS (
+            |  SELECT event_type, avg(value) AS a FROM events GROUP BY 1
+            |), c AS (
+            |  SELECT e.event_type,
+            |         avg(pow(value - a, 2)) AS m2,
+            |         avg(pow(value - a, 3)) AS m3,
+            |         avg(pow(value - a, 4)) AS m4,
+            |         count(*) AS n
+            |  FROM events e JOIN m USING (event_type) GROUP BY 1
+            |)
+            |SELECT event_type,
+            |       round(m3 / pow(m2, 1.5), 4) AS skew_v,
+            |       round(m4 / (m2 * m2) - 3.0, 4) AS kurt_v,
+            |       CAST(n AS BIGINT) AS n
+            |FROM c ORDER BY event_type""".stripMargin))
+
   /** A7: exact interpolated percentiles (Pinot PERCENTILE; we declare the
     * exact form so the oracle hash-matches — SURVEY.md §7.4.1).
     *
@@ -489,7 +523,8 @@ object AggQueries {
             |ORDER BY base.lang""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    aggBasic, aggCount, aggMinMax, aggStats, aggPercentile, aggHistogram,
+    aggBasic, aggCount, aggMinMax, aggStats, aggMoments, aggPercentile,
+    aggHistogram,
     aggMode, aggFirstLast, aggHaving, aggFilterClause, distinctRows,
     aggRollup, aggCube, aggGroupingSets, aggSumPrecision, aggArgMinMax,
     aggSegPartDistinct, aggArrayAgg, aggMv)

@@ -108,6 +108,38 @@ object WindowQueries {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
             ORDER BY o_custkey, o_orderkey"""))
 
+  /** W3 superset (round 6): LAG / LAST_VALUE with IGNORE NULLS — the
+    * carry-forward-over-gaps form (sparse sensor/metric streams). Nulls are
+    * planted deterministically (every 7th order by key); both engines use
+    * the explicit running frame so last_value sees only preceding rows. */
+  private val winIgnoreNulls = Q(
+    "q_win_ignore_nulls",
+    (spark, dir) => {
+      val orders = Tables.t(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").asc)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders
+        .filter(col("o_custkey") <= 50)
+        .withColumn("v",
+          when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+            .otherwise(col("o_totalprice")))
+        .withColumn("prev_v", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+        .withColumn("carry", last(col("v"), ignoreNulls = true).over(wRun))
+        .select(col("o_custkey"), col("o_orderkey"), col("v"),
+          col("prev_v"), col("carry"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, v,
+                   lag(v, 1 IGNORE NULLS) OVER w AS prev_v,
+                   last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+            FROM (SELECT o_custkey, o_orderkey,
+                    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v
+                  FROM orders WHERE o_custkey <= 50)
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)
+            ORDER BY o_custkey, o_orderkey"""))
+
   /** W4+W5: FIRST_VALUE / LAST_VALUE with an explicit full-partition frame
     * (the default frame would make LAST_VALUE = current row). */
   private val winFirstLast = Q(
@@ -228,6 +260,6 @@ object WindowQueries {
             |) WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    winTopN, winRank, winRunning, winLeadLag, winFirstLast, winRange, winNtile,
-    winDist, winNth)
+    winTopN, winRank, winRunning, winLeadLag, winIgnoreNulls, winFirstLast,
+    winRange, winNtile, winDist, winNth)
 }
