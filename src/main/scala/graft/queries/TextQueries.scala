@@ -300,13 +300,21 @@ object TextQueries {
       val perDoc = d.select(col("doc_id"), explode(bigrams).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("occ"))
         .persist()
-      val corpus = perDoc.groupBy(col("bg")).agg(sum(col("occ")).as("c"))
+      // hapax attribution (the q_dedup_substring identity): a bigram with
+      // corpus count 1 lives in exactly one doc with occ 1, so min(doc_id)
+      // carried through the corpus agg attributes it — no join of the fat
+      // per-doc frame back against the corpus counts (measured 2.2 s → the
+      // join-free shape; both aggregates reuse the persisted perDoc)
+      val nb = perDoc.groupBy(col("doc_id"))
+        .agg(sum(col("occ")).cast("long").as("n_bigrams"))
+      val hapax = perDoc.groupBy(col("bg"))
+        .agg(sum(col("occ")).as("c"), min(col("doc_id")).as("hdoc"))
+        .filter(col("c") <= 1)
+        .groupBy(col("hdoc").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_rare"))
       val ratio = col("n_rare").cast("double") / col("n_bigrams").cast("double")
-      val docstat = perDoc.join(corpus, "bg")
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(col("occ")).cast("long").as("n_bigrams"),
-          sum(when(col("c") <= 1, col("occ")).otherwise(lit(0L))).cast("long").as("n_rare"))
+      val docstat = nb.join(hapax, Seq("doc_id"), "left")
+        .withColumn("n_rare", coalesce(col("n_rare"), lit(0L)))
         .filter(col("n_bigrams") >= 5)
         .withColumn("ratio", ratio)
       val top = docstat.orderBy(col("ratio").desc, col("doc_id").asc).limit(15)
