@@ -326,6 +326,44 @@ object TextQueries {
     },
     Some(TextOracles.rareNgramSql))
 
+  /** BPE pair statistics (round 6 — ops/Bpe): the weighted adjacent-pair
+    * table BPE training argmaxes over, computed the production way (corpus
+    * collapses to the unique-word frequency table in ONE shuffle, pair
+    * stats aggregate over THAT — |unique words| rows, not |corpus|). The
+    * top pair by (count desc, pair asc) IS the trainer's first merge
+    * (BpeSpec covers the full iterative trainer; this declares the
+    * SQL-expressible slice with a DuckDB oracle). */
+  private val textBpePairs = Q(
+    "q_text_bpe_pairs",
+    (spark, dir) => {
+      val words = graft.ops.Bpe.wordFreq(Tables.t(spark, dir, "documents"), "text")
+      val toks = concat(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        array(lit(graft.ops.Bpe.Eow)))
+      graft.ops.Bpe.pairCounts(words.select(toks.as("toks"), col("freq")))
+        .select(concat(col("l"), lit(" "), col("r")).as("pair"), col("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    },
+    Some("""WITH words AS (
+            |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+            |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+            |  WHERE length(w) > 0 GROUP BY 1
+            |), toks AS (
+            |  SELECT list_concat(
+            |           list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+            |           ['</w>']) AS t, freq
+            |  FROM words
+            |), pairs AS (
+            |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+            |                               i -> t[i] || ' ' || t[i + 1])) AS pair,
+            |         freq
+            |  FROM toks
+            |)
+            |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+            |FROM pairs GROUP BY pair
+            |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin))
+
   val all: Seq[Q] = Seq(textRareNgram, textTokens, textQuality, textLangId, textFingerprint, textTfidf,
-    textRepetition, textChunks, textClean)
+    textRepetition, textChunks, textClean, textBpePairs)
 }

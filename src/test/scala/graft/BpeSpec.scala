@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Bpe
+import graft.sources.Tables
+
+/** Distributed BPE trainer (ops/Bpe): planted-corpus merge truth,
+  * determinism across runs, lossless word reconstruction, and token-count
+  * reduction on the documents fixture.
+  */
+class BpeSpec extends GraftSuite {
+
+  test("planted corpus learns the hand-computed merges in order") {
+    import spark.implicits._
+    // "low low low lower" — pair stats over (unique word, freq):
+    //   low(3):   l-o 3, o-w 3, w-</w> 3
+    //   lower(1): l-o 1, o-w 1, w-e 1, e-r 1, r-</w> 1
+    // round 1: l-o (4) ties o-w (4) → lex: ("l","o") wins
+    // round 2: lo-w (4) vs w-</w> 3 … → ("lo","w")
+    // round 3: low-</w> (3) vs w-e/e-r/r-</w> 1 → ("low", "</w>")
+    val docs = Seq("low low low lower").toDF("text")
+    val merges = Bpe.train(docs, "text", 3)
+    assert(merges === Seq(("l", "o"), ("lo", "w"), ("low", Bpe.Eow)))
+    assert(Bpe.encodeWord("low", merges) === Seq("low" + Bpe.Eow))
+    assert(Bpe.encodeWord("lower", merges) === Seq("low", "e", "r", Bpe.Eow))
+  }
+
+  test("training is deterministic across runs") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(200)
+    val a = Bpe.train(docs, "text", 8)
+    val b = Bpe.train(docs, "text", 8)
+    assert(a === b)
+    assert(a.length === 8)
+  }
+
+  test("encode is lossless and strictly compresses the fixture corpus") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(200)
+    val merges = Bpe.train(docs, "text", 12)
+    val words = docs.select(
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), "\\s+")).as("w"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("w")) > 0)
+      .limit(500).collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    var before = 0L
+    var after = 0L
+    words.foreach { w =>
+      val enc = Bpe.encodeWord(w, merges)
+      // lossless: concatenating tokens (marker stripped) restores the word
+      assert(enc.mkString("").stripSuffix(Bpe.Eow) === w, s"word '$w'")
+      before += w.length + 1
+      after += enc.length
+    }
+    assert(after < before, s"BPE should compress: $after vs $before")
+  }
+}
