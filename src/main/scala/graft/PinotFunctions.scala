@@ -394,6 +394,13 @@ object PinotFunctions {
     "arrayreverse" -> fwd("reverse"),
     "arrayslice" -> (args =>
       Slice(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),
+    // arrayElementAt: 0-based like the rest of Pinot's array vocabulary
+    // (ARRAYSLICE/arrayIndexOf); out-of-bounds yields null (try_element_at)
+    "arrayelementatint" -> (args => UnresolvedFunction("try_element_at",
+      Seq(args(0), Add(Cast(args(1), IntegerType), Literal(1))), false)),
+    "arrayelementatstring" -> (args => UnresolvedFunction("try_element_at",
+      Seq(args(0), Add(Cast(args(1), IntegerType), Literal(1))), false)),
+    "codepoint" -> (args => Ascii(args(0))),
     "arraycontainsint" -> (args => ArrayContains(args(0), args(1))),
     "arraycontainsstring" -> (args => ArrayContains(args(0), args(1))),
     // Pinot arrayIndexOf* is 0-based with -1 for missing; Spark

@@ -143,6 +143,18 @@ class PinotCompatSpec extends GraftSuite {
     assert(vi.getSeq[String](0) === Seq("b"))
   }
 
+  test("ARRAYELEMENTAT (0-based, null OOB) and CODEPOINT") {
+    val r = one(
+      """SELECT arrayElementAtString(array('x','y','z'), 1) AS e1,
+        |       arrayElementAtInt(array(10, 20, 30), 0) AS e0,
+        |       arrayElementAtInt(array(10, 20, 30), 9) AS oob,
+        |       codepoint('A') AS cp""".stripMargin)
+    assert(r.getAs[String]("e1") === "y")
+    assert(r.getAs[Int]("e0") === 10)
+    assert(r.isNullAt(r.fieldIndex("oob")))
+    assert(r.getAs[Int]("cp") === 65)
+  }
+
   test("hash/binary: SHA256, TOBASE64/FROMBASE64 round-trip") {
     val r = one(
       """SELECT SHA256(TOUTF8('abc')) AS h,
