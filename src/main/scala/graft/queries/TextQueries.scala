@@ -326,6 +326,70 @@ object TextQueries {
     },
     Some(TextOracles.rareNgramSql))
 
+  /** X3 quality (round 6): corpus unigram language-model score — the
+    * CCNet/KenLM-class perplexity-proxy filter. Add-one-smoothed unigram
+    * probabilities come from exact integer corpus counts (deterministic
+    * doubles), and the per-doc mean log-probability folds contributions in
+    * TERM-SORTED order (Spark sort_array+aggregate ≡ DuckDB
+    * list(… ORDER BY term)+list_reduce, the established bit-exact
+    * sequential-fold pairing) — so the float sum has ONE defined
+    * association on both engines. Bottom-10 docs = most "surprising"
+    * (what the filter would drop or route for review). */
+  private val textLmScore = Q(
+    "q_text_lm_score",
+    (spark, dir) => {
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
+      val ex = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .persist()
+      val vocab = ex.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(
+        sum(col("c")).cast("double").as("n"),
+        count(lit(1)).cast("double").as("v"))
+      val lnp = vocab.crossJoin(broadcast(tot))
+        .select(col("term"),
+          log((col("c") + 1).cast("double") / (col("n") + col("v"))).as("lnp"))
+      val td = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n_td"))
+      val perDoc = td.join(lnp, Seq("term"))
+        .select(col("doc_id"), col("n_td"),
+          struct(col("term"), (col("n_td").cast("double") * col("lnp")).as("contrib")).as("tc"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n_td")).cast("long").as("n_toks"),
+          expr("aggregate(transform(sort_array(collect_list(tc)), x -> x.contrib), 0.0D, (acc, x) -> acc + x)")
+            .as("s"))
+        .withColumn("score", round(col("s") / col("n_toks").cast("double"), 6))
+      val w = Window.orderBy(col("score").asc, col("doc_id").asc)
+      perDoc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("rn"), col("doc_id"), col("n_toks"), col("score"))
+        .orderBy(col("rn"))
+    },
+    Some("""WITH ex AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            |), vocab AS (
+            |  SELECT term, count(*) AS c FROM ex GROUP BY 1
+            |), tot AS (
+            |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+            |), lnp AS (
+            |  SELECT term, ln(CAST(c + 1 AS DOUBLE) / (n + v)) AS lnp FROM vocab, tot
+            |), td AS (
+            |  SELECT doc_id, term, count(*) AS n_td FROM ex GROUP BY 1, 2
+            |), perdoc AS (
+            |  SELECT td.doc_id,
+            |         CAST(sum(n_td) AS BIGINT) AS n_toks,
+            |         list_reduce(list(CAST(n_td AS DOUBLE) * lnp ORDER BY td.term),
+            |                     (acc, x) -> acc + x) AS s
+            |  FROM td JOIN lnp USING (term) GROUP BY 1
+            |), scored AS (
+            |  SELECT doc_id, n_toks, round(s / CAST(n_toks AS DOUBLE), 6) AS score
+            |  FROM perdoc
+            |), ranked AS (
+            |  SELECT *, row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn
+            |  FROM scored
+            |)
+            |SELECT rn, doc_id, n_toks, score
+            |FROM ranked WHERE rn <= 10 ORDER BY rn""".stripMargin))
+
   /** BPE pair statistics (round 6 — ops/Bpe): the weighted adjacent-pair
     * table BPE training argmaxes over, computed the production way (corpus
     * collapses to the unique-word frequency table in ONE shuffle, pair
@@ -365,5 +429,5 @@ object TextQueries {
             |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin))
 
   val all: Seq[Q] = Seq(textRareNgram, textTokens, textQuality, textLangId, textFingerprint, textTfidf,
-    textRepetition, textChunks, textClean, textBpePairs)
+    textRepetition, textChunks, textClean, textBpePairs, textLmScore)
 }
