@@ -163,4 +163,80 @@ object TableSpec {
       filterFunction = (ing \ "filterConfig" \ "filterFunction").extractOpt[String],
       aggregations = aggregations)
   }
+
+  /** What [[applyIndexConfig]] wired up, per index family. `routed` are
+    * families registered into the transparent pruning rule; `analog` maps
+    * families whose Spark-native equivalent needs no registration (or a
+    * separate build step) to the component that serves them. */
+  final case class AppliedIndexes(
+      sorted: Option[String],
+      blooms: Seq[String],
+      partitioned: Option[(String, Int)],
+      analog: Map[String, String])
+
+  /** Wire a Pinot `tableIndexConfig` (the reference's own config shape —
+    * `kinesisTableConfigFile.json:12-27`) onto a data directory: the
+    * broker-pruning families register into
+    * [[graft.plans.SegmentPruningRule]] so a user's table config turns on
+    * the same transparent segment pruning the reference's broker performs —
+    * `sortedColumn` → footer range manifest, `bloomFilterColumns` →
+    * per-file bloom manifests (budget-guarded), `segmentPartitionConfig` →
+    * exact partition-id manifests. The registry keys one manifest per data
+    * directory, so the highest-selectivity family present wins (sorted >
+    * partitioned > bloom); the full parse is still reported back. Families that Spark serves natively (or
+    * via a separate index build) come back in `analog` instead of silently
+    * disappearing: inverted/range indexes are parquet predicate pushdown +
+    * footer stats, text/json indexes are `sources.TextIndex/JsonIndex`
+    * side builds, star-tree is `plans.StarTree`, `noDictionaryColumns` is
+    * a storage detail parquet encoding already decides. Registration is an
+    * ACCELERATOR: an unregistered or unsorted layout keeps full scans,
+    * never wrong answers. */
+  def applyIndexConfig(
+      spark: SparkSession,
+      tableConfigJson: String,
+      dir: String): AppliedIndexes = {
+    implicit val fmts: Formats = DefaultFormats
+    val idx = JsonMethods.parse(tableConfigJson) \ "tableIndexConfig"
+    def strings(key: String): Seq[String] = (idx \ key) match {
+      case JArray(arr) => arr.map(_.extract[String])
+      case _ => Nil
+    }
+    val sorted = strings("sortedColumn").headOption
+    val blooms = strings("bloomFilterColumns")
+    val part = (idx \ "segmentPartitionConfig" \ "columnPartitionMap") match {
+      case JObject(fs) => fs.headOption.map { case (col, spec) =>
+        (col, (spec \ "numPartitions").extract[Int])
+      }
+      case _ => None
+    }
+    // the pruning registry keys ONE manifest per data directory (Pinot
+    // scopes segment metadata per column the same way) — register the
+    // highest-selectivity family present, in Pinot's own effectiveness
+    // order: sorted ranges > partition ids > bloom point lookups
+    (sorted, part, blooms) match {
+      case (Some(c), _, _) =>
+        graft.plans.SegmentPruning.register(spark, dir, c)
+      case (None, Some((c, n)), _) =>
+        graft.plans.SegmentPruning.registerPartitioned(spark, dir, c, n)
+      case (None, None, c +: _) =>
+        graft.plans.SegmentPruning.registerBloom(spark, dir, c)
+      case _ =>
+    }
+    val analog = Seq(
+      "invertedIndexColumns" -> "parquet predicate pushdown (scan-level filtering; no side structure needed)",
+      "rangeIndexColumns" -> "parquet footer min/max stats + SortedLayout ranges when sorted",
+      "textIndexColumns" -> "sources.TextIndex.build (side index dir) + TEXT_MATCH routing",
+      "jsonIndexColumns" -> "sources.JsonIndex.build (side index dir) + JSON_MATCH routing",
+      "starTreeIndexConfigs" -> "plans.StarTree rollup build + routing rule",
+      "noDictionaryColumns" -> "parquet encoding choice (columnar storage already dictionary-encodes adaptively)")
+      .flatMap { case (k, v) =>
+        val present = (idx \ k) match {
+          case JArray(arr) => arr.nonEmpty
+          case JNothing => false
+          case _ => true
+        }
+        if (present) Some(k -> v) else None
+      }.toMap
+    AppliedIndexes(sorted, blooms, part, analog)
+  }
 }
