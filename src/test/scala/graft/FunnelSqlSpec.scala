@@ -128,6 +128,32 @@ class FunnelSqlSpec extends GraftSuite {
     assert(got("u3") === Seq(-1.0, -1.0))
   }
 
+  test("funnel aggregate runs in a streaming complete-mode aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, String)]
+    val stepCols = steps.map(s => col("event_type") === s)
+    val q = ms.toDF().toDF("user_id", "tus", "event_type")
+      .groupBy(col("user_id"))
+      .agg(FunnelAggs.maxStep(col("tus"), 0L, stepCols).as("m"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(("u1", 100L, "view"), ("u1", 150L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap === Map("u1" -> 2))
+      // late purchase advances the chain on the next trigger — the state
+      // store carries the aggregation buffer across batches
+      ms.addData(("u1", 190L, "purchase"), ("u2", 10L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap ===
+        Map("u1" -> 3, "u2" -> 1))
+    } finally q.stop()
+  }
+
   test("SQL spellings resolve on the Pinot session") {
     Tables.t(pinot, sfDir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
