@@ -51,8 +51,10 @@ object FunnelAggs {
       mode: FunnelAgg.Mode,
       ts: Expression,
       window: Long,
-      stepConds: Seq[Expression]): Expression =
-    FunnelAgg(Cast(ts, LongType), stepBits(stepConds), stepConds.size, window, mode)
+      stepConds: Seq[Expression],
+      strictIncrease: Boolean = false): Expression =
+    FunnelAgg(Cast(ts, LongType), stepBits(stepConds), stepConds.size, window,
+      mode, strictIncrease)
       .toAggregateExpression()
 
   /** Column-API surface (used by declared queries and specs). `window <= 0`
@@ -78,10 +80,13 @@ object FunnelAggs {
         steps.map(GraftBridge.expression)))
 
   /** SQL-registry builder for the Pinot spellings
-    * `funnelMaxStep(tsExpr, windowSize, numSteps, step1, ..., stepN)` —
-    * windowSize and numSteps must be literals (Pinot requires the same).
-    * windowSize accepts a numeric or string literal ('1000' in the Pinot
-    * docs' own examples); <= 0 disables the window. */
+    * `funnelMaxStep(tsExpr, windowSize, numSteps, step1, ..., stepN
+    * [, 'strict_increase'])` — windowSize and numSteps must be literals
+    * (Pinot requires the same). windowSize accepts a numeric or string
+    * literal ('1000' in the Pinot docs' own examples); <= 0 disables the
+    * window. The optional trailing mode string after the steps supports
+    * Pinot's STRICT_INCREASE (each step's timestamp strictly after the
+    * previous step's); other mode strings are rejected loudly. */
   def sqlBuilder(mode: FunnelAgg.Mode)(args: Seq[Expression]): Expression = {
     require(args.length >= 4,
       "funnel aggregate needs (ts, windowSize, numSteps, step...)")
@@ -95,10 +100,18 @@ object FunnelAggs {
       case other => throw new IllegalArgumentException(
         s"funnel numSteps must be a literal, got $other")
     }
-    val steps = args.drop(3)
+    val (steps, strict) = args.drop(3) match {
+      case ss if ss.length == n + 1 => ss.last match {
+        case Literal(m, StringType) if m != null &&
+            m.toString.equalsIgnoreCase("strict_increase") => (ss.dropRight(1), true)
+        case other => throw new IllegalArgumentException(
+          s"unsupported funnel mode $other (supported: 'strict_increase')")
+      }
+      case ss => (ss, false)
+    }
     require(steps.length == n,
       s"funnel declared $n steps but got ${steps.length} step expressions")
-    agg(mode, args(0), window, steps)
+    agg(mode, args(0), window, steps, strict)
   }
 }
 
@@ -122,6 +135,7 @@ case class FunnelAgg(
     numSteps: Int,
     window: Long,
     mode: FunnelAgg.Mode,
+    strictIncrease: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Int)]]
@@ -186,7 +200,8 @@ case class FunnelAgg(
       val n = buf.length
       while (i < n) {
         val (ts, bits) = buf(i)
-        if ((bits & mask) != 0 && ts >= prev && (k == 0 || ts <= deadline) &&
+        val after = if (strictIncrease && k > 0) ts > prev else ts >= prev
+        if ((bits & mask) != 0 && after && (k == 0 || ts <= deadline) &&
             ts < best) {
           best = ts; found = true
         }

@@ -128,6 +128,31 @@ class FunnelSqlSpec extends GraftSuite {
     assert(got("u3") === Seq(-1.0, -1.0))
   }
 
+  test("strict_increase mode: ties and shared events no longer chain") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    import s.implicits._
+    Seq(
+      ("u1", 100L, "view"), ("u1", 100L, "click"),  // tie: default chains, strict does not
+      ("u2", 100L, "view"), ("u2", 150L, "click")
+    ).toDF("user_id", "tus", "event_type").createOrReplaceTempView("ev_strict")
+    val rows = s.sql(
+      """SELECT user_id,
+        |  funnelMaxStep(tus, 0, 2, event_type = 'view', event_type = 'click') AS dflt,
+        |  funnelMaxStep(tus, 0, 2, event_type = 'view', event_type = 'click',
+        |                'strict_increase') AS strict
+        |FROM ev_strict GROUP BY user_id""".stripMargin)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(rows === Map("u1" -> ((2, 1)), "u2" -> ((2, 2))))
+    // unknown mode strings error loudly
+    val e = intercept[Exception](s.sql(
+      "SELECT funnelMaxStep(tus, 0, 1, event_type = 'view', 'keep_all') FROM ev_strict")
+      .collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unsupported funnel mode")))
+  }
+
   test("funnel aggregate runs in a streaming complete-mode aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
