@@ -51,6 +51,16 @@ class ClpSpec extends GraftSuite {
     cases.foreach { s => assert(roundtrip(s) === s, s"case: '$s'") }
   }
 
+  test("seeded fuzz: 2000 random log-ish strings round-trip exactly") {
+    val rnd = new scala.util.Random(0x5EEDL)
+    val alphabet = "abcXYZ0123456789 =.-_:/é中" // incl. non-ASCII
+    (1 to 2000).foreach { _ =>
+      val len = rnd.nextInt(40)
+      val s = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(roundtrip(s) === s, s"fuzz case: '$s'")
+    }
+  }
+
   test("round-trip over the documents fixture") {
     val docs = Tables.t(spark, sfDir, "documents")
     val encCol = GraftBridge.column(
