@@ -78,6 +78,39 @@ class GeoPolySpec extends GraftSuite {
     }
   }
 
+  test("property: ray cast agrees with the half-plane test on random convex polygons") {
+    val rnd = new scala.util.Random(0x6E0L)
+    (1 to 50).foreach { _ =>
+      // random convex polygon: points on a circle with jittered radius,
+      // sorted by angle (convex by construction when radii are equal —
+      // use a fixed radius for guaranteed convexity)
+      val n = 3 + rnd.nextInt(6)
+      val cx = rnd.nextDouble() * 10 - 5
+      val cy = rnd.nextDouble() * 10 - 5
+      val r = 1.0 + rnd.nextDouble() * 4
+      val angles = Seq.fill(n)(rnd.nextDouble() * 2 * math.Pi).sorted
+      val verts = angles.map(a => (cx + r * math.cos(a), cy + r * math.sin(a)))
+      val wkt = verts.map { case (x, y) => s"$x $y" }
+        .mkString("POLYGON ((", ", ", "))")
+      // half-plane test (counter-clockwise ring): inside iff every cross
+      // product has the same sign
+      def halfPlane(px: Double, py: Double): Boolean = {
+        val signs = verts.indices.map { i =>
+          val (x1, y1) = verts(i)
+          val (x2, y2) = verts((i + 1) % n)
+          math.signum((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1))
+        }.filter(_ != 0.0)
+        signs.nonEmpty && (signs.forall(_ > 0) || signs.forall(_ < 0))
+      }
+      (1 to 40).foreach { _ =>
+        val px = cx + (rnd.nextDouble() * 2 - 1) * r * 1.5
+        val py = cy + (rnd.nextDouble() * 2 - 1) * r * 1.5
+        assert(containsXY(wkt, px, py) === halfPlane(px, py),
+          s"($px, $py) in $wkt")
+      }
+    }
+  }
+
   test("SQL spellings on the Pinot session: contains/within/area") {
     val s = spark.newSession()
     PinotFunctions.register(s)
