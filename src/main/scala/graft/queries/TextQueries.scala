@@ -349,7 +349,13 @@ object TextQueries {
         .select(col("term"),
           log((col("c") + 1).cast("double") / (col("n") + col("v"))).as("lnp"))
       val td = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n_td"))
-      val perDoc = td.join(lnp, Seq("term"))
+      // vocab is |unique terms| — orders of magnitude under the corpus, so
+      // the per-(doc,term) stream joins against a BROADCAST probability
+      // table instead of shuffling on term strings. Measured a wash at
+      // sf0.1 local[32] (1.94 vs 2.07 s isolated — the shuffle is cheap
+      // here); kept for the 100× posture, where the removed exchange is
+      // the one that grows with the corpus
+      val perDoc = td.join(broadcast(lnp), Seq("term"))
         .select(col("doc_id"), col("n_td"),
           struct(col("term"), (col("n_td").cast("double") * col("lnp")).as("contrib")).as("tc"))
         .groupBy(col("doc_id"))
