@@ -50,6 +50,38 @@ class FakeKinesisIngestSpec extends GraftSuite {
       .head().getInt(0) === 70)
   }
 
+  test("ingested store answers the funnel aggregate (S1→S7→X7 composition)") {
+    // the reference demo path: stream → sealed store → analytics query;
+    // journeys encoded in the decoded `color` field, depths 3/2/1
+    val streamDir = tmp("fk-funnel-stream")
+    val sink = tmp("fk-funnel-sink")
+    val statePath = tmp("fk-funnel-state") + "/state.json"
+    val k = FakeKinesis.create(streamDir, shardCount = 2)
+    val journeys = Seq(
+      (1, Seq("view", "click", "purchase")),
+      (2, Seq("view", "click")),
+      (3, Seq("view")))
+    journeys.foreach { case (u, steps) =>
+      steps.zipWithIndex.foreach { case (s, i) =>
+        k.putRecord(s"u$u",
+          (s"""{"userID":"$u","productName":"p","color":"$s","department":"d",""" +
+            s""""product":"x","campaign":"c","price":1,""" +
+            s""""creationTimestamp":"2024-05-01 10:0$i:00"}""").getBytes("UTF-8"))
+      }
+    }
+    val c = FakeKinesisIngest.consumerFor(k, statePath, TrimHorizon)
+    assert(FakeKinesisIngest.runOnce(spark, c, sink, statePath) === 6)
+
+    val stepCols = Seq("view", "click", "purchase").map(s => col("color") === s)
+    val got = FakeKinesisIngest.readSealed(spark, sink)
+      .select(col("userID"),
+        unix_micros(to_timestamp(col("creationTimestamp"))).as("tus"), col("color"))
+      .groupBy(col("userID"))
+      .agg(graft.expressions.FunnelAggs.maxStep(col("tus"), 0L, stepCols).as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("1" -> 3, "2" -> 2, "3" -> 1))
+  }
+
   test("crash between write and commit: restart converges to exactly-once") {
     val streamDir = tmp("fk-crash-stream")
     val sink = tmp("fk-crash-sink")
