@@ -332,12 +332,9 @@ object PinotFunctions {
         Literal("y"), Cast(args(1), DoubleType)))),
     "st_x" -> (args => UnresolvedExtractValue(args(0), Literal("x"))),
     "st_y" -> (args => UnresolvedExtractValue(args(0), Literal("y"))),
-    "st_astext" -> (args => Concat(Seq(
-      Literal("POINT ("),
-      Cast(UnresolvedExtractValue(args(0), Literal("x")), StringType),
-      Literal(" "),
-      Cast(UnresolvedExtractValue(args(0), Literal("y")), StringType),
-      Literal(")")))),
+    // point AND polygon shapes, dispatched on the resolved input type
+    // (expressions/GeoExpressions.StAsText; exact WKT round-trip)
+    "st_astext" -> (args => graft.expressions.StAsText(args(0))),
     "st_geogfromtext" -> (args => {
       val num = "([-+0-9.eE]+)"
       val pat = Literal(s"POINT \\($num $num\\)")

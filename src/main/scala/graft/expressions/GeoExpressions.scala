@@ -110,6 +110,66 @@ case class StPolygonFromText(child: Expression)
     copy(child = newChild)
 }
 
+/** `st_astext(geom)` — Pinot's ST_AsText for BOTH geometry shapes this
+  * engine carries: a point struct renders `POINT (x y)`, a polygon array
+  * renders `POLYGON ((x1 y1, …))`. The shape is dispatched on the
+  * resolved input type; doubles format via Double.toString, so
+  * `st_geomfromtext(st_astext(p))` / `st_geogfromtext(...)` round-trip
+  * exactly. Formatting is not a hot path — CodegenFallback. */
+case class StAsText(child: Expression)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private lazy val isPolygon: Boolean = child.dataType.isInstanceOf[ArrayType]
+
+  private def isPoint(t: DataType): Boolean = t match {
+    case StructType(Array(
+      StructField("x", DoubleType, _, _), StructField("y", DoubleType, _, _))) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case t if isPoint(t) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(et, _) if isPoint(et) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"st_astext expects a point struct<x,y> or a polygon array, got $other")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_astext"
+
+  override protected def nullSafeEval(geom: Any): Any = {
+    val sb = new java.lang.StringBuilder()
+    if (isPolygon) {
+      val arr = geom.asInstanceOf[ArrayData]
+      sb.append("POLYGON ((")
+      var i = 0
+      while (i < arr.numElements()) {
+        val v = arr.getStruct(i, 2)
+        if (i > 0) sb.append(", ")
+        sb.append(java.lang.Double.toString(v.getDouble(0))).append(' ')
+          .append(java.lang.Double.toString(v.getDouble(1)))
+        i += 1
+      }
+      sb.append("))")
+    } else {
+      val p = geom.asInstanceOf[InternalRow]
+      sb.append("POINT (")
+        .append(java.lang.Double.toString(p.getDouble(0))).append(' ')
+        .append(java.lang.Double.toString(p.getDouble(1))).append(')')
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StAsText =
+    copy(child = newChild)
+}
+
 /** `st_contains(polygon, point)` — even-odd ray cast (see GeoKernels). */
 case class StContains(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {

@@ -125,4 +125,17 @@ class GeoPolySpec extends GraftSuite {
     assert(r.getBoolean(2))
     assert(r.getDouble(3) === 100.0)
   }
+
+  test("st_astext round-trips both shapes") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    val r = s.sql(
+      s"""SELECT st_astext(st_geomfromtext('$square')) AS poly_wkt,
+         |       st_astext(st_point(1.5, -2.25)) AS pt_wkt,
+         |       st_area(st_geomfromtext(st_astext(st_geomfromtext('$square')))) AS a2""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) === "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0))")
+    assert(r.getString(1) === "POINT (1.5 -2.25)")
+    assert(r.getDouble(2) === 100.0)
+  }
 }
