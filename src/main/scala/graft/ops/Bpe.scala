@@ -81,6 +81,99 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Batched trainer — same merge list as [[train]], far fewer Spark jobs.
+    *
+    * The sequential trainer is one driver round-trip + one full rewrite of
+    * the unique-word frame PER MERGE: at a production vocab (30k–100k
+    * merges) that is tens of thousands of sequential Spark jobs. This
+    * variant accepts a PREFIX of the stale candidate list per round and
+    * applies the whole batch in ONE map + localCheckpoint, with a
+    * selection rule that makes the batch provably identical to what the
+    * sequential trainer would have picked:
+    *
+    *  - candidates are scanned in (count desc, l, r) order — the argmax
+    *    order — and acceptance STOPS (never skips) at the first conflict,
+    *    so accepted pairs are exactly the sequential prefix;
+    *  - a pair is a conflict if it shares a symbol with any accepted pair
+    *    (its count may have changed after those merges) — fused strings
+    *    l+r count as symbols too, since a later pair naming the fused
+    *    token would gain occurrences mid-batch;
+    *  - merging (a,b) creates only pairs involving the fused token, and
+    *    count(x, ab) ≤ count(x, a) ≤ maxRight(a), count(ab, y) ≤
+    *    count(b, y) ≤ maxLeft(b), where maxLeft/maxRight are per-symbol
+    *    maxima of the stale pair table. Acceptance also stops once a
+    *    candidate's count is ≤ the running bound, because a freshly
+    *    created pair could then outrank it in the next sequential round
+    *    (ties must stop too: the new token's name could win the
+    *    lexicographic tie-break);
+    *  - if a fused string collides with an EXISTING symbol the bound
+    *    argument breaks (that symbol's pairs can gain count), so the
+    *    batch ends after that merge.
+    *
+    * Within a word the batch is applied by [[mergeOnce]] in accepted
+    * order — bit-identical to the sequential rewrites. BpeSpec proves
+    * list equality vs [[train]] at 256+ merges.
+    */
+  def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                   maxCandidates: Int = 4096): Seq[(String, String)] =
+    trainBatchedWithStats(docs, textCol, numMerges, maxCandidates)._1
+
+  /** [[trainBatched]] plus the number of Spark rounds it took. */
+  def trainBatchedWithStats(docs: DataFrame, textCol: String, numMerges: Int,
+                            maxCandidates: Int = 4096): (Seq[(String, String)], Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var state: Dataset[(Seq[String], Long)] =
+      initTokens(wordFreq(docs, textCol)).as[(Seq[String], Long)]
+        .localCheckpoint()
+    var rounds = 0
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val pc = pairCounts(state.toDF("toks", "freq")).persist()
+      val cands = pc.orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(maxCandidates).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // per-symbol maxima of the stale table — vocab-sized, not corpus-sized
+      val maxLeft = pc.groupBy(col("l")).agg(max(col("n")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val maxRight = pc.groupBy(col("r")).agg(max(col("n")).as("m"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      pc.unpersist()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val symbols = maxLeft.keySet ++ maxRight.keySet
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val blocked = scala.collection.mutable.HashSet.empty[String]
+        var ub = 0L
+        var stop = false
+        val want = numMerges - merges.length
+        var i = 0
+        while (!stop && i < cands.length && batch.length < want) {
+          val (l, r, n) = cands(i)
+          if (blocked.contains(l) || blocked.contains(r)) stop = true
+          else if (batch.nonEmpty && n <= ub) stop = true
+          else {
+            batch += ((l, r))
+            blocked += l; blocked += r; blocked += (l + r)
+            ub = math.max(ub, math.max(maxRight.getOrElse(l, 0L), maxLeft.getOrElse(r, 0L)))
+            if (symbols.contains(l + r)) stop = true // fused-name collision: bound invalid past here
+            i += 1
+          }
+        }
+        merges ++= batch
+        val b = batch.toSeq
+        state = state.map { case (toks, freq) =>
+          var t = toks
+          b.foreach { case (l, r) => t = mergeOnce(t, l, r) }
+          (t, freq)
+        }.localCheckpoint()
+        rounds += 1
+      }
+    }
+    (merges.toSeq, rounds)
+  }
+
   /** Replace every adjacent (l, r) by the fused token, left to right. */
   def mergeOnce(toks: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -32,6 +32,29 @@ class BpeSpec extends GraftSuite {
     assert(a.length === 8)
   }
 
+  test("batched trainer matches the sequential merge list at 256+ merges") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(150)
+    val t0 = System.nanoTime()
+    val seqMerges = Bpe.train(docs, "text", 256)
+    val t1 = System.nanoTime()
+    val (batMerges, rounds) = Bpe.trainBatchedWithStats(docs, "text", 256)
+    val t2 = System.nanoTime()
+    assert(batMerges === seqMerges)
+    assert(seqMerges.length === 256)
+    // the whole point: far fewer driver rounds than merges
+    assert(rounds < 256, s"expected batching to compress rounds, got $rounds")
+    info(f"sequential: ${(t1 - t0) / 1e9}%.1f s (256 rounds); " +
+      f"batched: ${(t2 - t1) / 1e9}%.1f s ($rounds rounds)")
+  }
+
+  test("batched trainer matches on the planted corpus and tiny vocab") {
+    import spark.implicits._
+    val docs = Seq("low low low lower").toDF("text")
+    assert(Bpe.trainBatched(docs, "text", 3) === Bpe.train(docs, "text", 3))
+    // over-asking merges exhausts pairs identically on both paths
+    assert(Bpe.trainBatched(docs, "text", 50) === Bpe.train(docs, "text", 50))
+  }
+
   test("encode is lossless and strictly compresses the fixture corpus") {
     val docs = Tables.t(spark, sfDir, "documents").limit(200)
     val merges = Bpe.train(docs, "text", 12)
