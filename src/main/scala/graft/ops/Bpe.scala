@@ -94,21 +94,33 @@ object Bpe {
     *  - candidates are scanned in (count desc, l, r) order — the argmax
     *    order — and acceptance STOPS (never skips) at the first conflict,
     *    so accepted pairs are exactly the sequential prefix;
-    *  - a pair is a conflict if it shares a symbol with any accepted pair
-    *    (its count may have changed after those merges) — fused strings
-    *    l+r count as symbols too, since a later pair naming the fused
-    *    token would gain occurrences mid-batch;
-    *  - merging (a,b) creates only pairs involving the fused token, and
-    *    count(x, ab) ≤ count(x, a) ≤ maxRight(a), count(ab, y) ≤
-    *    count(b, y) ≤ maxLeft(b), where maxLeft/maxRight are per-symbol
-    *    maxima of the stale pair table. Acceptance also stops once a
-    *    candidate's count is ≤ the running bound, because a freshly
-    *    created pair could then outrank it in the next sequential round
-    *    (ties must stop too: the new token's name could win the
+    *  - merging (a,b) changes the count of EXACTLY the pairs (x,a) — the
+    *    'a' can be consumed as a left part — and (b,y) — the 'b' consumed
+    *    as a right part — plus pairs naming the fused token ab. Pairs
+    *    (a,y≠b) and (x≠a,b) are provably unchanged (their 'a'/'b' is never
+    *    adjacent to the merge partner at that occurrence). So a candidate
+    *    (l,r) conflicts iff l ∈ {accepted rights ∪ fused names} or
+    *    r ∈ {accepted lefts ∪ fused names};
+    *  - merging (a,b) creates only pairs involving the fused token. A
+    *    created pair's count is EXACTLY a neighbor-triple count: each
+    *    (x, ab) instance is a triple (x, a, b) occurrence, each (ab, y) a
+    *    triple (a, b, y) — and every creation instance maps to a distinct
+    *    original neighbor token, so per created NAME the count is one
+    *    single-neighbor triple count (earlier batch merges only rename
+    *    neighbors bijectively: batch symbols are pairwise consumable-
+    *    disjoint). One tiny extra job per round computes, per tentative
+    *    merge, max(single-neighbor triple counts) over the round-start
+    *    frame — the exact ceiling on anything that merge can create. The
+    *    batch is trimmed where a candidate's count is ≤ the running
+    *    creation ceiling plus the truncation cutoff (an unseen
+    *    below-cutoff pair could carry stale mass on top of created mass),
+    *    because such a pair could outrank it in the next sequential round
+    *    (ties must trim too: the new token's name could win the
     *    lexicographic tie-break);
     *  - if a fused string collides with an EXISTING symbol the bound
-    *    argument breaks (that symbol's pairs can gain count), so the
-    *    batch ends after that merge.
+    *    argument breaks (that symbol's pairs can gain count and a
+    *    non-accepted candidate naming it could overtake), so the batch
+    *    ends after that merge.
     *
     * Within a word the batch is applied by [[mergeOnce]] in accepted
     * order — bit-identical to the sequential rewrites. BpeSpec proves
@@ -130,39 +142,74 @@ object Bpe {
     var rounds = 0
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
-      val pc = pairCounts(state.toDF("toks", "freq")).persist()
-      val cands = pc.orderBy(col("n").desc, col("l").asc, col("r").asc)
+      // ONE job per round: the sorted top-K of the pair table. Per-symbol
+      // maxima are derived from the collected rows; symbols only seen
+      // below the cutoff are bounded by the cutoff count itself.
+      val cands = pairCounts(state.toDF("toks", "freq"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(maxCandidates).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      // per-symbol maxima of the stale table — vocab-sized, not corpus-sized
-      val maxLeft = pc.groupBy(col("l")).agg(max(col("n")).as("m"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val maxRight = pc.groupBy(col("r")).agg(max(col("n")).as("m"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      pc.unpersist()
       if (cands.isEmpty) exhausted = true
       else {
-        val symbols = maxLeft.keySet ++ maxRight.keySet
-        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        val blocked = scala.collection.mutable.HashSet.empty[String]
-        var ub = 0L
+        val cutoff = if (cands.length == maxCandidates) cands.last._3 else 0L
+        val symbols = scala.collection.mutable.HashSet.empty[String]
+        val maxLeft = scala.collection.mutable.HashMap.empty[String, Long]
+        val maxRight = scala.collection.mutable.HashMap.empty[String, Long]
+        cands.foreach { case (l, r, n) =>
+          if (!maxLeft.contains(l)) maxLeft(l) = n // first hit is the max (sorted desc)
+          if (!maxRight.contains(r)) maxRight(r) = n
+          symbols += l; symbols += r
+        }
+        // tentative batch: blocking + fused-collision rules only
+        val tentative = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val blockedLeft = scala.collection.mutable.HashSet.empty[String]
+        val blockedRight = scala.collection.mutable.HashSet.empty[String]
         var stop = false
         val want = numMerges - merges.length
         var i = 0
-        while (!stop && i < cands.length && batch.length < want) {
+        while (!stop && i < cands.length && tentative.length < want) {
           val (l, r, n) = cands(i)
-          if (blocked.contains(l) || blocked.contains(r)) stop = true
-          else if (batch.nonEmpty && n <= ub) stop = true
+          if (blockedLeft.contains(l) || blockedRight.contains(r)) stop = true
           else {
-            batch += ((l, r))
-            blocked += l; blocked += r; blocked += (l + r)
-            ub = math.max(ub, math.max(maxRight.getOrElse(l, 0L), maxLeft.getOrElse(r, 0L)))
-            if (symbols.contains(l + r)) stop = true // fused-name collision: bound invalid past here
+            tentative += ((l, r, n))
+            val fused = l + r
+            blockedLeft += r; blockedLeft += fused
+            blockedRight += l; blockedRight += fused
+            if (symbols.contains(fused)) stop = true // fused-name collision: bound invalid past here
             i += 1
           }
         }
+        // Trim the tentative prefix where a created pair could outrank the
+        // next candidate. Two sound ceilings, cheapest first: the free
+        // per-symbol adjacency bound min(n, max(maxRight(l), maxLeft(r)));
+        // if that leaves a small batch while more was tentatively
+        // available, pay ONE tiny extra job for the exact neighbor-triple
+        // ceiling and keep the longer prefix (both are valid sequential
+        // prefixes of the same candidate order).
+        def trim(ceil: ((String, String, Long)) => Long): Seq[(String, String)] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var runMax = 0L
+          var trimmed = false
+          tentative.foreach { case t @ (l, r, n) =>
+            if (!trimmed) {
+              if (out.nonEmpty && n <= runMax + cutoff) trimmed = true
+              else { out += ((l, r)); runMax = math.max(runMax, ceil(t)) }
+            }
+          }
+          out.toSeq
+        }
+        val cheap = trim { case (l, r, n) =>
+          math.min(n, math.max(maxRight.getOrElse(l, cutoff), maxLeft.getOrElse(r, cutoff)))
+        }
+        val batch: Seq[(String, String)] =
+          if (cheap.length >= tentative.length || cheap.length >= 8) cheap
+          else {
+            val exact = tripleMaxima(state, tentative.map(t => (t._1, t._2)).toSet)
+            val tight = trim { case (l, r, _) => exact.getOrElse((l, r), 0L) }
+            if (tight.length > cheap.length) tight else cheap
+          }
         merges ++= batch
-        val b = batch.toSeq
+        val b = batch
         state = state.map { case (toks, freq) =>
           var t = toks
           b.foreach { case (l, r) => t = mergeOnce(t, l, r) }
@@ -172,6 +219,33 @@ object Bpe {
       }
     }
     (merges.toSeq, rounds)
+  }
+
+  /** For each pair in `pairs`, the max single-neighbor triple count over
+    * the token frame: max over x of Σfreq{(x,l,r)} and max over y of
+    * Σfreq{(l,r,y)} — the exact ceiling on the count of any pair that
+    * merging (l,r) can create. Output is small (≤ |pairs| rows after the
+    * final aggregate); the scan is the unique-word frame, not the corpus. */
+  private def tripleMaxima(state: Dataset[(Seq[String], Long)],
+                           pairs: Set[(String, String)]): Map[(String, String), Long] = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    state.flatMap { case (toks, freq) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+      var i = 0
+      while (i + 2 < toks.length + 1) { // i, i+1 valid; i+2 may not be
+        val a = toks(i); val b = toks(i + 1)
+        if (pairs.contains((a, b))) {
+          if (i > 0) out += ((a, b, "L:" + toks(i - 1), freq))
+          if (i + 2 < toks.length) out += ((a, b, "R:" + toks(i + 2), freq))
+        }
+        i += 1
+      }
+      out
+    }.toDF("l", "r", "nk", "f")
+      .groupBy(col("l"), col("r"), col("nk")).agg(sum(col("f")).as("c"))
+      .groupBy(col("l"), col("r")).agg(max(col("c")).as("m"))
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
   }
 
   /** Replace every adjacent (l, r) by the fused token, left to right. */

@@ -33,7 +33,18 @@ class BpeSpec extends GraftSuite {
   }
 
   test("batched trainer matches the sequential merge list at 256+ merges") {
-    val docs = Tables.t(spark, sfDir, "documents").limit(150)
+    import spark.implicits._
+    // The fixture documents table has a tiny word vocabulary (exhausts at
+    // ~105 merges), so build a seeded corpus with enough lexical diversity
+    // to sustain 256 merge rounds: 600 distinct words, Zipf-ish repeats.
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq.fill(600)((3 + rnd.nextInt(10), rnd.nextLong())).map {
+      case (len, seed) =>
+        val r = new scala.util.Random(seed)
+        Seq.fill(len)(('a' + r.nextInt(26)).toChar).mkString
+    }
+    val words = (0 until 8000).map(i => vocab(math.min(rnd.nextInt(rnd.nextInt(600) + 1), 599)))
+    val docs = words.grouped(40).map(_.mkString(" ")).toSeq.toDF("text")
     val t0 = System.nanoTime()
     val seqMerges = Bpe.train(docs, "text", 256)
     val t1 = System.nanoTime()
