@@ -625,6 +625,28 @@ object PinotFunctions {
     "funnelstepdurations" -> graft.expressions.FunnelAggs.sqlBuilder(
       graft.expressions.FunnelAgg.Durations))
 
+  /** Default serialized-IdSet budget for IN_SUBQUERY (4 MiB): a set that
+    * big is no longer a selective broker-side filter and belongs in a
+    * semi-join. Overridable via `graft.pinot.inSubqueryMaxBytes`. */
+  val DefaultInSubqueryMaxBytes: Long = 4L << 20
+
+  // Per-session IN_SUBQUERY memo (weak session keys: caches die with the
+  // session). Guarded by its own lock; entries are (inner sql -> IdSet).
+  private val idSetCaches =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def idSetCacheFor(spark: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, String] =
+    idSetCaches.synchronized {
+      var m = idSetCaches.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        idSetCaches.put(spark, m)
+      }
+      m
+    }
+
   private def pctApprox: Seq[Expression] => Expression = args =>
     new ApproximatePercentile(args(0), Divide(Cast(args(1), DoubleType), Literal(100.0)))
       .toAggregateExpression()
@@ -644,6 +666,21 @@ object PinotFunctions {
     // session, so execution happens at analysis time — exactly when Pinot's
     // broker runs the inner query. Nested IN_SUBQUERY recurses naturally
     // (the inner analysis triggers its own builder).
+    //
+    // Guards (round 7):
+    //  - BYTE BUDGET: the serialized IdSet becomes a plan literal that is
+    //    shipped with every task; an unbounded inner query would bake a
+    //    multi-MB (or worse) literal into the plan. Over
+    //    `graft.pinot.inSubqueryMaxBytes` (default 4 MiB — an IdSet that
+    //    big means the filter is not selective) the call REFUSES loudly
+    //    with semi-join guidance, mirroring the bloom-manifest budget in
+    //    plans.SegmentPruningRule.
+    //  - MEMOIZATION: the builder runs at ANALYSIS time, so EXPLAIN, view
+    //    re-resolution, or any re-analysis would re-run the inner query
+    //    eagerly. Results are memoized per (session, sql) for the life of
+    //    the session; set `graft.pinot.inSubqueryMemoize=false` for
+    //    re-read-on-every-analysis semantics (fresh data, Pinot-broker
+    //    behavior).
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "in_subquery",
       (args: Seq[Expression]) => {
@@ -652,10 +689,27 @@ object PinotFunctions {
           case other => throw new IllegalArgumentException(
             s"IN_SUBQUERY inner query must be a string literal, got $other")
         }
-        val rows = spark.sql(sql).collect()
-        require(rows.length == 1 && rows.head.length == 1 && !rows.head.isNullAt(0),
-          s"IN_SUBQUERY inner query must return exactly one IdSet value: $sql")
-        graft.expressions.InIdSet(args(0), Literal(rows.head.getString(0)))
+        val memoize = spark.conf.get("graft.pinot.inSubqueryMemoize", "true").toBoolean
+        val cached = if (memoize) Option(idSetCacheFor(spark).get(sql)) else None
+        val idSet = cached.getOrElse {
+          val rows = spark.sql(sql).collect()
+          require(rows.length == 1 && rows.head.length == 1 && !rows.head.isNullAt(0),
+            s"IN_SUBQUERY inner query must return exactly one IdSet value: $sql")
+          val v = rows.head.getString(0)
+          val bytes = v.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+          val budget = spark.conf.get(
+            "graft.pinot.inSubqueryMaxBytes", DefaultInSubqueryMaxBytes.toString).toLong
+          require(bytes <= budget,
+            s"IN_SUBQUERY inner query produced a $bytes-byte IdSet, over the " +
+              s"graft.pinot.inSubqueryMaxBytes budget ($budget). A literal that " +
+              "size would be compiled into the plan and shipped with every task. " +
+              "Rewrite as a semi-join — `WHERE col IN (SELECT …)` / LEFT SEMI " +
+              "JOIN — which shuffles or broadcasts through the engine instead, " +
+              "or raise the budget if the set is genuinely this large.")
+          if (memoize) idSetCacheFor(spark).put(sql, v)
+          v
+        }
+        graft.expressions.InIdSet(args(0), Literal(idSet))
       }, "built-in")
     // Pinot's implicit LIMIT 10 (O2) and default null substitution (F6) —
     // both conf-guarded, off unless the session opts in

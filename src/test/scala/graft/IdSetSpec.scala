@@ -83,4 +83,69 @@ class IdSetSpec extends GraftSuite {
     assert(e.getMessage.contains("string literal")
       || Option(e.getCause).exists(_.getMessage.contains("string literal")))
   }
+
+  test("IN_SUBQUERY refuses an over-budget IdSet with semi-join guidance") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    Tables.registerViews(s, sfDir)
+    val q =
+      """SELECT count(*) AS n FROM events
+        |WHERE IN_SUBQUERY(user_id, 'SELECT IDSET(user_id) FROM events')""".stripMargin
+    // tiny budget: the all-users IdSet cannot fit
+    s.conf.set("graft.pinot.inSubqueryMaxBytes", "16")
+    val e = intercept[Exception](s.sql(q).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("semi-join")), msgs(e).mkString("; "))
+    // under budget: same query succeeds unchanged
+    s.conf.set("graft.pinot.inSubqueryMaxBytes",
+      PinotFunctions.DefaultInSubqueryMaxBytes.toString)
+    assert(s.sql(q).head().getLong(0) > 0)
+  }
+
+  test("IN_SUBQUERY memoizes per (session, sql): EXPLAIN does not re-run the inner query") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    Tables.registerViews(s, sfDir)
+    // first run populates the memo
+    val q =
+      """SELECT count(*) AS n FROM events
+        |WHERE event_type = 'view'
+        |  AND IN_SUBQUERY(user_id,
+        |    'SELECT IDSET(user_id) FROM events WHERE event_type = ''purchase''')""".stripMargin
+    val first = s.sql(q).head().getLong(0)
+    // count Spark jobs triggered by a re-analysis (EXPLAIN-shaped): with the
+    // memo warm, resolving IN_SUBQUERY again must launch ZERO jobs for the
+    // inner query.
+    val sc = s.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      s.sql(q).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      Thread.sleep(1500) // listener bus is async; give events time to drain
+      assert(jobs.get() === 0, "EXPLAIN after memo warm must not launch inner-query jobs")
+    } finally sc.removeSparkListener(listener)
+    // memoized result still answers correctly
+    assert(s.sql(q).head().getLong(0) === first)
+    // opting out re-executes (observable as jobs on re-analysis)
+    s.conf.set("graft.pinot.inSubqueryMemoize", "false")
+    val jobs2 = new java.util.concurrent.atomic.AtomicInteger
+    val l2 = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs2.incrementAndGet()
+    }
+    sc.addSparkListener(l2)
+    try {
+      s.sql(q).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs2.get() == 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(jobs2.get() > 0, "memoize=false must re-run the inner query on analysis")
+    } finally sc.removeSparkListener(l2)
+  }
 }
