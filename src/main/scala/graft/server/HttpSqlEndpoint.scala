@@ -64,8 +64,21 @@ object HttpSqlEndpoint {
     case b: Array[Byte] => node.add(b.map("%02x".format(_)).mkString)
     case seq: scala.collection.Seq[_] =>
       val arr = node.addArray(); seq.foreach(jsonCell(arr, _))
-    case other => node.add(other.toString) // Timestamp, Date, Row, Map
+    // TIMESTAMP cells render as `java.sql.Timestamp.toString` ("yyyy-MM-dd
+    // HH:mm:ss.f"), the Pinot broker's TIMESTAMP wire format — pinned to
+    // the UTC session zone regardless of JVM default zone or the
+    // spark.sql.datetime.java8API setting (which flips the cell class).
+    case t: java.sql.Timestamp => node.add(utcTimestampString(t.toInstant))
+    case i: java.time.Instant => node.add(utcTimestampString(i))
+    case ldt: java.time.LocalDateTime => node.add(java.sql.Timestamp.valueOf(ldt).toString)
+    case d: java.sql.Date => node.add(d.toString)
+    case ld: java.time.LocalDate => node.add(ld.toString)
+    case other => node.add(other.toString) // Row, Map
   }
+
+  private def utcTimestampString(i: java.time.Instant): String =
+    java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)).toString
 
   /** Sum of (numOutputRows, numFiles) across the executed plan's file
     * scans — the broker's numDocsScanned / numSegmentsQueried analogs. */

@@ -94,6 +94,77 @@ class HttpSqlEndpointSpec extends GraftSuite {
     assert(r.get("resultTable").get("rows").size() === 1000)
   }
 
+  test("wire edge shapes: BYTES hex, MV arrays, TIMESTAMP format, BIG_DECIMAL, NULL cells") {
+    // BYTES → columnDataTypes "BYTES", cell = lowercase hex (Pinot
+    // BytesUtils.toHexString convention)
+    val rb = post("SELECT unhex('0A1B2CFF') AS b FROM region LIMIT 1")
+    assert(rb.get("resultTable").get("dataSchema").get("columnDataTypes").get(0).asText() === "BYTES")
+    assert(rb.get("resultTable").get("rows").get(0).get(0).asText() === "0a1b2cff")
+
+    // MV columns → <TYPE>_ARRAY + JSON array cells (broker MV shape)
+    val ra = post("SELECT array(1, 2, 3) AS ia, array('x', 'y') AS sa FROM region LIMIT 1")
+    val raTypes = ra.get("resultTable").get("dataSchema").get("columnDataTypes")
+    assert(raTypes.get(0).asText() === "INT_ARRAY")
+    assert(raTypes.get(1).asText() === "STRING_ARRAY")
+    val raRow = ra.get("resultTable").get("rows").get(0)
+    assert(raRow.get(0).isArray && raRow.get(0).size() === 3 && raRow.get(0).get(2).asInt() === 3)
+    assert(raRow.get(1).get(1).asText() === "y")
+
+    // TIMESTAMP → java.sql.Timestamp.toString shape in the UTC session zone
+    val rt = post("SELECT TIMESTAMP '2024-03-01 12:34:56' AS ts FROM region LIMIT 1")
+    assert(rt.get("resultTable").get("dataSchema").get("columnDataTypes").get(0).asText() === "TIMESTAMP")
+    assert(rt.get("resultTable").get("rows").get(0).get(0).asText() === "2024-03-01 12:34:56.0")
+
+    // DECIMAL → BIG_DECIMAL, numeric cell
+    val rd = post("SELECT CAST(12.50 AS DECIMAL(10,2)) AS d FROM region LIMIT 1")
+    assert(rd.get("resultTable").get("dataSchema").get("columnDataTypes").get(0).asText() === "BIG_DECIMAL")
+    assert(math.abs(rd.get("resultTable").get("rows").get(0).get(0).asDouble() - 12.5) < 1e-9)
+
+    // FLOAT stays FLOAT (not widened to DOUBLE on the wire)
+    val rf = post("SELECT CAST(1.5 AS FLOAT) AS f FROM region LIMIT 1")
+    assert(rf.get("resultTable").get("dataSchema").get("columnDataTypes").get(0).asText() === "FLOAT")
+
+    // ANSI mode: SQL NULL comes back as a JSON null cell (Pinot with
+    // enableNullHandling=true), including inside an MV cell
+    val rn = post("SELECT CAST(NULL AS INT) AS v, array(1, CAST(NULL AS INT)) AS a FROM region LIMIT 1")
+    val rnRow = rn.get("resultTable").get("rows").get(0)
+    assert(rnRow.get(0).isNull)
+    assert(rnRow.get(1).get(1).isNull)
+  }
+
+  test("wire NULL cells under Pinot nullDefaults mode: typed defaults, never JSON null") {
+    // dedicated Pinot-mode session: nullDefaults substitutes the Pinot
+    // type default at the scan (plans.PinotNullDefaultsRule), so the wire
+    // carries Integer.MIN_VALUE / 'null' / -Infinity — Pinot WITHOUT
+    // enableNullHandling has no SQL nulls at all
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wire-nulldef").toString + "/t"
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, CAST(10 AS INT), 'a', CAST(1.5 AS DOUBLE)),
+        |  (2, CAST(NULL AS INT), CAST(NULL AS STRING), CAST(NULL AS DOUBLE))
+        |AS t(id, v, s, d)""".stripMargin).write.parquet(dir)
+    s.read.parquet(dir).createOrReplaceTempView("wire_nulldef")
+    s.conf.set(graft.plans.PinotNullDefaultsRule.confKey, "true")
+    val srv = server.HttpSqlEndpoint.start(s, port = 0, maxRows = 1000)
+    try {
+      val body = mapper.createObjectNode()
+      body.put("sql", "SELECT id, v, s, d FROM wire_nulldef ORDER BY id")
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${srv.getAddress.getPort}/query/sql"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+        .header("Content-Type", "application/json").build()
+      val r = mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+      assert(r.get("exceptions").size() === 0, r.toString)
+      val row1 = r.get("resultTable").get("rows").get(1)
+      assert(!row1.get(1).isNull && row1.get(1).asInt() === Int.MinValue)
+      assert(row1.get(2).asText() === "null")
+      assert(!row1.get(3).isNull && row1.get(3).asDouble().isNegInfinity)
+    } finally srv.stop(0)
+  }
+
   test("ALB health check: GET /query/sql returns 200") {
     val req = HttpRequest.newBuilder(URI.create(s"$base/query/sql")).GET().build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
