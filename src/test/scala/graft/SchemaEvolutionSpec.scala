@@ -39,6 +39,54 @@ class SchemaEvolutionSpec extends GraftSuite {
     assert(agg.getDouble(1) === 100.0)
   }
 
+  test("pruning manifests are stale-safe across a schema-evolution generation") {
+    // applyIndexConfig/SegmentPruning manifests are fingerprinted against
+    // the file listing. A schema-evolution generation (new column, new
+    // segment files) MUST disable pruning until re-registration — a stale
+    // manifest would prune away the new files and silently lose rows.
+    import spark.implicits._
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      df.collect()
+      def find(p: SparkPlan): Option[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Some(f)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case other => other.children.view.flatMap(find(_)).headOption
+      }
+      find(df.queryExecution.executedPlan).get.metrics("numFiles").value
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo_prune").toString
+    val gen1 = (0L until 800L).map(i => (i, i * 2.0)).toDF("k", "v")
+    graft.sources.SortedLayout.write(gen1, dir, "k", nFiles = 8)
+    val s = spark.newSession()
+    graft.plans.SegmentPruning.register(s, dir, "k")
+    // registered generation: a point query prunes to one file
+    assert(scanFiles(s.read.parquet(dir).filter(col("k") === 5L)) <= 2L)
+
+    // generation 2: the schema update adds `score`; a new segment lands
+    Seq((900L, 1.0, 7)).toDF("k", "v", "score").repartition(1)
+      .write.mode("append").parquet(dir)
+
+    def evolved = s.read.option("mergeSchema", "true").parquet(dir)
+    // the new row is SERVED (stale manifest must not prune it away) …
+    val hit = evolved.filter(col("k") === 900L).collect()
+    assert(hit.length === 1 && hit(0).getInt(hit(0).fieldIndex("score")) === 7)
+    // … because the fingerprint mismatch disabled pruning entirely
+    assert(scanFiles(evolved.filter(col("k") === 900L)) === 9L,
+      "stale manifest must fall back to the full scan, not prune")
+
+    // re-registration rebuilds the manifest over the evolved listing:
+    // pruning resumes AND covers the new generation's file
+    graft.plans.SegmentPruning.register(s, dir, "k")
+    assert(evolved.filter(col("k") === 900L).collect().map(_.getLong(0)).toSeq === Seq(900L))
+    assert(scanFiles(evolved.filter(col("k") === 900L)) === 1L)
+    // old-generation point lookups prune again too
+    assert(scanFiles(evolved.filter(col("k") === 5L)) <= 2L)
+  }
+
   test("Pinot-mode defaults: pre-evolution segments answer console queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evo2").toString
     writeGenerations(dir)
