@@ -50,6 +50,34 @@ class SqlEndpointSpec extends GraftSuite {
     } finally conn.close()
   }
 
+  test("Statement.cancel kills a runaway query and the session stays usable") {
+    // HTTP timeoutMs parity for the JDBC path (r6 verdict #7): a BI tool's
+    // cancel button must actually stop the Spark jobs, not hold the
+    // (shared, singleSession) Thrift session hostage.
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      val runaway =
+        "SELECT count(*) FROM global_temp.lineitem a " +
+          "CROSS JOIN global_temp.lineitem b CROSS JOIN global_temp.lineitem c"
+      @volatile var completed = false
+      val worker = new Thread(() => {
+        try { st.executeQuery(runaway); completed = true }
+        catch { case _: Throwable => () } // cancellation surfaces as SQLException
+      })
+      worker.start()
+      Thread.sleep(3000) // let the operation reach RUNNING with live jobs
+      st.cancel()
+      worker.join(30000)
+      assert(!worker.isAlive, "cancelled statement must return promptly")
+      assert(!completed, "the cross-join must have been cancelled, not completed")
+      // the connection/session answers normally right after the cancel
+      val rs = conn.createStatement().executeQuery(
+        "SELECT count(*) AS n FROM global_temp.region")
+      assert(rs.next() && rs.getLong(1) > 0)
+    } finally conn.close()
+  }
+
   test("N concurrent JDBC clients get correct answers (broker concurrency)") {
     val expected = Tables.t(spark, sfDir, "lineitem").count()
     val nClients = 6
