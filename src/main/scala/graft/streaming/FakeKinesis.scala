@@ -68,6 +68,10 @@ object FakeKinesis {
   final case class AfterSequenceNumber(seq: Long) extends IteratorType
 
   final class ExpiredIteratorException(msg: String) extends RuntimeException(msg)
+  /** The service's per-shard rate-limit rejection (GetRecords beyond the
+    * per-shard read TPS, or PutRecord beyond the per-shard write rate).
+    * Retryable: nothing advances — the caller backs off and re-issues. */
+  final class ProvisionedThroughputExceededException(msg: String) extends RuntimeException(msg)
   final class ResourceNotFoundException(msg: String) extends RuntimeException(msg)
   final class InvalidArgumentException(msg: String) extends RuntimeException(msg)
 
@@ -133,6 +137,30 @@ final class FakeKinesis private (
   /** Test hook: monotonic fake clock for iterator-expiry specs. */
   var clockMs: () => Long = () => System.currentTimeMillis()
 
+  /** Per-shard rate limits (the real service: 5 GetRecords TPS and 1000
+    * put records/s per shard). Default unlimited so existing consumers are
+    * unaffected; specs tighten them to exercise backoff handling. Calls
+    * over the limit inside a rolling 1-second window throw
+    * [[ProvisionedThroughputExceededException]] and advance NOTHING. */
+  var maxGetRecordsPerSecondPerShard: Int = Int.MaxValue
+  var maxPutRecordsPerSecondPerShard: Int = Int.MaxValue
+  private val getCallTimes = mutable.LinkedHashMap[String, mutable.Queue[Long]]()
+  private val putCallTimes = mutable.LinkedHashMap[String, mutable.Queue[Long]]()
+
+  private def admit(times: mutable.LinkedHashMap[String, mutable.Queue[Long]],
+      shardId: String, limit: Int, op: String): Unit = {
+    if (limit != Int.MaxValue) {
+      val now = clockMs()
+      val q = times.getOrElseUpdate(shardId, mutable.Queue.empty)
+      while (q.nonEmpty && now - q.head >= 1000L) q.dequeue()
+      if (q.length >= limit)
+        throw new ProvisionedThroughputExceededException(
+          s"$op rate exceeded for $shardId: ${q.length} calls in the last " +
+            s"second (limit $limit) — back off and retry")
+      q.enqueue(now)
+    }
+  }
+
   Files.createDirectories(dir.resolve("shards"))
 
   private def addShard(start: BigInt, end: BigInt,
@@ -157,6 +185,7 @@ final class FakeKinesis private (
       .find(s => s.open && h >= s.startingHashKey && h <= s.endingHashKey)
       .getOrElse(throw new ResourceNotFoundException(
         s"no open shard covers hash $h — stream metadata corrupt"))
+    admit(putCallTimes, shard.shardId, maxPutRecordsPerSecondPerShard, "PutRecord")
     val rec = Record(shard.shardId, nextSeq, partitionKey, data, clockMs())
     nextSeq += 1
     records(shard.shardId) += rec
@@ -188,6 +217,7 @@ final class FakeKinesis private (
     if (clockMs() - it.issuedAtMs > iteratorExpiryMs)
       throw new ExpiredIteratorException(
         s"iterator for ${it.shardId} issued ${it.issuedAtMs} expired (ttl ${iteratorExpiryMs}ms)")
+    admit(getCallTimes, it.shardId, maxGetRecordsPerSecondPerShard, "GetRecords")
     val shard = shards.getOrElse(it.shardId,
       throw new ResourceNotFoundException(s"unknown shard ${it.shardId}"))
     val recs = records(it.shardId)
@@ -308,6 +338,11 @@ final class FakeKinesisConsumer(
   private val liveIterators = mutable.LinkedHashMap[String, ShardIterator]()
   /** Observable count of expiry-recovery events (spec evidence). */
   var expiredRecoveries: Int = 0
+  /** Observable count of throttled shard polls (spec evidence). A throttled
+    * shard is simply skipped for the pass: the checkpoint did not move and
+    * the iterator token is kept for reuse, so backoff costs nothing — no
+    * loss, no duplicates. */
+  var throttledPolls: Int = 0
   /** Shards that existed at subscribe time with Latest start — their history
     * is skipped (LATEST applies per pre-existing shard; children always read
     * TRIM_HORIZON or nothing is seen after a reshard). */
@@ -352,26 +387,38 @@ final class FakeKinesisConsumer(
         }
         val it = liveIterators.getOrElse(shard.shardId,
           stream.getShardIterator(shard.shardId, startType))
-        val res =
-          try stream.getRecords(it, limitPerShard)
+        val resOpt =
+          try Some(stream.getRecords(it, limitPerShard))
           catch {
             case _: ExpiredIteratorException =>
               // recovery contract: re-acquire from the checkpoint — the new
               // iterator starts AFTER the last delivered record, so the
               // stall costs nothing (no loss, no dup)
               expiredRecoveries += 1
-              stream.getRecords(
-                stream.getShardIterator(shard.shardId, startType), limitPerShard)
+              try Some(stream.getRecords(
+                stream.getShardIterator(shard.shardId, startType), limitPerShard))
+              catch {
+                case _: ProvisionedThroughputExceededException =>
+                  throttledPolls += 1; liveIterators.remove(shard.shardId); None
+              }
+            case _: ProvisionedThroughputExceededException =>
+              // throttled: keep the token (the service advanced nothing),
+              // skip the shard this pass, retry on a later poll
+              throttledPolls += 1
+              liveIterators.put(shard.shardId, it)
+              None
           }
-        if (res.records.nonEmpty) {
-          out ++= res.records
-          checkpoints.put(shard.shardId, res.records.last.sequenceNumber)
-        }
-        res.nextIterator match {
-          case Some(next) => liveIterators.put(shard.shardId, next)
-          case None =>
-            liveIterators.remove(shard.shardId)
-            finished += shard.shardId
+        resOpt.foreach { res =>
+          if (res.records.nonEmpty) {
+            out ++= res.records
+            checkpoints.put(shard.shardId, res.records.last.sequenceNumber)
+          }
+          res.nextIterator match {
+            case Some(next) => liveIterators.put(shard.shardId, next)
+            case None =>
+              liveIterators.remove(shard.shardId)
+              finished += shard.shardId
+          }
         }
       }
     }
@@ -380,15 +427,21 @@ final class FakeKinesisConsumer(
 
   /** Drain everything currently consumable: poll until a pass delivers no
     * records AND finishes no shard (an empty pass can still close out a
-    * drained parent, unlocking its children for the next pass). */
+    * drained parent, unlocking its children for the next pass). A throttled
+    * pass counts as progress — the limiter's window rolls with the stream's
+    * clock, so the drain backs off briefly and retries rather than
+    * abandoning undelivered records (requires an advancing clock). */
   def drain(): Seq[Record] = {
     val out = mutable.ArrayBuffer.empty[Record]
     var progressed = true
     while (progressed) {
       val finishedBefore = finished.size
+      val throttledBefore = throttledPolls
       val got = poll()
       out ++= got
-      progressed = got.nonEmpty || finished.size > finishedBefore
+      val throttled = throttledPolls > throttledBefore
+      if (throttled && got.isEmpty) Thread.sleep(25L)
+      progressed = got.nonEmpty || finished.size > finishedBefore || throttled
     }
     out.toSeq
   }

@@ -81,6 +81,64 @@ class FakeKinesisSpec extends GraftSuite {
       s"loss or duplication across expiry recovery: $all")
   }
 
+  test("per-shard GetRecords rate limit: over-limit calls throw, other shards unaffected") {
+    var now = 0L
+    val k = FakeKinesis.create(tmpDir(), shardCount = 2)
+    k.clockMs = () => now
+    (0 until 40).foreach(i => put(k, s"k$i", s"p-$i"))
+    k.maxGetRecordsPerSecondPerShard = 2
+    val Seq(s0, s1) = k.openShards().map(_.shardId)
+    val it = k.getShardIterator(s0, TrimHorizon)
+    k.getRecords(it, 1)
+    k.getRecords(k.getShardIterator(s0, TrimHorizon), 1)
+    // third call inside the same 1-second window: throttled, nothing advances
+    intercept[ProvisionedThroughputExceededException](
+      k.getRecords(k.getShardIterator(s0, TrimHorizon), 1))
+    // a DIFFERENT shard has its own budget
+    k.getRecords(k.getShardIterator(s1, TrimHorizon), 1)
+    // the window rolls with the clock: the same shard admits again
+    now += 1000L
+    k.getRecords(k.getShardIterator(s0, TrimHorizon), 1)
+  }
+
+  test("PutRecord rate limit: per-shard write throttle, retry after the window rolls") {
+    var now = 0L
+    val k = FakeKinesis.create(tmpDir(), shardCount = 1)
+    k.clockMs = () => now
+    k.maxPutRecordsPerSecondPerShard = 3
+    (0 until 3).foreach(i => put(k, s"k$i", s"p-$i"))
+    intercept[ProvisionedThroughputExceededException](put(k, "k3", "p-3"))
+    now += 1000L
+    put(k, "k3", "p-3") // retry after backoff succeeds
+    // the throttled attempt wrote NOTHING: exactly 4 records exist
+    val c = new FakeKinesisConsumer(k, TrimHorizon)
+    assert(payloads(c.drain()) === Seq("p-0", "p-1", "p-2", "p-3"))
+  }
+
+  test("throttled polls converge with no loss, no dup (backoff handling)") {
+    var now = 0L
+    val k = FakeKinesis.create(tmpDir(), shardCount = 2)
+    k.clockMs = () => now
+    (0 until 60).foreach(i => put(k, s"k$i", s"p-$i"))
+    k.maxGetRecordsPerSecondPerShard = 1
+    val c = new FakeKinesisConsumer(k, TrimHorizon)
+    val got = scala.collection.mutable.ArrayBuffer.empty[FakeKinesis.Record]
+    var rounds = 0
+    // small reads under a tight limit: most passes throttle at least one
+    // shard; the clock advances 250 ms per pass, so each shard admits one
+    // call per 4 passes
+    while (got.size < 60 && rounds < 400) {
+      got ++= c.poll(limitPerShard = 5)
+      now += 250L
+      rounds += 1
+    }
+    assert(c.throttledPolls > 0, "the tight limit must actually throttle")
+    val all = payloads(got.toSeq)
+    assert(all.size === 60 && all.distinct.size === 60,
+      s"loss or duplication under throttling: got ${all.size}, distinct ${all.distinct.size}")
+    assertPerKeyOrder(got.toSeq)
+  }
+
   test("split mid-ingest: no loss, no dup, per-key order preserved across the reshard") {
     val k = FakeKinesis.create(tmpDir(), shardCount = 2)
     val keys = (0 until 40).map(i => s"user-$i")
