@@ -391,12 +391,16 @@ object PinotFunctions {
     "arrayreverse" -> fwd("reverse"),
     "arrayslice" -> (args =>
       Slice(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),
-    // arrayElementAt: 0-based like the rest of Pinot's array vocabulary
-    // (ARRAYSLICE/arrayIndexOf); out-of-bounds yields null (try_element_at)
-    "arrayelementatint" -> (args => UnresolvedFunction("try_element_at",
-      Seq(args(0), Add(Cast(args(1), IntegerType), Literal(1))), false)),
-    "arrayelementatstring" -> (args => UnresolvedFunction("try_element_at",
-      Seq(args(0), Add(Cast(args(1), IntegerType), Literal(1))), false)),
+    // arrayElementAt: 1-BASED — Pinot's ArrayFunctions.arrayElementAt*
+    // return values[idx - 1] (the Presto element_at convention), unlike its
+    // 0-based arrayIndexOf/arraySlice which delegate to Java's 0-based
+    // utilities. Pinot throws AIOOBE on an out-of-range index; here any
+    // invalid index (OOB, zero, negative) softens to null — Spark's
+    // element_at treats negatives as from-the-end, which would silently
+    // return the WRONG element for a Pinot caller, so idx < 1 is nulled
+    // explicitly rather than forwarded.
+    "arrayelementatint" -> (args => elementAt1Based(args)),
+    "arrayelementatstring" -> (args => elementAt1Based(args)),
     "codepoint" -> (args => Ascii(args(0))),
     "arraycontainsint" -> (args => ArrayContains(args(0), args(1))),
     "arraycontainsstring" -> (args => ArrayContains(args(0), args(1))),
@@ -624,6 +628,16 @@ object PinotFunctions {
     // funnelStepDurationStats statistics summarize
     "funnelstepdurations" -> graft.expressions.FunnelAggs.sqlBuilder(
       graft.expressions.FunnelAgg.Durations))
+
+  /** Pinot arrayElementAt semantics: 1-based access, invalid index → null
+    * (see the registry comment; Spark's from-the-end negative indexing is
+    * explicitly blocked). */
+  private def elementAt1Based(args: Seq[Expression]): Expression = {
+    val idx = Cast(args(1), IntegerType)
+    If(GreaterThanOrEqual(idx, Literal(1)),
+      UnresolvedFunction("try_element_at", Seq(args(0), idx), false),
+      Literal.create(null, NullType))
+  }
 
   /** Default serialized-IdSet budget for IN_SUBQUERY (4 MiB): a set that
     * big is no longer a selective broker-side filter and belongs in a

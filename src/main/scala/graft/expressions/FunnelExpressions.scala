@@ -54,8 +54,18 @@ object FunnelAggs {
       stepConds: Seq[Expression],
       strictIncrease: Boolean = false): Expression =
     FunnelAgg(Cast(ts, LongType), stepBits(stepConds), stepConds.size, window,
-      mode, strictIncrease)
+      mode, strictIncrease, maxBufferedEvents = configuredCap())
       .toAggregateExpression()
+
+  /** Per-group buffer cap, read from the active session at BUILD time
+    * (analysis runs on the driver; executors see the baked-in value). A
+    * single hot key — a bot user emitting step-matching events forever —
+    * would otherwise grow one group's aggregation buffer without bound. */
+  private def configuredCap(): Int =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(FunnelAgg.MaxEventsConfKey, FunnelAgg.DefaultMaxBufferedEvents.toString)
+      .toInt
+    catch { case _: Exception => FunnelAgg.DefaultMaxBufferedEvents }
 
   /** Column-API surface (used by declared queries and specs). `window <= 0`
     * means unbounded; ts must be integral in the same unit as `window`. */
@@ -116,6 +126,17 @@ object FunnelAggs {
 }
 
 object FunnelAgg {
+  /** Session conf key for the per-group buffered-event cap. */
+  val MaxEventsConfKey = "graft.funnel.maxEventsPerGroup"
+
+  /** Default per-group cap: 1M step-matching events ≈ 12 MB of packed
+    * buffer for ONE group — far beyond any human user, small enough that a
+    * handful of hot keys cannot OOM an executor. Exceeding it fails
+    * LOUDLY (the group's funnel answer would be legitimate but the key is
+    * pathological); raise the conf or pre-aggregate with ops.Funnel's
+    * stage frames, which never buffer per-event state. */
+  val DefaultMaxBufferedEvents: Int = 1000000
+
   sealed trait Mode extends Serializable
   case object MaxStep extends Mode
   case object MatchStep extends Mode
@@ -136,6 +157,7 @@ case class FunnelAgg(
     window: Long,
     mode: FunnelAgg.Mode,
     strictIncrease: Boolean = false,
+    maxBufferedEvents: Int = FunnelAgg.DefaultMaxBufferedEvents,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Int)]]
@@ -172,7 +194,7 @@ case class FunnelAgg(
     val b = bitsExpr.eval(input)
     if (t != null && b != null) {
       val bits = b.asInstanceOf[Int]
-      if (bits != 0) buf += ((t.asInstanceOf[Long], bits))
+      if (bits != 0) { checkCap(buf.length + 1); buf += ((t.asInstanceOf[Long], bits)) }
     }
     buf
   }
@@ -180,8 +202,18 @@ case class FunnelAgg(
   override def merge(
       a: mutable.ArrayBuffer[(Long, Int)],
       b: mutable.ArrayBuffer[(Long, Int)]): mutable.ArrayBuffer[(Long, Int)] = {
+    checkCap(a.length + b.length)
     a ++= b; a
   }
+
+  /** Loud per-group state guard (see FunnelAgg.DefaultMaxBufferedEvents). */
+  private def checkCap(newSize: Int): Unit =
+    if (newSize > maxBufferedEvents)
+      throw new IllegalStateException(
+        s"$prettyName: one group buffered more than $maxBufferedEvents " +
+          s"step-matching events — a hot key would grow executor memory " +
+          s"without bound. Raise ${FunnelAgg.MaxEventsConfKey} or " +
+          "pre-aggregate with ops.Funnel stage frames (no per-event state).")
 
   /** Greedy-min chain over the buffered events, level by level: exactly
     * `ops.Funnel.stageFrames` restricted to one group. Returns the chain

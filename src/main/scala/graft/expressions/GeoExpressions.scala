@@ -156,6 +156,14 @@ case class StAsText(child: Expression)
           .append(java.lang.Double.toString(v.getDouble(1)))
         i += 1
       }
+      // OGC WKT rings are CLOSED — repeat the first vertex (JTS-backed
+      // Pinot ST_AsText always emits it; parsePolygon drops it on the way
+      // back in, so the internal round-trip is unchanged)
+      if (arr.numElements() > 0) {
+        val v0 = arr.getStruct(0, 2)
+        sb.append(", ").append(java.lang.Double.toString(v0.getDouble(0)))
+          .append(' ').append(java.lang.Double.toString(v0.getDouble(1)))
+      }
       sb.append("))")
     } else {
       val p = geom.asInstanceOf[InternalRow]

@@ -145,7 +145,7 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     },
-    Some("""WITH m AS (
+    Some(s"""WITH m AS (
             |  SELECT event_type, avg(value) AS a FROM events GROUP BY 1
             |), c AS (
             |  SELECT e.event_type,
@@ -156,8 +156,8 @@ object AggQueries {
             |  FROM events e JOIN m USING (event_type) GROUP BY 1
             |)
             |SELECT event_type,
-            |       round(m3 / pow(m2, 1.5), 4) AS skew_v,
-            |       round(m4 / (m2 * m2) - 3.0, 4) AS kurt_v,
+            |       ${graft.tools.DuckDbSql.sparkRound("m3 / pow(m2, 1.5)", 4)} AS skew_v,
+            |       ${graft.tools.DuckDbSql.sparkRound("m4 / (m2 * m2) - 3.0", 4)} AS kurt_v,
             |       CAST(n AS BIGINT) AS n
             |FROM c ORDER BY event_type""".stripMargin))
 

@@ -370,7 +370,7 @@ object TextQueries {
         .select(col("rn"), col("doc_id"), col("n_toks"), col("score"))
         .orderBy(col("rn"))
     },
-    Some("""WITH ex AS (
+    Some(s"""WITH ex AS (
             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
             |), vocab AS (
             |  SELECT term, count(*) AS c FROM ex GROUP BY 1
@@ -387,7 +387,7 @@ object TextQueries {
             |                     (acc, x) -> acc + x) AS s
             |  FROM td JOIN lnp USING (term) GROUP BY 1
             |), scored AS (
-            |  SELECT doc_id, n_toks, round(s / CAST(n_toks AS DOUBLE), 6) AS score
+            |  SELECT doc_id, n_toks, ${graft.tools.DuckDbSql.sparkRound("s / CAST(n_toks AS DOUBLE)", 6)} AS score
             |  FROM perdoc
             |), ranked AS (
             |  SELECT *, row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn

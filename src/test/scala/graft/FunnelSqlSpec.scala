@@ -153,6 +153,28 @@ class FunnelSqlSpec extends GraftSuite {
     assert(msgs(e).exists(_.contains("unsupported funnel mode")))
   }
 
+  test("per-group buffer cap fails loudly on a hot key; raising the conf admits it") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    import s.implicits._
+    // one bot user: 50 step-matching events
+    (0 until 50).map(i => (1L, "view", i.toLong)).toDF("user_id", "event_type", "tus")
+      .createOrReplaceTempView("hotkey_events")
+    val q = """SELECT user_id, funnelMaxStep(tus, 0, 2,
+              |  event_type = 'view', event_type = 'click') AS m
+              |FROM hotkey_events GROUP BY user_id""".stripMargin
+    s.conf.set(graft.expressions.FunnelAgg.MaxEventsConfKey, "10")
+    val e = intercept[Exception](s.sql(q).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains(graft.expressions.FunnelAgg.MaxEventsConfKey)),
+      msgs(e).mkString("; "))
+    // cap is read at analysis time: raising the conf admits the same query
+    s.conf.set(graft.expressions.FunnelAgg.MaxEventsConfKey, "1000")
+    assert(s.sql(q).collect()(0).getInt(1) === 1)
+    s.conf.unset(graft.expressions.FunnelAgg.MaxEventsConfKey)
+  }
+
   test("funnel aggregate runs in a streaming complete-mode aggregation") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -134,7 +134,9 @@ class GeoPolySpec extends GraftSuite {
          |       st_astext(st_point(1.5, -2.25)) AS pt_wkt,
          |       st_area(st_geomfromtext(st_astext(st_geomfromtext('$square')))) AS a2""".stripMargin)
       .collect()(0)
-    assert(r.getString(0) === "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0))")
+    // OGC-valid WKT: the ring is CLOSED (first vertex repeated), matching
+    // JTS-backed Pinot ST_AsText output
+    assert(r.getString(0) === "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0))")
     assert(r.getString(1) === "POINT (1.5 -2.25)")
     assert(r.getDouble(2) === 100.0)
   }

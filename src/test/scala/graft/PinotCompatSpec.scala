@@ -143,14 +143,21 @@ class PinotCompatSpec extends GraftSuite {
     assert(vi.getSeq[String](0) === Seq("b"))
   }
 
-  test("ARRAYELEMENTAT (0-based, null OOB) and CODEPOINT") {
+  test("ARRAYELEMENTAT (1-based like Pinot ArrayFunctions, invalid index null) and CODEPOINT") {
+    // Pinot: values[idx - 1] — 1-based, unlike its 0-based arrayIndexOf/
+    // arraySlice. Invalid indexes (OOB/zero/negative) soften to null here
+    // (Pinot throws AIOOBE; Spark's from-the-end negatives are blocked).
     val r = one(
       """SELECT arrayElementAtString(array('x','y','z'), 1) AS e1,
-        |       arrayElementAtInt(array(10, 20, 30), 0) AS e0,
+        |       arrayElementAtInt(array(10, 20, 30), 3) AS e3,
+        |       arrayElementAtInt(array(10, 20, 30), 0) AS zero,
+        |       arrayElementAtInt(array(10, 20, 30), -1) AS neg,
         |       arrayElementAtInt(array(10, 20, 30), 9) AS oob,
         |       codepoint('A') AS cp""".stripMargin)
-    assert(r.getAs[String]("e1") === "y")
-    assert(r.getAs[Int]("e0") === 10)
+    assert(r.getAs[String]("e1") === "x")
+    assert(r.getAs[Int]("e3") === 30)
+    assert(r.isNullAt(r.fieldIndex("zero")))
+    assert(r.isNullAt(r.fieldIndex("neg")), "negative must not mean from-the-end")
     assert(r.isNullAt(r.fieldIndex("oob")))
     assert(r.getAs[Int]("cp") === 65)
   }
