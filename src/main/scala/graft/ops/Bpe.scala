@@ -260,11 +260,33 @@ object Bpe {
     out.toSeq
   }
 
+  /** Apply a learned merge list to one token array (greedy left-to-right
+    * per merge, merges in learned priority order — standard BPE apply). */
+  def applyMerges(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+    var t = toks
+    merges.foreach { case (l, r) => t = mergeOnce(t, l, r) }
+    t
+  }
+
   /** Encode a word with a learned merge list (merges applied in learned
     * priority order — standard BPE apply). */
-  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var toks: Seq[String] = word.map(_.toString) :+ Eow
-    merges.foreach { case (l, r) => toks = mergeOnce(toks, l, r) }
-    toks
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    applyMerges(word.map(_.toString) :+ Eow, merges)
+
+  /** Distributed corpus encode — the tokenize-the-training-set half of the
+    * pipeline. The corpus collapses to the unique-word frequency table in
+    * ONE shuffle (same trick as [[train]]); each unique word is encoded
+    * exactly once with the closure-shipped merge list. Returns
+    * (toks: array&lt;string&gt;, freq: bigint) — at 100 TB the encode cost
+    * is |unique words|, not |corpus|, and token-frequency aggregates
+    * weight by `freq` instead of re-touching raw text. */
+  def encodeCorpus(docs: DataFrame, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges
+    initTokens(wordFreq(docs, textCol)).as[(Seq[String], Long)]
+      .map { case (t, f) => (applyMerges(t, ms), f) }
+      .toDF("toks", "freq")
   }
 }

@@ -58,12 +58,51 @@ class BpeSpec extends GraftSuite {
       f"batched: ${(t2 - t1) / 1e9}%.1f s ($rounds rounds)")
   }
 
+  test("batched trainer parity holds on randomized corpora (seeded fuzz)") {
+    import spark.implicits._
+    // small alphabets maximize symbol collisions — the adversarial case
+    // for batch selection (created pairs dominate); parity must hold on
+    // every corpus, not just the showcase one
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919L)
+      val alpha = 3 + rnd.nextInt(5)
+      val vocab = Seq.fill(40 + rnd.nextInt(80)) {
+        val len = 1 + rnd.nextInt(7)
+        Seq.fill(len)(('a' + rnd.nextInt(alpha)).toChar).mkString
+      }
+      val words = Seq.fill(500)(vocab(rnd.nextInt(vocab.length)))
+      val docs = words.grouped(25).map(_.mkString(" ")).toSeq.toDF("text")
+      val n = 10 + rnd.nextInt(30)
+      val seqM = Bpe.train(docs, "text", n)
+      val batM = Bpe.trainBatched(docs, "text", n)
+      assert(batM === seqM, s"seed $seed, alpha $alpha, merges $n")
+    }
+  }
+
   test("batched trainer matches on the planted corpus and tiny vocab") {
     import spark.implicits._
     val docs = Seq("low low low lower").toDF("text")
     assert(Bpe.trainBatched(docs, "text", 3) === Bpe.train(docs, "text", 3))
     // over-asking merges exhausts pairs identically on both paths
     assert(Bpe.trainBatched(docs, "text", 50) === Bpe.train(docs, "text", 50))
+  }
+
+  test("encodeCorpus matches the driver-side encodeWord on every unique word") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(100)
+    val merges = Bpe.train(docs, "text", 10)
+    val enc = Bpe.encodeCorpus(docs, "text", merges).collect()
+    assert(enc.nonEmpty)
+    enc.take(300).foreach { row =>
+      val toks = row.getSeq[String](0)
+      // reconstruct the word and re-encode on the driver: bit parity
+      val word = toks.mkString("").stripSuffix(Bpe.Eow)
+      assert(Bpe.encodeWord(word, merges) === toks, s"word '$word'")
+    }
+    // frequencies conserved: sum of freqs = corpus word count
+    val total = enc.map(_.getLong(1)).sum
+    val words = Bpe.wordFreq(docs, "text")
+      .agg(org.apache.spark.sql.functions.sum("freq")).collect()(0).getLong(0)
+    assert(total === words)
   }
 
   test("encode is lossless and strictly compresses the fixture corpus") {
