@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Distributed BPE (byte-pair-encoding) subword tokenizer TRAINING — the
   * vocabulary-learning half of the training-data pipeline (the engine
   * already counts/chunks tokens; this learns the merge table itself).
@@ -219,6 +221,96 @@ object Bpe {
       }
     }
     (merges.toSeq, rounds)
+  }
+
+  /** In-memory trainer over a collected (word, freq) table — incremental
+    * pair-count maintenance (the classic Sennrich trainer shape): a
+    * pair→word inverted index limits each merge's work to the words that
+    * contain it, and a lazy-deletion priority queue makes argmax O(log P)
+    * amortized. Bit-identical merge lists to [[train]] (same adjacency
+    * counts, same (count desc, l, r) tie-break); 30k+ merges run in
+    * seconds with ZERO Spark jobs. */
+  def trainLocal(wordFreqs: Iterable[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    val pairsIn = wordFreqs.toArray
+    val words = pairsIn.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[String]
+      w.foreach(c => b += c.toString); b += Eow; b
+    }
+    val freqs = pairsIn.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // max-heap: highest count first, lex-SMALLEST (l, r) on ties
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2) // reversed: smaller l = higher priority
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+
+    def scan(i: Int, sign: Long, touched: mutable.HashSet[(String, String)]): Unit = {
+      val t = words(i); val f = freqs(i) * sign
+      var j = 0
+      while (j + 1 < t.length) {
+        val p = (t(j), t(j + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        touched += p
+        j += 1
+      }
+    }
+
+    val initTouched = mutable.HashSet.empty[(String, String)]
+    words.indices.foreach(scan(_, 1L, initTouched))
+    counts.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < numMerges && pq.nonEmpty) {
+      val (c, l, r) = pq.dequeue()
+      if (counts.get((l, r)).contains(c)) { // fresh entry (lazy deletion)
+        merges += ((l, r))
+        val touched = mutable.HashSet.empty[(String, String)]
+        where.getOrElse((l, r), mutable.HashSet.empty).toArray.foreach { i =>
+          val merged = mergeOnce(words(i).toSeq, l, r)
+          if (merged.length != words(i).length) { // stale index entries skip
+            scan(i, -1L, touched)
+            words(i) = mutable.ArrayBuffer.from(merged)
+            scan(i, 1L, touched)
+          }
+        }
+        where.remove((l, r)); counts.remove((l, r))
+        touched.foreach { p =>
+          counts.get(p).foreach(cc => pq.enqueue((cc, p._1, p._2)))
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Production entry point: the corpus-scale half (explode + word count)
+    * is the ONE distributed shuffle; the vocab-scale half (the merge loop)
+    * runs wherever it fits. Under `maxDriverWords` unique words (default
+    * 20M ≈ ~2 GB of driver strings — real corpora: CCNet-scale English is
+    * tens of millions) the word table is collected ONCE and
+    * [[trainLocal]] finishes any vocab size with zero further jobs; over
+    * budget it falls back to [[trainBatched]], which never driver-collects
+    * more than the candidate top-K per round. Both paths are bit-identical
+    * to [[train]]. */
+  def trainAuto(docs: DataFrame, textCol: String, numMerges: Int,
+                maxDriverWords: Long = 20000000L): Seq[(String, String)] = {
+    val wf = wordFreq(docs, textCol).persist()
+    try {
+      if (wf.count() <= maxDriverWords)
+        trainLocal(
+          wf.collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq,
+          numMerges)
+      else trainBatched(docs, textCol, numMerges)
+    } finally { wf.unpersist(); () }
   }
 
   /** For each pair in `pairs`, the max single-neighbor triple count over

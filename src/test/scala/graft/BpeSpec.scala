@@ -79,6 +79,43 @@ class BpeSpec extends GraftSuite {
     }
   }
 
+  test("in-memory trainer (trainLocal/trainAuto) is bit-identical to the distributed one") {
+    import spark.implicits._
+    // fixture corpus to full exhaustion (105 merges)
+    val docs = Tables.t(spark, sfDir, "documents").limit(150)
+    val dist = Bpe.train(docs, "text", 120)
+    val wf = Bpe.wordFreq(docs, "text").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val local = Bpe.trainLocal(wf, 120)
+    assert(local === dist)
+    assert(Bpe.trainAuto(docs, "text", 120) === dist)
+    // over-budget route falls back to the batched trainer (same list)
+    assert(Bpe.trainAuto(docs, "text", 24, maxDriverWords = 1L) === dist.take(24))
+    // randomized corpora: the incremental maintenance must agree everywhere
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729L)
+      val vocab = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(4)).toChar).mkString)
+      val words = Seq.fill(400)(vocab(rnd.nextInt(vocab.length)))
+      val d = words.grouped(20).map(_.mkString(" ")).toSeq.toDF("text")
+      val n = 15 + rnd.nextInt(25)
+      val w = Bpe.wordFreq(d, "text").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(Bpe.trainLocal(w, n) === Bpe.train(d, "text", n), s"seed $seed")
+    }
+  }
+
+  test("trainLocal runs a production-scale merge count in driver time") {
+    // the 30k-merges posture: vocab-scale training is driver-side once the
+    // unique-word table is collected — zero Spark jobs in the loop
+    val rnd = new scala.util.Random(31L)
+    val vocab = Seq.fill(30000)(Seq.fill(3 + rnd.nextInt(12))(('a' + rnd.nextInt(26)).toChar).mkString)
+    val wf = vocab.distinct.map(w => (w, 1L + rnd.nextInt(1000).toLong))
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainLocal(wf, 8000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === 8000)
+    info(f"8000 merges over ${wf.size} unique words in $secs%.1f s (driver-side)")
+    assert(secs < 120.0, f"in-memory trainer too slow: $secs%.1f s")
+  }
+
   test("batched trainer matches on the planted corpus and tiny vocab") {
     import spark.implicits._
     val docs = Seq("low low low lower").toDF("text")
