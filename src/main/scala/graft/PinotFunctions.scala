@@ -292,6 +292,26 @@ object PinotFunctions {
     // JSON literals like Pinot's JsonFunctions.isJson.
     "splitpart" -> (args =>
       graft.expressions.StringGenerators.splitPart(args(0), args(1), args(2))),
+    // Pinot split(input, delimiter[, limit]): LITERAL whole-separator split
+    // with empty tokens dropped (commons splitByWholeSeparator) — Spark's
+    // native split is regex-based, a silent porting trap ('.' delimiter!).
+    // The limit form carries the remainder in the last token (commons),
+    // which composition can't express → eval-exact SplitWholeLimit.
+    "split" -> (args =>
+      if (args.length >= 3)
+        graft.expressions.SplitWholeLimit(args(0), args(1), Cast(args(2), IntegerType))
+      else graft.expressions.StringGenerators.splitWhole(args(0), args(1))),
+    // Pinot strpos(input, find[, instance]): Java indexOf conventions —
+    // 0-based, -1 when absent; 3-arg = commons ordinalIndexOf
+    "strpos" -> (args =>
+      if (args.length >= 3)
+        graft.expressions.StrPosOrdinal(args(0), args(1), Cast(args(2), IntegerType))
+      else Subtract(Cast(StringInstr(args(0), args(1)), IntegerType), Literal(1))),
+    // Pinot remove(input, search) = delete every occurrence
+    "remove" -> (args => StringReplace(args(0), args(1), Literal(""))),
+    // Pinot hammingDistance: -1 on unequal lengths, else differing chars
+    "hammingdistance" -> (args =>
+      graft.expressions.HammingDistanceStr(args(0), args(1))),
     "prefixes" -> (args =>
       graft.expressions.StringGenerators.prefixes(args(0), args(1))),
     "suffixes" -> (args =>

@@ -87,12 +87,19 @@ object StringGenerators {
         lam(i => Substring(s, Cast(i, IntegerType), n))))
   }
 
+  /** Pinot split(input, delimiter): literal whole-separator split with
+    * empty tokens DROPPED (commons `splitByWholeSeparator`, the shared
+    * contract with [[splitPart]]) — NOT Spark's regex split. */
+  def splitWhole(s: Expression, sep: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    fn("filter", StringSplitSQL(s, sep),
+      LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
+  }
+
   /** Pinot SPLITPART(subject, separator, index): literal (non-regex) split,
     * empty tokens dropped, 0-based index, "null" string out of bounds. */
   def splitPart(s: Expression, sep: Expression, idx: Expression): Expression = {
-    val x = UnresolvedNamedLambdaVariable(Seq("x"))
-    val toks = fn("filter", StringSplitSQL(s, sep),
-      LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
+    val toks = splitWhole(s, sep)
     val i = Cast(idx, IntegerType)
     // the index guard must also reject negatives: element_at(toks, 0)
     // would throw under ANSI instead of answering "null"

@@ -602,7 +602,43 @@ object ScalarQueries {
             |FROM documents WHERE strlen(text) = length(text)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Pinot StringFunctions vocabulary with Java-exact semantics Spark's
+    * natives silently diverge from (round 7): split is a LITERAL
+    * whole-separator split with empty tokens dropped (Spark's is regex);
+    * strpos is 0-based Java indexOf with −1 absent (per-row digit probe
+    * varies the answer); remove deletes every occurrence; hammingDistance
+    * is −1 on unequal lengths else differing positions. Runs the REGISTRY
+    * spellings on a Pinot-mode session; the oracle re-derives each kernel
+    * (filtered literal split / strpos−1 / replace-with-empty / positional
+    * diff count). */
+  private val pinotStrings = Q(
+    "q_scalar_pinot_strings",
+    (spark, dir) => {
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT n_name,
+          |  array_join(split(n_name, 'I'), '|') AS sp,
+          |  strpos(n_name, CAST(n_nationkey % 10 AS STRING)) AS pos,
+          |  strpos(n_name, 'ZZZ') AS missing_pos,
+          |  remove(n_name, 'N') AS rem,
+          |  hammingDistance(n_name, reverse(n_name)) AS hd,
+          |  hammingDistance(n_name, concat(n_name, 'x')) AS hd_len
+          |FROM nation ORDER BY n_name""".stripMargin)
+    },
+    Some(
+      """SELECT n_name,
+        |  array_to_string(list_filter(string_split(n_name, 'I'), x -> x <> ''), '|') AS sp,
+        |  CAST(strpos(n_name, CAST(n_nationkey % 10 AS VARCHAR)) - 1 AS INT) AS pos,
+        |  CAST(strpos(n_name, 'ZZZ') - 1 AS INT) AS missing_pos,
+        |  replace(n_name, 'N', '') AS rem,
+        |  CAST(len(list_filter(range(1, len(n_name) + 1),
+        |       i -> substr(n_name, CAST(i AS INT), 1) <> substr(reverse(n_name), CAST(i AS INT), 1))) AS INT) AS hd,
+        |  CAST(-1 AS INT) AS hd_len
+        |FROM nation ORDER BY n_name""".stripMargin))
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
     explodeMv, urlFuncs, geoFuncs, geoPoly, epochBucketFuncs, clpFuncs,
-    mapFuncs, strGenFuncs, netFuncs, hashFamily)
+    mapFuncs, strGenFuncs, netFuncs, hashFamily, pinotStrings)
 }

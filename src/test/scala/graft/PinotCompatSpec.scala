@@ -143,6 +143,30 @@ class PinotCompatSpec extends GraftSuite {
     assert(vi.getSeq[String](0) === Seq("b"))
   }
 
+  test("split/strpos/remove/hammingDistance follow Pinot StringFunctions (commons) semantics") {
+    val r = one(
+      """SELECT array_join(split('a..b..c', '.'), '|') AS sp,
+        |       array_join(split('x,,y,z,w', ',', 3), '|') AS sp_lim,
+        |       strpos('abcabc', 'bc') AS p1,
+        |       strpos('abcabc', 'bc', 2) AS p2,
+        |       strpos('abcabc', 'zz') AS p_missing,
+        |       remove('banana', 'an') AS rm,
+        |       hammingDistance('karolin', 'kathrin') AS hd,
+        |       hammingDistance('abc', 'ab') AS hd_len""".stripMargin)
+    // literal split, empties dropped (NOT regex: '.' is not a wildcard)
+    assert(r.getAs[String]("sp") === "a|b|c")
+    // limit form: commons splitByWholeSeparator(str, sep, 3) — the last
+    // token carries the remainder including separators
+    assert(r.getAs[String]("sp_lim") ===
+      org.apache.commons.lang3.StringUtils.splitByWholeSeparator("x,,y,z,w", ",", 3).mkString("|"))
+    assert(r.getAs[Int]("p1") === 1)   // Java indexOf: 0-based
+    assert(r.getAs[Int]("p2") === 4)   // ordinalIndexOf, 2nd occurrence
+    assert(r.getAs[Int]("p_missing") === -1)
+    assert(r.getAs[String]("rm") === "ba")
+    assert(r.getAs[Int]("hd") === 3)
+    assert(r.getAs[Int]("hd_len") === -1)
+  }
+
   test("ARRAYELEMENTAT (1-based like Pinot ArrayFunctions, invalid index null) and CODEPOINT") {
     // Pinot: values[idx - 1] — 1-based, unlike its 0-based arrayIndexOf/
     // arraySlice. Invalid indexes (OOB/zero/negative) soften to null here
