@@ -312,6 +312,30 @@ object PinotFunctions {
     // Pinot hammingDistance: -1 on unequal lengths, else differing chars
     "hammingdistance" -> (args =>
       graft.expressions.HammingDistanceStr(args(0), args(1))),
+    // ---- Pinot DateTimeFunctions field extractors ----
+    // year(millis[, tz]) family: EPOCH MILLIS input, UTC default, ISO
+    // week/dow semantics (Joda). Polymorphic on the resolved input type so
+    // Spark-spelled year(DATE/TIMESTAMP) keeps working on this session
+    // (timestamps read in the tz ARG, default UTC = this repo's pinned
+    // session zone; dayOfWeek is ISO Monday=1, Pinot's convention, NOT
+    // Spark's Sunday=1).
+    "year" -> epochField("year"), "yearofweek" -> epochField("yearofweek"),
+    "yow" -> epochField("yearofweek"), "quarter" -> epochField("quarter"),
+    "month" -> epochField("month"), "monthofyear" -> epochField("month"),
+    "week" -> epochField("week"), "weekofyear" -> epochField("week"),
+    "dayofyear" -> epochField("dayofyear"), "doy" -> epochField("dayofyear"),
+    "day" -> epochField("day"), "dayofmonth" -> epochField("day"),
+    "dayofweek" -> epochField("dayofweek"), "dow" -> epochField("dayofweek"),
+    "hour" -> epochField("hour"), "minute" -> epochField("minute"),
+    "second" -> epochField("second"), "millisecond" -> epochField("millisecond"),
+    // timezoneHour/timezoneMinute(tzId[, millis]): zone offset parts at
+    // millis (epoch 0 default), Pinot's TimeUnit arithmetic
+    "timezonehour" -> (args => graft.expressions.TimezoneOffsetPart(
+      minutePart = false, args(0),
+      if (args.length >= 2) Cast(args(1), LongType) else Literal(0L))),
+    "timezoneminute" -> (args => graft.expressions.TimezoneOffsetPart(
+      minutePart = true, args(0),
+      if (args.length >= 2) Cast(args(1), LongType) else Literal(0L))),
     "prefixes" -> (args =>
       graft.expressions.StringGenerators.prefixes(args(0), args(1))),
     "suffixes" -> (args =>
@@ -648,6 +672,12 @@ object PinotFunctions {
     // funnelStepDurationStats statistics summarize
     "funnelstepdurations" -> graft.expressions.FunnelAggs.sqlBuilder(
       graft.expressions.FunnelAgg.Durations))
+
+  /** Pinot DateTimeFunctions field extractor builder (epoch millis + UTC
+    * default zone; see the registry comment). */
+  private def epochField(field: String): Seq[Expression] => Expression = args =>
+    graft.expressions.EpochField(field, args(0),
+      if (args.length >= 2) Cast(args(1), StringType) else Literal("UTC"))
 
   /** Pinot arrayElementAt semantics: 1-based access, invalid index → null
     * (see the registry comment; Spark's from-the-end negative indexing is

@@ -638,7 +638,50 @@ object ScalarQueries {
         |  CAST(-1 AS INT) AS hd_len
         |FROM nation ORDER BY n_name""".stripMargin))
 
+  /** Pinot DateTimeFunctions field extractors (round 7): year/quarter/
+    * week/dayOfWeek/hour/…/millisecond over EPOCH MILLIS with ISO
+    * conventions and an optional zone arg — the registry spellings on a
+    * Pinot-mode session (Spark's natives read typed timestamps in the
+    * session zone; Pinot's read LONG millis in UTC/tz-arg). The IST hour
+    * column exercises the zone arg against fixed +05:30 arithmetic in the
+    * oracle; timezoneHour/Minute are offset parts at epoch. */
+  private val epochFields = Q(
+    "q_scalar_epoch_fields",
+    (spark, dir) => {
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT event_type,
+          |  dayOfWeek(unix_millis(ts)) AS dow,
+          |  yearOfWeek(unix_millis(ts)) AS yow,
+          |  min(hour(unix_millis(ts))) AS min_h,
+          |  max(quarter(unix_millis(ts))) AS max_q,
+          |  min(hour(unix_millis(ts), 'Asia/Kolkata')) AS min_h_ist,
+          |  max(millisecond(unix_millis(ts))) AS max_ms,
+          |  timezoneHour('Asia/Kolkata') AS tzh,
+          |  timezoneMinute('Asia/Kolkata') AS tzm,
+          |  count(*) AS n
+          |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    },
+    Some(
+      """WITH ev AS (
+        |  SELECT event_type, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ms FROM events
+        |), f AS (
+        |  SELECT event_type, ms, epoch_ms(ms) AS t, epoch_ms(ms + 19800000) AS t_ist FROM ev
+        |)
+        |SELECT event_type,
+        |  CAST(isodow(t) AS INT) AS dow,
+        |  CAST(date_part('isoyear', t) AS INT) AS yow,
+        |  CAST(min(hour(t)) AS INT) AS min_h,
+        |  CAST(max(quarter(t)) AS INT) AS max_q,
+        |  CAST(min(hour(t_ist)) AS INT) AS min_h_ist,
+        |  CAST(max(ms % 1000) AS INT) AS max_ms,
+        |  CAST(5 AS INT) AS tzh, CAST(30 AS INT) AS tzm,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
     explodeMv, urlFuncs, geoFuncs, geoPoly, epochBucketFuncs, clpFuncs,
-    mapFuncs, strGenFuncs, netFuncs, hashFamily, pinotStrings)
+    mapFuncs, strGenFuncs, netFuncs, hashFamily, pinotStrings, epochFields)
 }

@@ -143,6 +143,39 @@ class PinotCompatSpec extends GraftSuite {
     assert(vi.getSeq[String](0) === Seq("b"))
   }
 
+  test("epoch-millis datetime fields (year/dayOfWeek/... on LONG, ISO conventions, tz arg)") {
+    val r = one(
+      """SELECT year(0) AS y0, year(0, 'America/New_York') AS y0_ny,
+        |       quarter(0) AS q0, month(0) AS mo0, week(0) AS wk0,
+        |       yearOfWeek(0) AS yow0, dayOfYear(0) AS doy0,
+        |       dayOfMonth(0) AS dom0, dayOfWeek(0) AS dow0,
+        |       hour(CAST(3600000 AS BIGINT)) AS h1, minute(CAST(3660000 AS BIGINT)) AS mi1,
+        |       second(CAST(61000 AS BIGINT)) AS s1, millisecond(CAST(1234 AS BIGINT)) AS ms1,
+        |       hour(0, 'Asia/Kolkata') AS h_ist,
+        |       timezoneHour('Asia/Kolkata') AS tzh, timezoneMinute('Asia/Kolkata') AS tzm,
+        |       timezoneHour('Asia/Kathmandu', 1700000000000) AS tzh_np,
+        |       timezoneMinute('Asia/Kathmandu', 1700000000000) AS tzm_np,
+        |       timezoneHour('America/New_York') AS tzh_ny""".stripMargin)
+    assert(r.getAs[Int]("y0") === 1970)
+    assert(r.getAs[Int]("y0_ny") === 1969) // UTC-5 at epoch
+    assert(r.getAs[Int]("q0") === 1 && r.getAs[Int]("mo0") === 1)
+    assert(r.getAs[Int]("wk0") === 1 && r.getAs[Int]("yow0") === 1970)
+    assert(r.getAs[Int]("doy0") === 1 && r.getAs[Int]("dom0") === 1)
+    assert(r.getAs[Int]("dow0") === 4) // 1970-01-01 = Thursday, ISO Monday=1
+    assert(r.getAs[Int]("h1") === 1 && r.getAs[Int]("mi1") === 1)
+    assert(r.getAs[Int]("s1") === 1 && r.getAs[Int]("ms1") === 234)
+    assert(r.getAs[Int]("h_ist") === 5) // +05:30
+    assert(r.getAs[Int]("tzh") === 5 && r.getAs[Int]("tzm") === 30)
+    // Kathmandu moved to +05:45 in 1986 — the default (epoch-0) form
+    // reports the HISTORICAL +05:30, so probe with a modern instant
+    assert(r.getAs[Int]("tzh_np") === 5 && r.getAs[Int]("tzm_np") === 45)
+    assert(r.getAs[Int]("tzh_ny") === -5)
+    // polymorphic dispatch: the SPARK spelling over DATE/TIMESTAMP columns
+    // still answers on this session (q_join_multi's oracle shape)
+    val d = one("SELECT year(DATE '2024-03-05') AS yd, dayofmonth(DATE '2024-03-05') AS dd")
+    assert(d.getAs[Int]("yd") === 2024 && d.getAs[Int]("dd") === 5)
+  }
+
   test("split/strpos/remove/hammingDistance follow Pinot StringFunctions (commons) semantics") {
     val r = one(
       """SELECT array_join(split('a..b..c', '.'), '|') AS sp,
