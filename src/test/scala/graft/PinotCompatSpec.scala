@@ -176,6 +176,34 @@ class PinotCompatSpec extends GraftSuite {
     assert(d.getAs[Int]("yd") === 2024 && d.getAs[Int]("dd") === 5)
   }
 
+  test("epoch fields agree with Spark natives over random instants (UTC cross-check)") {
+    // independent implementations: EpochField goes java.time-over-millis,
+    // the parent-session natives go Catalyst datetime kernels over
+    // timestamp_millis — agreement over random instants pins both
+    val rnd = new scala.util.Random(20240814L)
+    val ms = Seq.fill(64)(math.abs(rnd.nextLong()) % 4102444800000L) // 1970..2100
+    val vals = ms.map(m => s"(CAST($m AS BIGINT))").mkString(", ")
+    val got = pinot.sql(
+      s"""SELECT m, year(m) AS y, month(m) AS mo, day(m) AS d, hour(m) AS h,
+         |  minute(m) AS mi, second(m) AS s, dayofweek(m) AS dow,
+         |  week(m) AS wk, millisecond(m) AS msec
+         |FROM VALUES $vals AS t(m) ORDER BY m""".stripMargin).collect()
+    val want = spark.sql(
+      s"""SELECT m, year(timestamp_millis(m)) AS y, month(timestamp_millis(m)) AS mo,
+         |  day(timestamp_millis(m)) AS d, hour(timestamp_millis(m)) AS h,
+         |  minute(timestamp_millis(m)) AS mi, second(timestamp_millis(m)) AS s,
+         |  weekday(timestamp_millis(m)) + 1 AS dow,
+         |  weekofyear(timestamp_millis(m)) AS wk,
+         |  CAST(m % 1000 AS INT) AS msec
+         |FROM VALUES $vals AS t(m) ORDER BY m""".stripMargin).collect()
+    got.zip(want).foreach { case (g, w) =>
+      (1 until w.length).foreach { c =>
+        assert(g.getInt(c) === w.get(c).asInstanceOf[Number].intValue(),
+          s"ms=${g.getLong(0)} col $c")
+      }
+    }
+  }
+
   test("split/strpos/remove/hammingDistance follow Pinot StringFunctions (commons) semantics") {
     val r = one(
       """SELECT array_join(split('a..b..c', '.'), '|') AS sp,
