@@ -427,7 +427,58 @@ object PipelineQueries {
             |GROUP BY r.source, t.n_total
             |ORDER BY r.source""".stripMargin))
 
+  /** Data-quality PROFILING (round 7): per-column count / nulls / min /
+    * max / mean / distinct over a fact table in ONE scan — the monitoring
+    * pass a pipeline runs on every ingest batch. Columns melt to
+    * (column, value) long format so a single tiny-key groupBy computes
+    * every metric (no per-column jobs, no Expand: one distinct column in
+    * the long frame); the approx distinct (HLL++, the 100-TB path) is
+    * gated as a bound boolean against the exact count computed in the
+    * same aggregate. */
+  private val profile = Q(
+    "q_pipe_profile",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val melted = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("m"))
+        .select(col("m.c").as("c"), col("m.v").as("v"))
+      melted.groupBy(col("c"))
+        .agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          // exact DECIMAL sum, not float avg: double summation order is
+          // engine- and partition-dependent in the last ulps, which a
+          // round() cannot mask at a digit boundary; these columns carry
+          // <=2-decimal values, exact at scale 6, so the decimal sum is
+          // bit-deterministic on both engines
+          sum(col("v").cast("decimal(28,6)")).cast("double").as("sum_v"),
+          countDistinct(col("v")).as("n_distinct"),
+          // rsd 2% with a 10% gate = a 5-sigma bound; the default 5% rsd
+          // tripped the 5% gate on the high-cardinality price column
+          (abs(approx_count_distinct(col("v"), 0.02) - countDistinct(col("v")))
+            <= countDistinct(col("v")) * 0.10).as("approx_ok"))
+        .orderBy(col("c"))
+    },
+    Some(s"""WITH m AS (
+            |  SELECT 'l_quantity' AS c, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+            |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+            |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+            |)
+            |SELECT c,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+            |  min(v) AS min_v,
+            |  max(v) AS max_v,
+            |  CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+            |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+            |  TRUE AS approx_ok
+            |FROM m GROUP BY c ORDER BY c""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
     splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted,
-    sourceCap)
+    sourceCap, profile)
 }
