@@ -404,7 +404,32 @@ object SimilarityQueries {
     },
     Some(SimilarityOracles.annPqTrainedSql))
 
+  /** X2 scale path made DURABLE (round 7 — sources/AnnIndex): the same
+    * IVF truth as q_sim_ann_ivf answered from a PERSISTED index — centroids
+    * + assignments written partitioned by cell, so the probe-2 candidate
+    * cut is a static partition filter (the scan lists only the probed cell
+    * directories; AnnIndexSpec proves pruning metrics, append-without-
+    * retrain parity, and the k-means build path). The index builds once per
+    * fixture generation (Fingerprint.buildOnce staleness, the DedupIndex
+    * pattern); oracle = the shared annIvfSql (index and in-memory paths are
+    * bit-identical by construction). */
+  private val simAnnIndexed = Q(
+    "q_sim_ann_indexed",
+    (spark, dir) => {
+      val idxDir = graft.sources.Fingerprint.buildOnce(
+        "annidx", dir, "embeddings.parquet") { out =>
+        graft.sources.AnnIndex.build(
+          Tables.t(spark, dir, "embeddings"), out, "vec_id", "embedding", nCells = 16)
+      }
+      val queries = Tables.t(spark, dir, "embeddings")
+        .filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      graft.sources.AnnIndex.topK(spark, idxDir, queries, "vec_id", "embedding",
+          k = 3, probes = 2)
+        .orderBy(col("qid"), col("rn"))
+    },
+    Some(SimilarityOracles.annIvfSql))
+
   val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnMultiprobe, simAnnIvf,
     simCentroids, simAnnQuantized, simAnnQuantizedLsh, simAnnIvfPq,
-    simAnnIvfPqRerank, simAnnPqTrained)
+    simAnnIvfPqRerank, simAnnPqTrained, simAnnIndexed)
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.sources.AnnIndex
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental IVF index (sources/AnnIndex): bit-parity with the
+  * in-memory IVF declared query, append-without-retrain parity, static
+  * partition pruning evidence, and the k-means build path's recall. */
+class AnnIndexSpec extends GraftSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString
+
+  private def queriesFrame = Tables.t(spark, sfDir, "embeddings")
+    .filter(col("vec_id") >= 20 && col("vec_id") < 40)
+
+  test("index answers are bit-identical to the in-memory IVF declared query") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 16)
+    val viaIndex = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding",
+        k = 3, probes = 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val viaMemory = SparkEntry.queries("q_sim_ann_ivf")(spark, sfDir)
+      .collect().toSeq
+    assert(viaIndex.map(_.toSeq) === viaMemory.map(_.toSeq))
+  }
+
+  test("append assigns against existing centroids: equals a full build") {
+    val dir1 = tmp(); val dir2 = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    AnnIndex.build(e, dir1, "vec_id", "embedding", nCells = 16)
+    // incremental: first half builds (contains vec_id < 16, so centroids
+    // are identical), second half appends with NO retrain
+    AnnIndex.build(e.filter(col("vec_id") < n / 2), dir2, "vec_id", "embedding", nCells = 16)
+    AnnIndex.append(e.filter(col("vec_id") >= n / 2), dir2, "vec_id", "embedding")
+    val full = spark.read.parquet(s"$dir1/assignments")
+      .select("id", "cell").orderBy("id").collect().toSeq
+    val incr = spark.read.parquet(s"$dir2/assignments")
+      .select("id", "cell").orderBy("id").collect().toSeq
+    assert(incr === full, "incremental assignments must equal the full build")
+    val a = AnnIndex.topK(spark, dir1, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val b = AnnIndex.topK(spark, dir2, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(a.map(_.toSeq) === b.map(_.toSeq))
+  }
+
+  test("probing k cells statically prunes the partitioned scan to k directories") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 16)
+    val oneQuery = queriesFrame.limit(1)
+    val cand = AnnIndex.candidates(spark, dir, oneQuery, "vec_id", "embedding", probes = 2)
+    cand.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case o => o.children.flatMap(scans)
+    }
+    // the assignments scan reads ≤ 2 of the 16 cell partitions
+    val partScan = scans(cand.queryExecution.executedPlan)
+      .find(_.relation.partitionSchema.nonEmpty).get
+    val files = partScan.metrics("numFiles").value
+    val total = spark.read.parquet(s"$dir/assignments").inputFiles.length
+    assert(files < total, s"pruning lost: $files of $total files")
+    assert(partScan.metrics.get("numPartitions").forall(_.value <= 2L),
+      "at most the probed cell directories may be listed")
+  }
+
+  test("k-means build path: distributed training, recall vs brute force") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 8, kmeansIters = 3)
+    val st = AnnIndex.stats(spark, dir)
+    assert(st.nTotal === e.count() && st.nCells > 1)
+    assert(st.imbalance >= 1.0)
+    val q = queriesFrame.limit(8)
+    val approx = AnnIndex.topK(spark, dir, q, "vec_id", "embedding", k = 3, probes = 3)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth over the same queries
+    val bf = q.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(e.select(col("vec_id").as("nid"), col("embedding").as("emb")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.cosine_sim(col("qe"), col("emb")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    val truth = bf.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"ivf-kmeans probe-3/8-cell recall too low: $recall")
+  }
+}
