@@ -263,7 +263,8 @@ object PinotFunctions {
       graft.expressions.JsonMatchBuilder.predicate(args(0), filter)
     }),
     // ---- string (C1) ----
-    "strpos" -> (args => Subtract(StringLocate(args(1), args(0), Literal(1)), Literal(1))),
+    // (strpos lives with the round-7 StringFunctions block below — same
+    // 0-based 2-arg semantics, plus the ordinalIndexOf 3-arg form)
     "substr" -> (args =>
       if (args.length == 2) Substring(args(0), Add(args(1), Literal(1)), Literal(Int.MaxValue))
       else Substring(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),

@@ -181,9 +181,11 @@ object TableSpec {
     * the same transparent segment pruning the reference's broker performs —
     * `sortedColumn` → footer range manifest, `bloomFilterColumns` →
     * per-file bloom manifests (budget-guarded), `segmentPartitionConfig` →
-    * exact partition-id manifests. The registry keys one manifest per data
-    * directory, so the highest-selectivity family present wins (sorted >
-    * partitioned > bloom); the full parse is still reported back. Families that Spark serves natively (or
+    * exact partition-id manifests. Round 7: the registry holds ONE entry
+    * per (directory, kind, column), so EVERY family in the config
+    * registers — a table with sortedColumn AND bloomFilterColumns (the
+    * normal Pinot shape) prunes by the INTERSECTION of both decisions.
+    * Families that Spark serves natively (or
     * via a separate index build) come back in `analog` instead of silently
     * disappearing: inverted/range indexes are parquet predicate pushdown +
     * footer stats, text/json indexes are `sources.TextIndex/JsonIndex`
@@ -209,19 +211,17 @@ object TableSpec {
       }
       case _ => None
     }
-    // the pruning registry keys ONE manifest per data directory (Pinot
-    // scopes segment metadata per column the same way) — register the
-    // highest-selectivity family present, in Pinot's own effectiveness
-    // order: sorted ranges > partition ids > bloom point lookups
-    (sorted, part, blooms) match {
-      case (Some(c), _, _) =>
-        graft.plans.SegmentPruning.register(spark, dir, c)
-      case (None, Some((c, n)), _) =>
-        graft.plans.SegmentPruning.registerPartitioned(spark, dir, c, n)
-      case (None, None, c +: _) =>
-        graft.plans.SegmentPruning.registerBloom(spark, dir, c)
-      case _ =>
+    // register EVERY family present — the registry keys (dir, kind, col)
+    // and the rule intersects decisions, mirroring how Pinot's broker
+    // consults every column's segment metadata. A bloom for the sorted
+    // column itself would be redundant with its footer ranges, so it is
+    // skipped.
+    sorted.foreach(c => graft.plans.SegmentPruning.register(spark, dir, c))
+    part.foreach { case (c, n) =>
+      graft.plans.SegmentPruning.registerPartitioned(spark, dir, c, n)
     }
+    blooms.filterNot(sorted.contains).foreach(c =>
+      graft.plans.SegmentPruning.registerBloom(spark, dir, c))
     val analog = Seq(
       "invertedIndexColumns" -> "parquet predicate pushdown (scan-level filtering; no side structure needed)",
       "rangeIndexColumns" -> "parquet footer min/max stats + SortedLayout ranges when sorted",

@@ -63,7 +63,16 @@ object SegmentPruning {
       parts: Seq[graft.sources.PartitionedLayout.FileParts] = Nil,
       nParts: Int = 0)
 
-  private val registry = new ConcurrentHashMap[String, Entry]()
+  // path → registered entries (round 7: a dir can carry SEVERAL index
+  // manifests — e.g. footer ranges on the sort column AND a bloom on a
+  // second column, the normal Pinot table shape of sortedColumn +
+  // bloomFilterColumns — keyed by (kind, column) within the path; prune()
+  // INTERSECTS every applicable decision)
+  private val registry = new ConcurrentHashMap[String, List[Entry]]()
+
+  private def kindOf(e: Entry): String =
+    if (e.ranges.nonEmpty) "sorted" else if (e.blooms.nonEmpty) "bloom"
+    else if (e.parts.nonEmpty) "part" else "none"
 
   private[graft] val ConfFacts = "spark.graft.segprune.facts"
 
@@ -123,7 +132,15 @@ object SegmentPruning {
       nPartitions))
 
   private def install(spark: SparkSession, entry: Entry): Entry = {
-    registry.put(entry.path, entry)
+    registry.compute(entry.path, (_, old) => {
+      val prior = Option(old).getOrElse(Nil)
+      // a re-registration replaces its own (kind, column) slot; entries
+      // with a different fingerprint are stale for the SAME listing and
+      // are dropped rather than intersected with fresh evidence
+      entry :: prior.filter(e =>
+        (kindOf(e), e.sortCol) != (kindOf(entry), entry.sortCol) &&
+          e.fingerprint == entry.fingerprint)
+    })
     val enabled = spark.conf.get(ConfFacts, "")
     if (!enabled.split(';').contains(entry.path))
       spark.conf.set(ConfFacts, if (enabled.isEmpty) entry.path else s"$enabled;${entry.path}")
@@ -134,8 +151,14 @@ object SegmentPruning {
   }
 
   /** Valid only while the layout on disk is the one the manifest described. */
-  private[plans] def entryFor(path: String): Option[Entry] =
-    Option(registry.get(path)).filter(e => e.fingerprint == fingerprintOf(e.path))
+  private[plans] def entriesFor(path: String): List[Entry] = {
+    val es = Option(registry.get(path)).getOrElse(Nil)
+    if (es.isEmpty) Nil
+    else {
+      val fp = fingerprintOf(path)
+      es.filter(_.fingerprint == fp)
+    }
+  }
 
   private[graft] def clear(): Unit = registry.clear()
 }
@@ -298,17 +321,32 @@ object SegmentPruningRule extends Rule[LogicalPlan] {
     for {
       (fs, path) <- scanPath(l)
       if facts.contains(path)
-      entry <- SegmentPruning.entryFor(path)
+      entries = SegmentPruning.entriesFor(path)
+      if entries.nonEmpty
       session = l.relation.asInstanceOf[HadoopFsRelation].sparkSession
       cs = conjuncts(cond).filter(_.deterministic)
-      total = if (entry.ranges.nonEmpty) entry.ranges.size
-        else if (entry.blooms.nonEmpty) entry.blooms.size
-        else entry.parts.size
-      keep <-
+      total = entries.map(e =>
+        math.max(e.ranges.size, math.max(e.blooms.size, e.parts.size))).max
+      // every registered manifest that can decide contributes a keep set;
+      // a file survives only if EVERY decision admits it (each decision is
+      // individually sound — a superset of matches — so the intersection
+      // is too)
+      keeps = entries.flatMap { entry =>
         if (entry.ranges.nonEmpty) rangeKeep(entry, cs)
         else if (entry.blooms.nonEmpty) bloomKeep(entry, cs, session)
         else if (entry.parts.nonEmpty) partKeep(entry, cs, session)
         else None
+      }
+      if keeps.nonEmpty
+      // manifests spell file paths differently (footer listings say
+      // file:/…, input_file_name says file:///…) — intersect on the URI
+      // path component, keep the first manifest's spelling
+      spelling = keeps.head
+        .map(p => new Path(p).toUri.getPath -> p).toMap
+      common = keeps
+        .map(_.map(p => new Path(p).toUri.getPath).toSet)
+        .reduce(_ & _)
+      keep = common.toSeq.sorted.map(spelling)
       if keep.size < total // only rewrite when pruning wins
     } yield {
       val newLoc = new InMemoryFileIndex(

@@ -61,6 +61,32 @@ class TableIndexConfigSpec extends GraftSuite {
     assert(full === 8L, s"unregistered session scans all, got $full")
   }
 
+  test("sortedColumn + bloomFilterColumns register together; decisions intersect") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-idxcfg-both").toString
+    // k sorts the layout (8 range files); v = (k/100)%4 puts each v value
+    // in exactly TWO files, so a (range ∧ equality) conjunction prunes
+    // strictly tighter than either decision alone
+    val df = (0L until 800L).map(i => (i, (i / 100) % 4, i * 2.0)).toDF("k", "v", "x")
+    SortedLayout.write(df, dir, "k", nFiles = 8)
+    val s2 = spark.newSession()
+    val applied = TableSpec.applyIndexConfig(s2,
+      """{"tableIndexConfig": {"sortedColumn": ["k"], "bloomFilterColumns": ["v"]}}""",
+      dir)
+    assert(applied.sorted === Some("k") && applied.blooms === Seq("v"))
+
+    val rangeOnly = scanFiles(s2.read.parquet(dir).filter(col("k") <= 399L))
+    assert(rangeOnly === 4L, s"range decision should keep 4 of 8, got $rangeOnly")
+    val bloomOnly = scanFiles(s2.read.parquet(dir).filter(col("v") === 1L))
+    assert(bloomOnly === 2L, s"bloom decision should keep 2 of 8, got $bloomOnly")
+    val both = s2.read.parquet(dir).filter(col("k") <= 399L && col("v") === 1L)
+    assert(scanFiles(both) === 1L, "intersection must beat both single decisions")
+    // and the pruned answer is the full answer
+    assert(both.count() ===
+      spark.newSession().read.parquet(dir)
+        .filter(col("k") <= 399L && col("v") === 1L).count())
+  }
+
   test("bloomFilterColumns registers point-lookup pruning when nothing sorts") {
     val dir = Files.createTempDirectory("graft-idxcfg-bloom").toString
     val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id")
