@@ -155,5 +155,37 @@ object IndexQueries {
             |WHERE n_chars >= 200 AND n_chars <= 400
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[Q] = Seq(segpruneRange, segprunePartition, textMatchLookup, valueRangeLookup)
+  /** Round 7: a range-AND-equality lookup through a dir carrying BOTH a
+    * sorted-column footer manifest (user_id) and a bloom manifest on a
+    * second column (event_type) — the normal Pinot table shape of
+    * sortedColumn + bloomFilterColumns. The rule intersects the two
+    * decisions (TableIndexConfigSpec proves the file-count win); the
+    * oracle proves the intersected scan is value-identical to the raw
+    * table. */
+  private val segpruneMulti = Q(
+    "q_idx_prune_multi",
+    (spark, dir) => {
+      val sorted = sortedEventsCopy(spark, dir)
+      val s = spark.newSession()
+      SegmentPruning.register(s, sorted, "user_id")
+      SegmentPruning.registerBloom(s, sorted, "event_type")
+      s.read.parquet(sorted)
+        .filter(col("user_id") >= 5 && col("user_id") <= 40 &&
+          col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+            |FROM events
+            |WHERE user_id >= 5 AND user_id <= 40 AND event_type = 'purchase'
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(segpruneRange, segprunePartition, textMatchLookup,
+    valueRangeLookup, segpruneMulti)
 }
