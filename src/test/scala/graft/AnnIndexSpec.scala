@@ -73,6 +73,40 @@ class AnnIndexSpec extends GraftSuite {
       "at most the probed cell directories may be listed")
   }
 
+  test("streaming vector ingest: foreachBatch appends land in query results") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    // standing corpus builds; the live tail arrives as a stream
+    AnnIndex.build(e.filter(col("vec_id") < n / 2), dir, "vec_id", "embedding", nCells = 16)
+    val tail = e.filter(col("vec_id") >= n / 2)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(tail.toSeq)
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.append(b, dir, "vec_id", "embedding")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(AnnIndex.stats(spark, dir).nTotal === n)
+    // a query whose true neighbors include streamed vectors finds them:
+    // identical answers to the all-batch index (same centroids)
+    val dirAll = tmp()
+    AnnIndex.build(e, dirAll, "vec_id", "embedding", nCells = 16)
+    val a = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val b = AnnIndex.topK(spark, dirAll, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(a.map(_.toSeq) === b.map(_.toSeq))
+  }
+
   test("k-means build path: distributed training, recall vs brute force") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")
