@@ -45,8 +45,12 @@ case class EpochField(field: String, millis: Expression, zone: Expression)
     new java.util.concurrent.ConcurrentHashMap[String, java.time.ZoneId]()
 
   override protected def nullSafeEval(m: Any, z: Any): Any = {
-    val zid = zoneMemo.computeIfAbsent(
-      z.asInstanceOf[UTF8String].toString, s => java.time.ZoneId.of(s))
+    val zs = z.asInstanceOf[UTF8String].toString
+    // bounded memo: the zone is normally a literal; a data-column zone
+    // with unbounded cardinality must not grow per-task state
+    val zid =
+      if (zoneMemo.size < 1024) zoneMemo.computeIfAbsent(zs, s => java.time.ZoneId.of(s))
+      else java.time.ZoneId.of(zs)
     // Polymorphic on the RESOLVED child type: integral = Pinot epoch
     // millis; TIMESTAMP = micros instant; NTZ micros = wall time (zone
     // ignored); DATE = days (zone-free) — so native Spark spellings keep

@@ -98,12 +98,14 @@ object AnnIndex {
         col(qidCol).as("qid"), col(qvecCol).as("qe"),
         explode(transform(cellsOf(cents, col(qvecCol), probes),
           c => c.getField("cell"))).as("cell"))
-      .persist()
     // the distinct probed cells are bounded by the INDEX GEOMETRY (≤
     // nCells ints), not by data size — collecting them turns the cell cut
     // into a LITERAL partition filter, so pruning is static (the scan
     // never lists unprobed cell directories), instead of relying on
-    // runtime dynamic pruning through the join
+    // runtime dynamic pruning through the join. The probe frame is NOT
+    // persisted: its second evaluation (the join) is one map-only pass
+    // over the query frame, cheaper than pinning it in a long-lived
+    // serving session.
     val cellIds = probed.select(col("cell")).distinct().collect().map(_.getInt(0))
     spark.read.parquet(assignPath(dir))
       .filter(col("cell").isin(cellIds.toIndexedSeq: _*))
