@@ -443,7 +443,14 @@ object PipelineQueries {
       val melted = li.select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("m"))
         .select(col("m.c").as("c"), col("m.v").as("v"))
-      melted.groupBy(col("c"))
+        .persist()
+      // two passes joined on the tiny column key: ONE agg mixing distinct
+      // and plain aggregates makes Catalyst Expand the melted frame (the
+      // r5 lesson) — measured 4.8-8.5 s; split passes run the same metrics
+      // without row multiplication. The HLL runs on the PRE-distincted
+      // frame (HLL is duplicate-insensitive — identical estimate), so the
+      // final agg sees |distinct| rows, not the corpus.
+      val base = melted.groupBy(col("c"))
         .agg(
           count(lit(1)).as("n"),
           (count(lit(1)) - count(col("v"))).as("n_null"),
@@ -454,12 +461,19 @@ object PipelineQueries {
           // round() cannot mask at a digit boundary; these columns carry
           // <=2-decimal values, exact at scale 6, so the decimal sum is
           // bit-deterministic on both engines
-          sum(col("v").cast("decimal(28,6)")).cast("double").as("sum_v"),
-          countDistinct(col("v")).as("n_distinct"),
+          sum(col("v").cast("decimal(28,6)")).cast("double").as("sum_v"))
+      val dist = melted.filter(col("v").isNotNull)
+        .select(col("c"), col("v")).distinct()
+        .groupBy(col("c"))
+        .agg(
+          count(lit(1)).as("n_distinct"),
           // rsd 2% with a 10% gate = a 5-sigma bound; the default 5% rsd
           // tripped the 5% gate on the high-cardinality price column
-          (abs(approx_count_distinct(col("v"), 0.02) - countDistinct(col("v")))
-            <= countDistinct(col("v")) * 0.10).as("approx_ok"))
+          (abs(approx_count_distinct(col("v"), 0.02) - count(lit(1)))
+            <= count(lit(1)) * 0.10).as("approx_ok"))
+      base.join(dist, Seq("c"))
+        .select(col("c"), col("n"), col("n_null"), col("min_v"), col("max_v"),
+          col("sum_v"), col("n_distinct"), col("approx_ok"))
         .orderBy(col("c"))
     },
     Some(s"""WITH m AS (
