@@ -163,6 +163,48 @@ class SegmentPruningRuleSpec extends GraftSuite {
     assert(inset.count() === ev.filter(col("user_id").isin(ids: _*)).count())
   }
 
+  test("randomized conjunctions over intersected sorted+bloom manifests stay exact") {
+    // the round-7 intersection logic is only sound if EVERY decision keeps
+    // a superset — fuzz it: one layout, two manifests, 40 seeded random
+    // range/equality conjunctions; every pruned answer must equal the
+    // unpruned one (and the whole point: some cases must actually prune)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-segprune-fuzz").toString
+    val rnd = new scala.util.Random(424242L)
+    val rows = (0L until 4000L).map { i =>
+      (i, rnd.nextInt(50).toLong, s"s${rnd.nextInt(12)}", rnd.nextDouble())
+    }
+    val df = rows.toDF("id", "k", "tag", "x")
+    SortedLayout.write(df.orderBy("k"), dir, "k", nFiles = 8)
+    val s = spark.newSession()
+    graft.plans.SegmentPruning.register(s, dir, "k")
+    graft.plans.SegmentPruning.registerBloom(s, dir, "tag")
+    val plain = spark.newSession()
+    var prunedSomewhere = false
+    (1 to 40).foreach { i =>
+      val lo = rnd.nextInt(50).toLong
+      val hi = lo + rnd.nextInt(20)
+      val tag = s"s${rnd.nextInt(14)}" // occasionally a tag that exists nowhere
+      val shapes = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        _ => col("k") >= lo && col("k") <= hi,
+        _ => col("k") >= lo && col("tag") === tag,
+        _ => col("tag") === tag,
+        _ => col("k") === lo && col("tag") === tag)
+      val pred = shapes(i % shapes.length)(col("k"))
+      val pruned = s.read.parquet(dir).filter(pred)
+      val files = scanFiles(pruned)
+      if (files < 8) prunedSomewhere = true
+      val expect = plain.read.parquet(dir).filter(pred)
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(col("id"))).collect()(0)
+      val got = pruned
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(col("id"))).collect()(0)
+      assert(got === expect, s"case $i: lo=$lo hi=$hi tag=$tag")
+    }
+    assert(prunedSomewhere, "the fuzz must exercise actual pruning, not only full scans")
+  }
+
   test("stale layout deregisters itself: rewritten files stop pruning, results stay exact") {
     val dir = Files.createTempDirectory("graft-segprune-stale").toString
     val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id")
