@@ -272,6 +272,7 @@ object PinotFunctions {
       if (args.length == 3) ConcatWs(args(2) +: args.take(2))
       else Concat(args)),
     "toutf8" -> (args => Encode(args(0), Literal("UTF-8"))),
+    "fromutf8" -> (args => StringDecode(args(0), Literal("UTF-8"))),
     "encodeurl" -> fwd("url_encode"),
     "decodeurl" -> fwd("url_decode"),
     // REGEXP_EXTRACT(value, regex[, group[, default]]) — Pinot returns the
@@ -313,6 +314,30 @@ object PinotFunctions {
     // Pinot hammingDistance: -1 on unequal lengths, else differing chars
     "hammingdistance" -> (args =>
       graft.expressions.HammingDistanceStr(args(0), args(1))),
+    // Pinot normalize(str[, form]) — java.text.Normalizer, NFC default
+    "normalize" -> (args => graft.expressions.NormalizeStr(args(0),
+      if (args.length >= 2) args(1) else Literal("NFC"))),
+    // Pinot bytesToHex renders LOWERCASE hex (BytesUtils); Spark's Hex is
+    // uppercase — wrap. hexToBytes = Unhex.
+    "bytestohex" -> (args => Lower(Hex(args(0)))),
+    "hextobytes" -> (args => Unhex(args(0))),
+    // ---- Pinot ArithmeticFunctions (ClickHouse-inspired spellings) ----
+    // guarded forms answer 0 on a zero divisor instead of the ANSI error
+    "intdiv" -> (args => IntegralDivide(args(0), args(1))),
+    "intdivorzero" -> (args =>
+      If(EqualTo(Cast(args(1), DoubleType), Literal(0.0)), Literal(0L),
+        IntegralDivide(args(0), args(1)))),
+    "moduloorzero" -> (args =>
+      If(EqualTo(Cast(args(1), DoubleType), Literal(0.0)), Literal(0L),
+        Remainder(Cast(args(0), LongType), Cast(args(1), LongType)))),
+    "positivemodulo" -> (args =>
+      Pmod(Cast(args(0), LongType), Cast(args(1), LongType))),
+    "isinfinite" -> (args =>
+      EqualTo(Abs(Cast(args(0), DoubleType)), Literal(Double.PositiveInfinity))),
+    "isfinite" -> (args => {
+      val d = Cast(args(0), DoubleType)
+      Not(Or(IsNaN(d), EqualTo(Abs(d), Literal(Double.PositiveInfinity))))
+    }),
     // ---- Pinot DateTimeFunctions field extractors ----
     // year(millis[, tz]) family: EPOCH MILLIS input, UTC default, ISO
     // week/dow semantics (Joda). Polymorphic on the resolved input type so

@@ -78,6 +78,30 @@ case class StrPosOrdinal(str: Expression, find: Expression, instance: Expression
     copy(str = newFirst, find = newSecond, instance = newThird)
 }
 
+/** `normalize(str[, form])` — Pinot StringFunctions wraps
+  * `java.text.Normalizer` (NFC default; NFD/NFKC/NFKD accepted). */
+case class NormalizeStr(str: Expression, form: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def left: Expression = str
+  override def right: Expression = form
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "normalize"
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override protected def nullSafeEval(s: Any, f: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(
+        f.asInstanceOf[UTF8String].toString.toUpperCase(java.util.Locale.ROOT))))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NormalizeStr =
+    copy(str = newLeft, form = newRight)
+}
+
 /** `hammingDistance(a, b)` — −1 on unequal lengths, else differing
   * UTF-16 positions (Pinot StringFunctions' charAt loop, bit-exact). */
 case class HammingDistanceStr(left: Expression, right: Expression)

@@ -143,6 +143,32 @@ class PinotCompatSpec extends GraftSuite {
     assert(vi.getSeq[String](0) === Seq("b"))
   }
 
+  test("arithmetic guards, normalize, bytesToHex/hexToBytes") {
+    val r = one(
+      """SELECT intDiv(7, 2) AS d, intDivOrZero(7, 0) AS dz,
+        |       moduloOrZero(7, 0) AS mz, positiveModulo(-7, 3) AS pm,
+        |       isInfinite(CAST('Infinity' AS DOUBLE)) AS inf,
+        |       isInfinite(1.5) AS ninf,
+        |       isFinite(CAST('NaN' AS DOUBLE)) AS fin_nan,
+        |       isFinite(2.5) AS fin,
+        |       bytesToHex(toUtf8('ab')) AS hx,
+        |       fromUtf8(hexToBytes('6869')) AS rt""".stripMargin)
+    assert(r.getLong(r.fieldIndex("d")) === 3L)
+    assert(r.getLong(r.fieldIndex("dz")) === 0L)
+    assert(r.getLong(r.fieldIndex("mz")) === 0L)
+    assert(r.getLong(r.fieldIndex("pm")) === 2L)
+    assert(r.getBoolean(r.fieldIndex("inf")) && !r.getBoolean(r.fieldIndex("ninf")))
+    assert(!r.getBoolean(r.fieldIndex("fin_nan")) && r.getBoolean(r.fieldIndex("fin")))
+    assert(r.getString(r.fieldIndex("hx")) === "6162")
+    assert(r.getString(r.fieldIndex("rt")) === "hi")
+    // normalize: NFC composes the decomposed form; NFD decomposes back
+    val decomposed = "e\u0301"
+    val composed = "\u00e9"
+    val n = one(s"SELECT normalize('$decomposed') AS nfc, normalize('$composed', 'NFD') AS nfd")
+    assert(n.getString(0) === composed)
+    assert(n.getString(1) === decomposed)
+  }
+
   test("epoch-millis datetime fields (year/dayOfWeek/... on LONG, ISO conventions, tz arg)") {
     val r = one(
       """SELECT year(0) AS y0, year(0, 'America/New_York') AS y0_ny,
