@@ -127,6 +127,30 @@ object AnnIndex {
       .select(col("qid"), col("rn"), col("nid"), col("sim"))
   }
 
+  /** Compact the assignment partitions: daily appends leave one small file
+    * per (batch, cell); this rewrites each cell directory to ~one file
+    * (the SegmentCompaction cost model — a scheduled minion, not an ingest
+    * hot path). Staged swap: the rewrite lands in a sibling dir and
+    * replaces the old assignments only after it fully commits, so a
+    * concurrent reader sees either the old or the new complete layout. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val src = assignPath(dir)
+    val tmp = src + ".compacting"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.read.parquet(src)
+      .repartition(col("cell")) // one task per cell value → one file per dir
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val old = src + ".old"
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(src), new org.apache.hadoop.fs.Path(old)),
+      s"compact: could not stage out $src")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(src)),
+      s"compact: could not swap in $tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+  }
+
   /** Cell population stats — `imbalance` (max/mean) is the drift signal
     * that schedules a centroid retrain. */
   def stats(spark: SparkSession, dir: String): Stats = {

@@ -107,6 +107,32 @@ class AnnIndexSpec extends GraftSuite {
     assert(a.map(_.toSeq) === b.map(_.toSeq))
   }
 
+  test("compaction collapses per-append small files; answers unchanged") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    AnnIndex.build(e.filter(col("vec_id") < n / 4), dir, "vec_id", "embedding", nCells = 16)
+    // six small appends: each leaves one file per touched cell
+    (1 to 6).foreach { i =>
+      val lo = n / 4 + (i - 1) * (n / 8)
+      val hi = math.min(n, lo + n / 8)
+      val batch = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      if (batch.count() > 0) AnnIndex.append(batch, dir, "vec_id", "embedding")
+    }
+    val before = spark.read.parquet(s"$dir/assignments").inputFiles.length
+    val answersBefore = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val totalBefore = AnnIndex.stats(spark, dir).nTotal
+    AnnIndex.compact(spark, dir)
+    val after = spark.read.parquet(s"$dir/assignments").inputFiles.length
+    assert(after < before, s"compaction must reduce files: $before -> $after")
+    assert(after <= 16, s"expected ~one file per cell, got $after")
+    assert(AnnIndex.stats(spark, dir).nTotal === totalBefore)
+    val answersAfter = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(answersAfter.map(_.toSeq) === answersBefore.map(_.toSeq))
+  }
+
   test("k-means build path: distributed training, recall vs brute force") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")
