@@ -143,6 +143,34 @@ class PinotCompatSpec extends GraftSuite {
     assert(vi.getSeq[String](0) === Seq("b"))
   }
 
+  test("split limit form fuzz: engine output equals commons splitByWholeSeparator") {
+    val rnd = new scala.util.Random(77L)
+    (1 to 25).foreach { i =>
+      val sep = Seq(",", "--", "ab")(i % 3)
+      val parts = Seq.fill(1 + rnd.nextInt(6))(
+        Seq.fill(rnd.nextInt(4))(('a' + rnd.nextInt(3)).toChar).mkString)
+      val input = parts.mkString(sep)
+      val limit = 1 + rnd.nextInt(4)
+      val esc = input.replace("'", "''")
+      val got = one(s"SELECT split('$esc', '$sep', $limit) AS s").getSeq[String](0)
+      val want = org.apache.commons.lang3.StringUtils
+        .splitByWholeSeparator(input, sep, limit).toSeq
+      assert(got === want, s"case $i input='$input' sep='$sep' limit=$limit")
+    }
+  }
+
+  test("epoch fields accept TIMESTAMP-typed input (polymorphic dispatch, tz arg)") {
+    val r = one(
+      """SELECT year(TIMESTAMP '2024-06-15 23:30:00') AS y,
+        |       hour(TIMESTAMP '2024-06-15 23:30:00') AS h,
+        |       day(TIMESTAMP '2024-06-15 23:30:00', 'Asia/Kolkata') AS d_ist
+        |FROM region LIMIT 1""".stripMargin)
+    assert(r.getInt(0) === 2024)
+    assert(r.getInt(1) === 23)
+    // 23:30 UTC + 5:30 = 05:00 next day in IST
+    assert(r.getInt(2) === 16)
+  }
+
   test("arithmetic guards, normalize, bytesToHex/hexToBytes") {
     val r = one(
       """SELECT intDiv(7, 2) AS d, intDivOrZero(7, 0) AS dz,
