@@ -196,7 +196,9 @@ object TableSpec {
   def applyIndexConfig(
       spark: SparkSession,
       tableConfigJson: String,
-      dir: String): AppliedIndexes = {
+      dir: String,
+      bloomBudgetBytes: Long = graft.plans.SegmentPruning.DefaultMaxBloomManifestBytes)
+      : AppliedIndexes = {
     implicit val fmts: Formats = DefaultFormats
     val idx = JsonMethods.parse(tableConfigJson) \ "tableIndexConfig"
     def strings(key: String): Seq[String] = (idx \ key) match {
@@ -220,8 +222,18 @@ object TableSpec {
     part.foreach { case (c, n) =>
       graft.plans.SegmentPruning.registerPartitioned(spark, dir, c, n)
     }
-    blooms.filterNot(sorted.contains).foreach(c =>
-      graft.plans.SegmentPruning.registerBloom(spark, dir, c))
+    // a bloom manifest over the driver byte budget is a REFUSAL of that one
+    // accelerator, not a reason to abort the whole config (pruning is never
+    // a correctness dependency) — skip it, keep the other families, and
+    // surface the refusal in the report map
+    val bloomRefusals = blooms.filterNot(sorted.contains).flatMap { c =>
+      try { graft.plans.SegmentPruning.registerBloom(spark, dir, c, bloomBudgetBytes); None }
+      catch { case e: IllegalArgumentException =>
+        Some(s"bloomFilterColumns/$c" -> s"REFUSED: ${e.getMessage}")
+      }
+    }.toMap
+    val registeredBlooms = blooms.filterNot(c =>
+      bloomRefusals.contains(s"bloomFilterColumns/$c"))
     val analog = Seq(
       "invertedIndexColumns" -> "parquet predicate pushdown (scan-level filtering; no side structure needed)",
       "rangeIndexColumns" -> "parquet footer min/max stats + SortedLayout ranges when sorted",
@@ -237,6 +249,6 @@ object TableSpec {
         }
         if (present) Some(k -> v) else None
       }.toMap
-    AppliedIndexes(sorted, blooms, part, analog)
+    AppliedIndexes(sorted, registeredBlooms, part, analog ++ bloomRefusals)
   }
 }

@@ -31,6 +31,54 @@ object AnnIndex {
 
   private def centroidsPath(dir: String) = s"$dir/centroids"
   private def assignPath(dir: String) = s"$dir/assignments"
+  private def pointerPath(dir: String) = s"$dir/ASSIGN_CURRENT"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Resolve the LIVE assignments directory. Compacted indexes use a
+    * versioned layout (`assignments.vN`) behind a one-line `ASSIGN_CURRENT`
+    * pointer file that is replaced atomically (posix rename), so a reader
+    * always resolves to a complete layout — there is no instant where the
+    * live path does not exist. Indexes that were never compacted have no
+    * pointer and resolve to the legacy `assignments` directory. */
+  def assignDir(spark: SparkSession, dir: String): String = {
+    val fs = fsOf(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(pointerPath(dir))
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s"$dir/$name"
+    } else assignPath(dir)
+  }
+
+  /** Atomically (re)point `ASSIGN_CURRENT` at `name`: write a sibling tmp
+    * file, then rename over the pointer with OVERWRITE — the one atomic
+    * primitive the swap needs, applied to a tiny file instead of a
+    * directory tree. */
+  private def writePointer(spark: SparkSession, dir: String, name: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(pointerPath(dir))
+    val tmp = new org.apache.hadoop.fs.Path(pointerPath(dir) + ".tmp")
+    val fs = fsOf(spark, dir)
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete every assignments layout except `keep` — superseded versions
+    * and strays from a compact that crashed before its pointer swap. */
+  private def gcLayouts(spark: SparkSession, dir: String, keep: String): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n == "assignments" || n.startsWith("assignments.v")) && n != keep
+      }.foreach(p => fs.delete(p, true))
+  }
 
   /** Best-cell(s) expression over broadcast centroids: ascending sort on
     * (−cos, cell) → best first, stable tiebreak (the q_sim_ann_ivf
@@ -64,6 +112,10 @@ object AnnIndex {
     cents.toSeq.toDF("cell", "ce").repartition(1)
       .write.mode("overwrite").parquet(centroidsPath(dir))
     assignAndWrite(emb, dir, idCol, vecCol, cents, overwrite = true)
+    // a fresh build resets to the base layout; retire any versioned
+    // layouts (and pointer) a previous compact left behind
+    writePointer(spark, dir, "assignments")
+    gcLayouts(spark, dir, keep = "assignments")
   }
 
   /** Assign a NEW batch against the EXISTING centroids and append its cell
@@ -80,7 +132,8 @@ object AnnIndex {
         col(vecCol).as("emb"),
         cellsOf(cents, col(vecCol), 1)(0).getField("cell").as("cell"))
       .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("cell").parquet(assignPath(dir))
+      .partitionBy("cell")
+      .parquet(if (overwrite) assignPath(dir) else assignDir(emb.sparkSession, dir))
 
   def readCentroids(spark: SparkSession, dir: String): Array[(Int, Seq[Float])] =
     spark.read.parquet(centroidsPath(dir)).collect()
@@ -107,7 +160,7 @@ object AnnIndex {
     // over the query frame, cheaper than pinning it in a long-lived
     // serving session.
     val cellIds = probed.select(col("cell")).distinct().collect().map(_.getInt(0))
-    spark.read.parquet(assignPath(dir))
+    spark.read.parquet(assignDir(spark, dir))
       .filter(col("cell").isin(cellIds.toIndexedSeq: _*))
       .join(probed, Seq("cell"))
   }
@@ -130,31 +183,31 @@ object AnnIndex {
   /** Compact the assignment partitions: daily appends leave one small file
     * per (batch, cell); this rewrites each cell directory to ~one file
     * (the SegmentCompaction cost model — a scheduled minion, not an ingest
-    * hot path). Staged swap: the rewrite lands in a sibling dir and
-    * replaces the old assignments only after it fully commits, so a
-    * concurrent reader sees either the old or the new complete layout. */
+    * hot path). Versioned swap: the rewrite lands in a NEW
+    * `assignments.vN+1` directory and the cutover is an atomic replace of
+    * the one-line `ASSIGN_CURRENT` pointer — at no instant is the resolved
+    * path missing, a crash anywhere leaves the previous pointer (and its
+    * complete layout) live. The layout this compact supersedes is RETAINED
+    * for one cycle — a reader that resolved the pointer just before the
+    * swap finishes its scan — and garbage-collected (with any
+    * crashed-compact strays) by the NEXT successful compact or rebuild. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val src = assignPath(dir)
-    val tmp = src + ".compacting"
-    val fs = new org.apache.hadoop.fs.Path(src)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val src = assignDir(spark, dir)
+    val srcName = src.substring(src.lastIndexOf('/') + 1)
+    gcLayouts(spark, dir, keep = srcName) // layouts superseded in earlier cycles
+    val ver = if (srcName == "assignments") 0
+      else srcName.substring("assignments.v".length).toInt
+    val dstName = s"assignments.v${ver + 1}"
     spark.read.parquet(src)
       .repartition(col("cell")) // one task per cell value → one file per dir
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val old = src + ".old"
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(src), new org.apache.hadoop.fs.Path(old)),
-      s"compact: could not stage out $src")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(src)),
-      s"compact: could not swap in $tmp")
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$dstName")
+    writePointer(spark, dir, dstName) // atomic cutover
   }
 
   /** Cell population stats — `imbalance` (max/mean) is the drift signal
     * that schedules a centroid retrain. */
   def stats(spark: SparkSession, dir: String): Stats = {
-    val rows = spark.read.parquet(assignPath(dir))
+    val rows = spark.read.parquet(assignDir(spark, dir))
       .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
     val counts = rows.map(_.getLong(1))
     val total = counts.sum

@@ -430,17 +430,31 @@ final class FakeKinesisConsumer(
     * drained parent, unlocking its children for the next pass). A throttled
     * pass counts as progress — the limiter's window rolls with the stream's
     * clock, so the drain backs off briefly and retries rather than
-    * abandoning undelivered records (requires an advancing clock). */
+    * abandoning undelivered records. The retry is only sound if the clock
+    * ADVANCES (a fixed test `clockMs` can never roll the window), so
+    * consecutive all-throttled passes with a non-advancing clock fail
+    * loudly instead of spinning forever. */
   def drain(): Seq[Record] = {
     val out = mutable.ArrayBuffer.empty[Record]
     var progressed = true
+    var stuckThrottled = 0
     while (progressed) {
       val finishedBefore = finished.size
       val throttledBefore = throttledPolls
+      val clockBefore = stream.clockMs()
       val got = poll()
       out ++= got
       val throttled = throttledPolls > throttledBefore
-      if (throttled && got.isEmpty) Thread.sleep(25L)
+      if (throttled && got.isEmpty && finished.size == finishedBefore) {
+        Thread.sleep(25L)
+        if (stream.clockMs() <= clockBefore) {
+          stuckThrottled += 1
+          require(stuckThrottled < 40,
+            "drain(): every pass throttled and clockMs() is not advancing — " +
+              "the rolling rate window can never roll (fixed test clock + " +
+              "tight shard limit); advance the clock or raise the limit")
+        } else stuckThrottled = 0
+      } else stuckThrottled = 0
       progressed = got.nonEmpty || finished.size > finishedBefore || throttled
     }
     out.toSeq

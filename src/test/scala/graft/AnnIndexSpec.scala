@@ -119,18 +119,56 @@ class AnnIndexSpec extends GraftSuite {
       val batch = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
       if (batch.count() > 0) AnnIndex.append(batch, dir, "vec_id", "embedding")
     }
-    val before = spark.read.parquet(s"$dir/assignments").inputFiles.length
+    val before = spark.read.parquet(AnnIndex.assignDir(spark, dir)).inputFiles.length
     val answersBefore = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding", 3, 2)
       .orderBy(col("qid"), col("rn")).collect().toSeq
     val totalBefore = AnnIndex.stats(spark, dir).nTotal
     AnnIndex.compact(spark, dir)
-    val after = spark.read.parquet(s"$dir/assignments").inputFiles.length
+    val after = spark.read.parquet(AnnIndex.assignDir(spark, dir)).inputFiles.length
     assert(after < before, s"compaction must reduce files: $before -> $after")
     assert(after <= 16, s"expected ~one file per cell, got $after")
     assert(AnnIndex.stats(spark, dir).nTotal === totalBefore)
     val answersAfter = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding", 3, 2)
       .orderBy(col("qid"), col("rn")).collect().toSeq
     assert(answersAfter.map(_.toSeq) === answersBefore.map(_.toSeq))
+  }
+
+  test("compact swap is pointer-atomic: live path always resolvable, " +
+      "superseded layout retained one cycle then GC'd") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    AnnIndex.build(e.filter(col("vec_id") < n / 2), dir, "vec_id", "embedding", nCells = 8)
+    AnnIndex.append(e.filter(col("vec_id") >= n / 2), dir, "vec_id", "embedding")
+    val answers0 = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    def layouts(): Set[String] = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(nm => nm == "assignments" || nm.startsWith("assignments.v")).toSet
+
+    AnnIndex.compact(spark, dir)
+    // cutover happened: pointer resolves to v1; the superseded base layout
+    // is RETAINED so an in-flight reader that resolved pre-swap still scans
+    assert(AnnIndex.assignDir(spark, dir).endsWith("assignments.v1"))
+    assert(layouts() === Set("assignments", "assignments.v1"))
+    // appends after a compact land in the live (resolved) layout
+    AnnIndex.append(e.filter(col("vec_id") < 4), dir, "vec_id", "embedding")
+    assert(AnnIndex.stats(spark, dir).nTotal === n + 4)
+
+    AnnIndex.compact(spark, dir)
+    // second cycle GCs the layout superseded in the first
+    assert(AnnIndex.assignDir(spark, dir).endsWith("assignments.v2"))
+    assert(layouts() === Set("assignments.v1", "assignments.v2"))
+    val answers2 = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    // the doubled ids don't change cosine top-k identities vs answers0 only
+    // if the dup ids are excluded — so just assert non-empty + rebuild reset
+    assert(answers2.nonEmpty)
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 8)
+    assert(AnnIndex.assignDir(spark, dir).endsWith("/assignments"))
+    assert(layouts() === Set("assignments"))
+    val answersRebuilt = AnnIndex.topK(spark, dir, queriesFrame, "vec_id", "embedding", 3, 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(answersRebuilt.map(_.toSeq) === answers0.map(_.toSeq))
   }
 
   test("k-means build path: distributed training, recall vs brute force") {

@@ -139,6 +139,24 @@ class FakeKinesisSpec extends GraftSuite {
     assertPerKeyOrder(got.toSeq)
   }
 
+  test("drain() under a FIXED clock + tight limit fails loudly instead of spinning") {
+    // the rolling rate window can only roll if clockMs advances; a fixed
+    // test clock used to make drain() spin forever (round-7 advice) — now
+    // consecutive all-throttled passes with no clock movement throw
+    val k = FakeKinesis.create(tmpDir(), shardCount = 1)
+    k.clockMs = () => 1000L // never advances
+    (0 until 20).foreach(i => put(k, s"k$i", s"p-$i"))
+    k.maxGetRecordsPerSecondPerShard = 1
+    val c = new FakeKinesisConsumer(k, TrimHorizon)
+    val e = intercept[IllegalArgumentException] { c.drain() }
+    assert(e.getMessage.contains("not advancing"))
+    // with an ADVANCING clock the same configuration drains completely
+    var now = 1000L
+    k.clockMs = () => { now += 300L; now }
+    val k2consumer = new FakeKinesisConsumer(k, TrimHorizon)
+    assert(payloads(k2consumer.drain()).size === 20)
+  }
+
   test("split mid-ingest: no loss, no dup, per-key order preserved across the reshard") {
     val k = FakeKinesis.create(tmpDir(), shardCount = 2)
     val keys = (0 until 40).map(i => s"user-$i")

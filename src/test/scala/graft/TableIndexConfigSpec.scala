@@ -100,6 +100,29 @@ class TableIndexConfigSpec extends GraftSuite {
     assert(pruned < 4L, s"bloom should prune some files, scanned $pruned")
   }
 
+  test("over-budget bloom is SKIPPED with a surfaced refusal, not an abort " +
+      "(other families still register)") {
+    val dir = Files.createTempDirectory("graft-idxcfg-refuse").toString
+    val ev = Tables.t(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type")
+    graft.sources.SortedLayout.write(ev, dir, "event_id", nFiles = 4)
+    val s2 = spark.newSession()
+    // 1-byte budget: the bloom manifest cannot fit, the sorted family must
+    // still come up, and the refusal lands in the report map
+    val applied = TableSpec.applyIndexConfig(s2,
+      """{"tableIndexConfig": {"sortedColumn": ["event_id"],
+        |  "bloomFilterColumns": ["user_id"]}}""".stripMargin,
+      dir, bloomBudgetBytes = 1L)
+    assert(applied.sorted === Some("event_id"))
+    assert(applied.blooms.isEmpty, "refused bloom must not be reported as registered")
+    val refusal = applied.analog.get("bloomFilterColumns/user_id")
+    assert(refusal.exists(_.startsWith("REFUSED")), s"expected refusal entry, got $refusal")
+    // the sorted manifest still prunes: point lookup touches < all files
+    val probe = ev.agg(min(col("event_id"))).collect()(0).getLong(0)
+    val pruned = scanFiles(s2.read.parquet(dir).filter(col("event_id") === probe))
+    assert(pruned < 4L, s"sorted pruning should survive the bloom refusal, scanned $pruned")
+  }
+
   test("the reference's own table config applies cleanly (no index families)") {
     val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       "/root/reference/resources/pinot/resources/kinesisTableConfigFile.json")))
