@@ -744,10 +744,306 @@ object PinotFunctions {
   /** Register every alias on a session (names Spark already defines with the
     * same semantics — UPPER, LOWER, MD5, CRC32, REGEXP_LIKE, MODE, … — are
     * left to the native registry). */
+  // ---- GAPFILL table function (Pinot 1.2 gap-filling surface) ----
+
+  private def unitFactorMs(u: String): Long = u.toUpperCase match {
+    case "MILLISECONDS" => 1L
+    case "SECONDS" => 1000L
+    case "MINUTES" => 60000L
+    case "HOURS" => 3600000L
+    case "DAYS" => 86400000L
+    case other => throw new IllegalArgumentException(s"time unit: $other")
+  }
+
+  /** Parse-time marker for GAPFILL's `FILL(...)` / `TIMESERIESON(...)`
+    * arguments: the analyzer resolves routine names inside table-function
+    * arguments BEFORE the table function's own builder runs, so these
+    * names must resolve to SOMETHING — an inert leaf that simply holds the
+    * raw parsed arguments (leaf, so nothing tries to resolve the column
+    * references inside; the gapfill builder consumes them as names).
+    * Outside GAPFILL the marker is Unevaluable and errors at planning. */
+  final case class GapfillArgMarker(kind: String, heldArgs: Seq[Expression])
+    extends LeafExpression with Unevaluable {
+    override def dataType: DataType = NullType
+    override def nullable: Boolean = true
+    override def prettyName: String = kind
+  }
+
+  /** Pinot time-format spec: `size:unit:EPOCH` → Left(millis per stored
+    * unit), `size:unit:SIMPLE_DATE_FORMAT:pattern` → Right(pattern) —
+    * split with limit 4 because SDF patterns themselves contain ':'. */
+  private def parsePinotTimeFmt(f: String): Either[Long, String] = {
+    val parts = f.split(":", 4)
+    require(parts.length >= 3, s"time format: $f")
+    parts(2).toUpperCase match {
+      case "EPOCH" => scala.Left(parts(0).toLong * unitFactorMs(parts(1)))
+      case "SIMPLE_DATE_FORMAT" =>
+        require(parts.length == 4, s"SIMPLE_DATE_FORMAT needs a pattern: $f")
+        scala.Right(parts(3))
+      case other => throw new IllegalArgumentException(s"format kind: $other")
+    }
+  }
+
+  /** Split `s` on commas at paren depth 0, respecting single-quoted SQL
+    * strings (with `''` escapes) — the shared tokenizer for GAPFILL's
+    * argument list and its FILL/TIMESERIESON spec bodies. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty || out.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** Canonicalize the EXACT Pinot broker GAPFILL spelling into the
+    * table-function form Spark can resolve: Spark never resolves function
+    * calls nested inside table-valued-function arguments, so the bare
+    * `FILL(col, 'MODE')` / `TIMESERIESON(col)` trailing arguments are
+    * wrapped into string literals carrying the same text (which
+    * [[gapfillPlan]] parses back). Quote- and paren-aware — the sub query
+    * string literal (which itself contains commas and parens) passes
+    * through untouched; SQL without GAPFILL is returned unchanged. Applied
+    * by the HTTP/JDBC endpoints to every incoming statement, so a ported
+    * dashboard query runs verbatim; call it directly when issuing broker
+    * SQL through `session.sql`. */
+  def rewriteGapfill(sql: String): String = {
+    if (!sql.toLowerCase.contains("gapfill")) return sql
+    val lower = sql.toLowerCase
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+          else inQuote = false
+        }
+        i += 1
+      } else if (c == '\'') {
+        inQuote = true; sb.append(c); i += 1
+      } else if (lower.startsWith("gapfill", i) &&
+          (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+          { var j = i + 7; while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+            j < sql.length && sql.charAt(j) == '(' }) {
+        // found a GAPFILL call: copy the name, then transform its balanced
+        // argument list
+        var j = i + 7
+        while (sql.charAt(j) != '(') j += 1
+        val start = j + 1
+        var depth = 1
+        var k = start
+        var q = false
+        while (k < sql.length && depth > 0) {
+          val ch = sql.charAt(k)
+          if (q) { if (ch == '\'') {
+            if (k + 1 < sql.length && sql.charAt(k + 1) == '\'') k += 1 else q = false } }
+          else ch match {
+            case '\'' => q = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          k += 1
+        }
+        require(depth == 0, "GAPFILL: unbalanced parentheses")
+        val argText = sql.substring(start, k - 1)
+        val specRe = """(?is)^\s*(FILL|TIMESERIESON)\s*\(.*""".r
+        val rewritten = splitTopLevel(argText).map { a =>
+          if (specRe.pattern.matcher(a).matches())
+            "'" + a.trim.replace("'", "''") + "'"
+          else a
+        }.mkString(",")
+        sb.append(sql.substring(i, start)).append(rewritten).append(')')
+        i = k
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Pinot GAPFILL — the broker's gap-filling table surface ("Gapfilling
+    * functions", deployed Pinot 1.2 per
+    * `/root/reference/resources/bastion/bastionUserData.sh:7`), registered
+    * as a Spark TABLE-VALUED function so the broker spelling executes on a
+    * compat session:
+    *
+    * {{{
+    * SELECT ... FROM GAPFILL(
+    *   'SELECT event_type, ts, value FROM events',  -- sub (string literal,
+    *                                                --   the IN_SUBQUERY precedent)
+    *   'ts', '1:MILLISECONDS:EPOCH',                -- time col + its format
+    *   '<start>', '<end>',                          -- fill range [start, end)
+    *   '1:HOURS',                                   -- bucket granularity
+    *   FILL(value, 'FILL_PREVIOUS_VALUE'),          -- fill spec (one value col;
+    *                                                --   3rd arg = literal default)
+    *   TIMESERIESON(event_type))                    -- series identity
+    * }}}
+    *
+    * The builder captures the session: the sub is ANALYZED (no execution)
+    * at resolution time and the whole shape lowers onto
+    * [[graft.ops.Gapfill]] — bounded spine, one scan of the sub, carry
+    * window over spine rows only, so the broker syntax inherits the
+    * operator's scale posture. Buckets are epoch-aligned and start/end
+    * must align to the bucket width (loud requirement — Pinot console
+    * usage quotes whole buckets). Output columns: series key, the time
+    * column expressed back in ITS OWN format at bucket starts, and the
+    * filled value under its original name. */
+  private def gapfillPlan(spark: org.apache.spark.sql.SparkSession,
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.functions.{col => fcol, _}
+    def strLit(e: Expression, what: String): String = e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"GAPFILL $what must be a string literal, got $other")
+    }
+    def attrName(e: Expression, what: String): String = e match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case Literal(s, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"GAPFILL $what must be a column, got $other")
+    }
+    require(args.length >= 7,
+      "GAPFILL('<sub sql>', '<timeCol>', '<timeFormat>', '<start>', '<end>', " +
+        "'<bucket>', FILL(col, '<mode>'[, default]), TIMESERIESON(key))")
+    val innerSql = strLit(args(0), "sub")
+    val timeCol = attrName(args(1), "time column")
+    val fmt = parsePinotTimeFmt(strLit(args(2), "time format"))
+    val granParts = strLit(args(5), "bucket granularity").split(':')
+    val bucketMs = granParts(0).toLong * unitFactorMs(granParts(1))
+
+    def literalMs(s: String): Long = fmt match {
+      case scala.Left(msPerUnit) => s.trim.toLong * msPerUnit
+      case scala.Right(pattern) =>
+        val sdf = new java.text.SimpleDateFormat(pattern)
+        sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        sdf.parse(s.trim).getTime
+    }
+    val startMs = literalMs(strLit(args(3), "start"))
+    val endMs = literalMs(strLit(args(4), "end"))
+    require(startMs % bucketMs == 0 && endMs % bucketMs == 0,
+      s"GAPFILL start/end must align to the bucket width ($bucketMs ms): " +
+        s"start=$startMs end=$endMs — buckets are epoch-aligned")
+    require(endMs > startMs, s"GAPFILL empty range: start=$startMs end=$endMs")
+
+    // FILL(col, mode[, default]) and TIMESERIESON(key) — Spark's analyzer
+    // never resolves function calls nested inside table-function arguments
+    // (TVF args must be fully resolved before the TVF builder fires), so
+    // the canonical carrier is a STRING LITERAL holding the broker text
+    // (rewriteGapfill quotes the broker spelling into this form); the
+    // marker shapes are accepted too for hand-built plans
+    val FillRe = """(?is)\s*FILL\s*\((.*)\)\s*""".r
+    val TsoRe = """(?is)\s*TIMESERIESON\s*\((.*)\)\s*""".r
+    def stripQuotes(s0: String): String = {
+      val s = s0.trim
+      if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+        s.substring(1, s.length - 1).replace("''", "'")
+      else s
+    }
+    def exprToken(e: Expression): String = e match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case Literal(s, StringType) if s != null => s.toString
+      case Literal(v, _) if v != null => v.toString
+      case UnaryMinus(Literal(v, _), _) if v != null => "-" + v.toString
+      case other => throw new IllegalArgumentException(
+        s"GAPFILL spec argument must be a column or literal, got $other")
+    }
+    val trailing: Seq[(String, Seq[String])] = args.drop(6).map {
+      case Literal(s, StringType) if s != null => s.toString match {
+        case FillRe(inner) => ("fill", splitTopLevel(inner).map(stripQuotes))
+        case TsoRe(inner) => ("timeserieson", splitTopLevel(inner).map(stripQuotes))
+        case other => throw new IllegalArgumentException(
+          s"GAPFILL trailing arguments must be FILL(...) / TIMESERIESON(...), got '$other'")
+      }
+      case f: UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase, f.arguments.map(exprToken))
+      case m: GapfillArgMarker => (m.kind, m.heldArgs.map(exprToken))
+      case other => throw new IllegalArgumentException(
+        s"GAPFILL trailing arguments must be FILL(...) / TIMESERIESON(...), got $other")
+    }
+    var valueCol: Option[String] = None
+    var fillMode: graft.ops.Gapfill.FillMode = graft.ops.Gapfill.FillPrevious
+    var keyCol: Option[String] = None
+    trailing.foreach {
+      case ("fill", fargs) =>
+        require(valueCol.isEmpty, "GAPFILL supports exactly one FILL column")
+        require(fargs.length >= 2, "FILL(col, mode[, default])")
+        valueCol = Some(fargs(0))
+        fillMode = fargs(1).toUpperCase match {
+          case "FILL_PREVIOUS_VALUE" => graft.ops.Gapfill.FillPrevious
+          case "FILL_DEFAULT_VALUE" =>
+            graft.ops.Gapfill.FillDefault(
+              if (fargs.length >= 3) fargs(2).toDouble else 0.0)
+          case other => throw new IllegalArgumentException(
+            s"FILL mode $other (FILL_PREVIOUS_VALUE | FILL_DEFAULT_VALUE)")
+        }
+      case ("timeserieson", targs) =>
+        require(targs.length == 1,
+          "TIMESERIESON: exactly one series column (compose a concat in the sub for more)")
+        keyCol = Some(targs(0))
+      case (other, _) => throw new IllegalArgumentException(
+        s"GAPFILL trailing arguments must be FILL(...) / TIMESERIESON(...), got $other")
+    }
+    val vc = valueCol.getOrElse(throw new IllegalArgumentException("GAPFILL needs FILL(col, mode)"))
+    val kc = keyCol.getOrElse(throw new IllegalArgumentException("GAPFILL needs TIMESERIESON(key)"))
+
+    val inner = spark.sql(rewriteGapfill(innerSql))
+    val tsMicros: org.apache.spark.sql.Column = inner.schema(timeCol).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(fcol(timeCol))
+      case _ => fmt match {
+        case scala.Left(msPerUnit) =>
+          (fcol(timeCol).cast("long") * msPerUnit * 1000L)
+        case scala.Right(pattern) =>
+          unix_micros(to_timestamp(fcol(timeCol), pattern))
+      }
+    }
+    val filled = graft.ops.Gapfill.gapfill(inner, kc, tsMicros, fcol(vc),
+      bucketMicros = bucketMs * 1000L, fill = fillMode,
+      boundsBuckets = Some((startMs / bucketMs, endMs / bucketMs - 1)))
+    // express the bucket start back in the time column's OWN format
+    val bucketStartMs = fcol("bucket") * bucketMs
+    val timeOut = fmt match {
+      case scala.Left(msPerUnit) => (bucketStartMs / msPerUnit).cast("long")
+      case scala.Right(pattern) => date_format(timestamp_millis(bucketStartMs), pattern)
+    }
+    filled
+      .select(fcol(kc), timeOut.as(timeCol), fcol("v_filled").as(vc))
+      .queryExecution.analyzed
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     registry.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
+    }
+    // GAPFILL in the FROM position — Spark's table-function registry is
+    // the natural hook for a row-expanding broker form (a scalar registry
+    // entry cannot change cardinality). FILL/TIMESERIESON resolve to inert
+    // markers the gapfill builder consumes.
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "gapfill", (args: Seq[Expression]) => gapfillPlan(spark, args), "built-in")
+    Seq("fill", "timeserieson").foreach { kind =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        kind, (args: Seq[Expression]) => GapfillArgMarker(kind, args), "built-in")
     }
     // IN_SUBQUERY(col, 'inner sql') — Pinot's broker-side two-phase form:
     // the inner query (typically `SELECT id_set(x) FROM …`) is executed

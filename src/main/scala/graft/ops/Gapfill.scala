@@ -41,9 +41,16 @@ object Gapfill {
     * @param bucketMicros explicit bucket width in micros (Pinot GAPFILL's
     *                     bucket-size argument)
     * @param fill         gap fill mode
+    * @param boundsBuckets explicit [first, last] bucket indices (Pinot
+    *                     GAPFILL's start/end arguments, already divided by
+    *                     the bucket width); None derives the observed
+    *                     global [min, max] from the data. With explicit
+    *                     bounds, observations outside the range are
+    *                     excluded before filling — Pinot's inner query is
+    *                     range-filtered by its WHERE, this is the
+    *                     equivalent safety cut.
     * @return (keyCol, bucket, v_filled, was_gap) — one row per key × bucket
-    *         over the observed global [min, max] bucket range, total order
-    *         left to the caller
+    *         over the bucket range, total order left to the caller
     */
   def gapfill(
       events: DataFrame,
@@ -51,15 +58,25 @@ object Gapfill {
       tsMicros: Column,
       value: Column,
       bucketMicros: Long,
-      fill: FillMode): DataFrame = {
+      fill: FillMode,
+      boundsBuckets: Option[(Long, Long)] = None): DataFrame = {
     val b = events.select(col(keyCol), (tsMicros.cast("long") / bucketMicros)
       .cast("long").as("bucket"), value.as("__v"))
+    val ranged = boundsBuckets match {
+      case Some((b0, b1)) => b.filter(col("bucket").between(b0, b1))
+      case None => b
+    }
     // bounds and the key list both derive from the TINY bucketed aggregate,
     // so the raw relation is scanned exactly once
-    val actual = b.groupBy(col(keyCol), col("bucket"))
+    val actual = ranged.groupBy(col(keyCol), col("bucket"))
       .agg(round(sum(col("__v")), 2).as("v"))
       .persist()
-    val bounds = actual.agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+    val bounds = boundsBuckets match {
+      case Some((b0, b1)) =>
+        events.sparkSession.range(1).select(lit(b0).as("b0"), lit(b1).as("b1"))
+      case None =>
+        actual.agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+    }
     val spine = actual.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
       .select(col(keyCol), explode(sequence(col("b0"), col("b1"))).as("bucket"))

@@ -198,7 +198,9 @@ object HttpSqlEndpoint {
   private[server] def answer(spark: SparkSession, rawSql: String, maxRows: Int,
       requestOptions: Map[String, String] = Map.empty): ObjectNode =
     try {
-      val (sql, setOptions) = extractSetOptions(rawSql)
+      val (sql0, setOptions) = extractSetOptions(rawSql)
+      // broker GAPFILL spelling → the resolvable table-function form
+      val sql = graft.PinotFunctions.rewriteGapfill(sql0)
       val queryOptions = requestOptions ++ setOptions // SET wins, as in Pinot
       sql match {
         case ExplainRe(inner) => return explainAnswer(spark, inner)

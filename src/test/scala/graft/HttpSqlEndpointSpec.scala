@@ -401,4 +401,37 @@ class HttpSqlEndpointSpec extends GraftSuite {
       assert(grow.get(1).asLong() > 0L)
     } finally srv.stop(0)
   }
+
+  test("GAPFILL broker spelling runs VERBATIM over the wire (round-8)") {
+    val pinot = spark.newSession()
+    PinotFunctions.register(pinot)
+    Tables.registerViews(pinot, sfDir)
+    val srv = server.HttpSqlEndpoint.start(pinot, port = 0, maxRows = 1000)
+    try {
+      val b = s"http://localhost:${srv.getAddress.getPort}"
+      val body = mapper.createObjectNode()
+      // EXACT broker text — bare FILL/TIMESERIESON, no client-side rewrite:
+      // the endpoint canonicalizes before parsing, like Pinot's broker
+      body.put("sql",
+        """SELECT event_type, ts, value FROM GAPFILL(
+          |  'SELECT event_type, ts, value FROM events',
+          |  'ts', '1:MILLISECONDS:EPOCH',
+          |  '1704672000000', '1704758400000', '1:HOURS',
+          |  FILL(value, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(event_type))
+          |ORDER BY event_type, ts""".stripMargin)
+      val req = HttpRequest.newBuilder(URI.create(s"$b/query/sql"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+        .header("Content-Type", "application/json").build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, resp.body())
+      val json = mapper.readTree(resp.body())
+      assert(json.get("exceptions").size() === 0, json.toString)
+      val rows = json.get("resultTable").get("rows")
+      // one day of hourly buckets per event type present in range
+      assert(rows.size() > 0 && rows.size() % 24 === 0, s"got ${rows.size()} rows")
+      // time cells are bucket starts in the EPOCH millis format
+      assert(rows.get(0).get(1).asLong() === 1704672000000L)
+    } finally srv.stop(0)
+  }
 }

@@ -20,6 +20,69 @@ class PinotCompatSpec extends GraftSuite {
 
   private def one(sql: String): Row = pinot.sql(sql).collect().head
 
+  test("GAPFILL table function: broker spelling lowers onto ops/Gapfill " +
+      "(FILL_PREVIOUS / FILL_DEFAULT / literal default / SDF format)") {
+    val p = pinot
+    import p.implicits._
+    // planted series with known gaps: hourly buckets 0..3 over [0, 4h)
+    Seq(
+      ("a", 3600000L, 1.0), ("a", 3600000L * 3, 2.0),
+      ("b", 3600000L * 2, 5.0)
+    ).toDF("k", "t", "v").createOrReplaceTempView("gf_obs")
+    def run(fillSpec: String): Seq[(String, Long, Double)] =
+      p.sql(PinotFunctions.rewriteGapfill(
+        s"""SELECT k, t, v FROM GAPFILL(
+           |  'SELECT k, t, v FROM gf_obs',
+           |  't', '1:MILLISECONDS:EPOCH', '0', '14400000', '1:HOURS',
+           |  $fillSpec, TIMESERIESON(k))
+           |ORDER BY k, t""".stripMargin))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val h = 3600000L
+    assert(run("FILL(v, 'FILL_PREVIOUS_VALUE')") === Seq(
+      ("a", 0L, 0.0), ("a", h, 1.0), ("a", 2 * h, 1.0), ("a", 3 * h, 2.0),
+      ("b", 0L, 0.0), ("b", h, 0.0), ("b", 2 * h, 5.0), ("b", 3 * h, 5.0)))
+    assert(run("FILL(v, 'FILL_DEFAULT_VALUE')") === Seq(
+      ("a", 0L, 0.0), ("a", h, 1.0), ("a", 2 * h, 0.0), ("a", 3 * h, 2.0),
+      ("b", 0L, 0.0), ("b", h, 0.0), ("b", 2 * h, 5.0), ("b", 3 * h, 0.0)))
+    assert(run("FILL(v, 'FILL_DEFAULT_VALUE', -1.0)") === Seq(
+      ("a", 0L, -1.0), ("a", h, 1.0), ("a", 2 * h, -1.0), ("a", 3 * h, 2.0),
+      ("b", 0L, -1.0), ("b", h, -1.0), ("b", 2 * h, 5.0), ("b", 3 * h, -1.0)))
+    // observations OUTSIDE [start, end) are cut before filling
+    Seq(("a", -h, 9.0), ("a", h, 1.0), ("a", 5 * h, 9.0))
+      .toDF("k", "t", "v").createOrReplaceTempView("gf_out")
+    assert(p.sql(PinotFunctions.rewriteGapfill(
+      """SELECT k, t, v FROM GAPFILL('SELECT k, t, v FROM gf_out',
+        |  't', '1:MILLISECONDS:EPOCH', '0', '7200000', '1:HOURS',
+        |  FILL(v, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(k)) ORDER BY t""".stripMargin))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((0L, 0.0), (h, 1.0)))
+    // SIMPLE_DATE_FORMAT time column: the reference's own time format —
+    // output comes back IN that format at bucket starts
+    Seq(("a", "2024-01-01 00:30:00", 3.0), ("a", "2024-01-01 02:15:00", 4.0))
+      .toDF("k", "t", "v").createOrReplaceTempView("gf_sdf")
+    val sdf = p.sql(PinotFunctions.rewriteGapfill(
+      """SELECT k, t, v FROM GAPFILL('SELECT k, t, v FROM gf_sdf',
+        |  't', '1:HOURS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm:ss',
+        |  '2024-01-01 00:00:00', '2024-01-01 03:00:00', '1:HOURS',
+        |  FILL(v, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(k)) ORDER BY t""".stripMargin))
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(sdf === Seq(
+      ("2024-01-01 00:00:00", 3.0), ("2024-01-01 01:00:00", 3.0),
+      ("2024-01-01 02:00:00", 4.0)))
+    // misaligned range is a LOUD error, not a silent shift
+    val e = intercept[Exception] {
+      p.sql(PinotFunctions.rewriteGapfill(
+        """SELECT * FROM GAPFILL('SELECT k, t, v FROM gf_obs', 't',
+          |  '1:MILLISECONDS:EPOCH', '1', '14400000', '1:HOURS',
+          |  FILL(v, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(k))""".stripMargin)).collect()
+    }
+    assert(e.getMessage.contains("align"))
+    // the rewriter is a no-op on SQL without GAPFILL, including strings
+    // that merely CONTAIN the word inside a literal
+    val passthrough = "SELECT 'gapfill((' AS s, k FROM gf_obs WHERE k <> 'FILL(x)'"
+    assert(PinotFunctions.rewriteGapfill(passthrough) === passthrough)
+  }
+
   test("DATETRUNC / TOEPOCHSECONDS / FROMEPOCHSECONDS round-trip") {
     val r = one(
       """SELECT DATETRUNC('day', ts) AS d,
