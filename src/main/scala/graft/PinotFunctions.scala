@@ -561,6 +561,11 @@ object PinotFunctions {
     "innerproduct" -> (args => graft.expressions.DotProduct(args(0), args(1))),
     "l1distance" -> (args => graft.expressions.MinkowskiDistance(args(0), args(1), 1)),
     "l2distance" -> (args => graft.expressions.MinkowskiDistance(args(0), args(1), 2)),
+    // VECTOR_SIMILARITY(vecCol, ARRAY[...], topK) — Pinot's vector-INDEX
+    // predicate; the marker is rewritten by plans.VectorSimilarityRule
+    // (AnnIndex route when registered, exact brute-force top-k otherwise)
+    "vector_similarity" -> (args =>
+      graft.plans.VectorSimilarityPredicate(args(0), args(1), args(2))),
     "vectordims" -> fwd("size"),
     "vectornorm" -> (args => graft.expressions.VectorNorm(args(0))),
     "vectornorms" -> (args => graft.expressions.VectorNorm(args(0))),
@@ -1100,7 +1105,8 @@ object PinotFunctions {
     // Pinot's implicit LIMIT 10 (O2) and default null substitution (F6) —
     // both conf-guarded, off unless the session opts in
     // (graft.pinot.implicitLimit / graft.pinot.nullDefaults)
-    Seq(graft.plans.PinotImplicitLimitRule, graft.plans.PinotNullDefaultsRule).foreach { r =>
+    Seq(graft.plans.PinotImplicitLimitRule, graft.plans.PinotNullDefaultsRule,
+        graft.plans.VectorSimilarityRule).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
     }

@@ -256,6 +256,48 @@ object SimilarityOracles {
        |SELECT qid, rn, nid, sim FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Oracle for q_sim_vector_similarity — the VECTOR_SIMILARITY predicate
+    * routed through the registered AnnIndex: candidates = vectors whose
+    * best cell (cos desc, cell asc — the shared cellsOf contract) is among
+    * the query vector's 2 best cells; exact cosine over candidates, top-10
+    * by (rounded sim desc, id asc), NO self-exclusion (the query is a
+    * literal vector, not a row — the identical row ranks first at 1.0).
+    * The displayed sim replicates the projection's 1−COSINEDISTANCE double
+    * chain; the RANKING sim is round(cos, 4) as in AnnIndex.topK. */
+  lazy val vectorSimilaritySql: String = {
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 16
+       |), scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cell, ${cos("e.embedding", "c.ce")} AS cs
+       |  FROM embeddings e, cents c
+       |), ranked_cells AS (
+       |  SELECT vec_id, embedding, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS crn
+       |  FROM scored
+       |), cands AS (
+       |  SELECT vec_id, embedding, cell FROM ranked_cells WHERE crn = 1
+       |), q AS (
+       |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+       |), qcells AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell,
+       |           row_number() OVER (ORDER BY ${cos("q0.qe", "c.ce")} DESC, c.cell ASC) AS crn
+       |    FROM cents c, q q0) WHERE crn <= 2
+       |), sims AS (
+       |  SELECT c.vec_id AS nid,
+       |         round(${cos("q1.qe", "c.embedding")}, 4) AS rank_sim,
+       |         round(CAST(1.0 AS DOUBLE) -
+       |               (CAST(1.0 AS DOUBLE) - ${cos("q1.qe", "c.embedding")}), 4) AS sim
+       |  FROM cands c JOIN qcells USING (cell) CROSS JOIN q q1
+       |), ranked AS (
+       |  SELECT nid, sim, row_number() OVER (ORDER BY rank_sim DESC, nid ASC) AS rn
+       |  FROM sims
+       |)
+       |SELECT CAST(nid AS BIGINT) AS vec_id, sim
+       |FROM ranked WHERE rn <= 10 ORDER BY sim DESC, vec_id""".stripMargin
+  }
+
   /** Sequential float64 squared-L2 between 16-element block `b` (0-based,
     * column `bCol`) of two float vectors — the `Pq.l2sqBlock` replica:
     * the i = 1..16 sequential fold of (x−y)², then sqrt, then square —

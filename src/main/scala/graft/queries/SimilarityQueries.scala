@@ -429,7 +429,41 @@ object SimilarityQueries {
     },
     Some(SimilarityOracles.annIvfSql))
 
+  /** Pinot 1.2's `VECTOR_SIMILARITY(vecCol, ARRAY[...], topK)` predicate
+    * (round-7 verdict item #2), answered through the PERSISTED AnnIndex:
+    * `plans.VectorSimilarityRule` probes the index at planning time (cell
+    * cut = static partition pruning, k ids collected, memoized per
+    * (fingerprint, vector, k)) and rewrites the WHERE to a k-literal
+    * IN-list — the broker two-phase shape. Same spelling falls back to
+    * exact brute-force top-k on an unregistered session (AnnIndexSpec).
+    * The query vector is the vec_id-0 embedding inlined as a literal (its
+    * shortest-repr doubles cast back to the identical floats). */
+  val simVectorSimilarity = Q(
+    "q_sim_vector_similarity",
+    (spark, dir) => {
+      val idxDir = graft.sources.Fingerprint.buildOnce(
+        "annidx", dir, "embeddings.parquet") { out =>
+        graft.sources.AnnIndex.build(
+          Tables.t(spark, dir, "embeddings"), out, "vec_id", "embedding", nCells = 16)
+      }
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      graft.plans.VectorSimilarity.register(
+        s, s"$dir/embeddings.parquet", "embedding", "vec_id", idxDir, probes = 2)
+      val qv = Tables.t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val arr = qv.map(_.toString).mkString(", ")
+      s.sql(
+        s"""SELECT vec_id,
+           |       round(1.0 - COSINEDISTANCE(embedding, CAST(ARRAY($arr) AS ARRAY<FLOAT>)), 4) AS sim
+           |FROM embeddings
+           |WHERE VECTOR_SIMILARITY(embedding, CAST(ARRAY($arr) AS ARRAY<FLOAT>), 10)
+           |ORDER BY sim DESC, vec_id""".stripMargin)
+    },
+    Some(SimilarityOracles.vectorSimilaritySql))
+
   val all: Seq[Q] = Seq(simTopkBrute, simAnnLsh, simAnnMultiprobe, simAnnIvf,
     simCentroids, simAnnQuantized, simAnnQuantizedLsh, simAnnIvfPq,
-    simAnnIvfPqRerank, simAnnPqTrained, simAnnIndexed)
+    simAnnIvfPqRerank, simAnnPqTrained, simAnnIndexed, simVectorSimilarity)
 }

@@ -171,6 +171,43 @@ class AnnIndexSpec extends GraftSuite {
     assert(answersRebuilt.map(_.toSeq) === answers0.map(_.toSeq))
   }
 
+  test("VECTOR_SIMILARITY spelling: same SQL routes through the AnnIndex " +
+      "when registered, exact brute force otherwise; recall asserted") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val arr = qv.map(_.toString).mkString(", ")
+    val sql = s"""SELECT vec_id FROM embeddings
+                 |WHERE VECTOR_SIMILARITY(embedding, CAST(ARRAY($arr) AS ARRAY<FLOAT>), 5)
+                 |ORDER BY vec_id""".stripMargin
+    // no registration → exact brute-force top-k (TakeOrdered plan shape)
+    val s1 = spark.newSession()
+    PinotFunctions.register(s1); Tables.registerViews(s1, sfDir)
+    val bruteDf = s1.sql(sql)
+    val brute = bruteDf.collect().map(_.getLong(0)).toSet
+    assert(brute.size === 5 && brute.contains(0L),
+      s"self row (sim 1.0) must rank first; got $brute")
+    assert(bruteDf.queryExecution.optimizedPlan.toString.contains("Sort"),
+      "fallback must be the sort+limit retrieval plan")
+    // registered → planning-time index probe, IN-list filter, no Sort scan
+    val dir = tmp()
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 16)
+    val s2 = spark.newSession()
+    PinotFunctions.register(s2); Tables.registerViews(s2, sfDir)
+    graft.plans.VectorSimilarity.register(
+      s2, s"$sfDir/embeddings.parquet", "embedding", "vec_id", dir, probes = 4)
+    val idxDf = s2.sql(sql)
+    val indexed = idxDf.collect().map(_.getLong(0)).toSet
+    assert(indexed.size === 5 && indexed.contains(0L))
+    val opt = idxDf.queryExecution.optimizedPlan.toString
+    assert(opt.contains(" IN ") || opt.toLowerCase.contains("in ("),
+      s"indexed route must rewrite to an IN-list filter, got:\n$opt")
+    assert(!opt.contains("Sort ("), "indexed route must not brute-force sort")
+    val recall = (indexed & brute).size.toDouble / 5
+    assert(recall >= 0.6, s"indexed recall vs brute force too low: $recall " +
+      s"(indexed=$indexed brute=$brute)")
+  }
+
   test("k-means build path: distributed training, recall vs brute force") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")
