@@ -113,7 +113,12 @@ object IndexQueries {
     (spark, dir) => {
       val docs = Tables.t(spark, dir, "documents")
       graft.sources.TextIndex.textMatch(
-          docs, "doc_id", "text", textIndexCopy(spark, dir), "spark AND window")
+          docs, "doc_id", "text", textIndexCopy(spark, dir),
+          // round 8: negation + mid-token wildcards in one chain — the
+          // index prunes on the derivable positives (spark exact,
+          // wind/st prefix ranges), the NOT clause rides the re-applied
+          // exact predicate
+          "spark AND wind?w AND st*am AND NOT merge")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
@@ -121,7 +126,9 @@ object IndexQueries {
     Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
             |FROM documents
             |WHERE regexp_matches(text, '(?i)\bspark\b')
-            |  AND regexp_matches(text, '(?i)\bwindow\b')
+            |  AND regexp_matches(text, '(?i)\bwind\ww\b')
+            |  AND regexp_matches(text, '(?i)\bst\w*am\b')
+            |  AND NOT regexp_matches(text, '(?i)\bmerge\b')
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
   private def valueIndexCopy(spark: SparkSession, dir: String): String =

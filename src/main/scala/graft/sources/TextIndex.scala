@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.expressions.TextMatchBuilder
-import graft.expressions.TextMatchBuilder.{Clause, Phrase, Prefix, Term}
+import graft.expressions.TextMatchBuilder.{Clause, Not, Phrase, Prefix, Term, Wildcard}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftBridge
@@ -98,6 +98,18 @@ object TextIndex {
         else if (endsWithRun(stem))
           Some((r.init, Some(r.last))) // last run is an open prefix
         else Some((r, None)) // stem ends on a delimiter: all runs exact
+      case Wildcard(pat) =>
+        // the literal text BEFORE the first wildcard constrains the match
+        // like a Prefix stem (the matching token must start with its last
+        // run; earlier runs are exact). A leading wildcard constrains no
+        // lookup → None → the full-scan fallback.
+        val stem = pat.takeWhile(ch => ch != '*' && ch != '?')
+        if (stem.isEmpty) None else candidateWords(Prefix(stem))
+      case Not(_) =>
+        // the complement of a postings lookup is not a lookup — a negated
+        // clause can never narrow candidates (candidateIds handles the
+        // chain-level consequences)
+        None
     }
   }
 
@@ -111,8 +123,17 @@ object TextIndex {
       .filter(col("term").startsWith(stem))
       .select("id").distinct()
 
-  /** Candidate doc-ids for `query`, or None when any clause needs a full
-    * scan. Always a SUPERSET of the true match set. */
+  /** Candidate doc-ids for `query`, or None when only a full scan can
+    * answer it. Always a SUPERSET of the true match set:
+    *
+    *  - AND chains: intersecting ANY subset of the clauses' candidate
+    *    supersets is still a superset of the conjunction's matches — so
+    *    underivable clauses (negations, leading-wildcard terms) are simply
+    *    SKIPPED and the derivable ones prune; only a chain with no
+    *    derivable clause at all falls back.
+    *  - OR chains: the union is a superset only if EVERY clause
+    *    contributes, so one underivable clause forces the fallback.
+    */
   def candidateIds(spark: SparkSession, dir: String, query: String): Option[DataFrame] = {
     val (isAnd, clauses) = TextMatchBuilder.parse(query)
     val perClause: Seq[Option[DataFrame]] = clauses.map { c =>
@@ -122,12 +143,13 @@ object TextIndex {
         lookups.reduce((a, b) => a.join(b, "id")).distinct()
       }
     }
-    if (perClause.exists(_.isEmpty)) None
-    else {
+    if (isAnd) {
       val frames = perClause.flatten
-      Some(
-        if (isAnd) frames.reduce((a, b) => a.join(b, "id")).distinct()
-        else frames.reduce(_ union _).distinct())
+      if (frames.isEmpty) None
+      else Some(frames.reduce((a, b) => a.join(b, "id")).distinct())
+    } else {
+      if (perClause.exists(_.isEmpty)) None
+      else Some(perClause.flatten.reduce(_ union _).distinct())
     }
   }
 

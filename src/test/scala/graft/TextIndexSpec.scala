@@ -45,6 +45,43 @@ class TextIndexSpec extends GraftSuite {
     }
   }
 
+  test("NOT / -term and ?/inner-* wildcards: index path ≡ full scan; " +
+      "leading wildcard and pure negation fall back to the full scan") {
+    // parity across the round-8 grammar: negations (both spellings) and
+    // mid-token wildcards, alone and chained
+    val queries = Seq(
+      "spark AND NOT merge",
+      "spark AND -merge",
+      "NOT merge",
+      "wind?w",
+      "st*am",
+      "*park", // leading wildcard: postings cannot prune
+      "w?n*w AND spark",
+      "spark OR NOT merge", // OR with a negation: fallback, plain boolean
+      "NOT \"batch batch\"",
+      "spark AND NOT wind?w")
+    queries.foreach { q =>
+      val expected = fullScan(docs, q)
+      val got = indexed(docs, q)
+      assert(got === expected, s"query [$q]: index ${got.size} vs scan ${expected.size}")
+      assert(expected.nonEmpty, s"query [$q] matched nothing — test has no teeth")
+    }
+    // candidate derivation: derivable positives prune even next to a NOT;
+    // underivable-only chains report None (transparent full scan)
+    assert(TextIndex.candidateIds(spark, indexDir, "spark AND NOT merge").isDefined)
+    assert(TextIndex.candidateIds(spark, indexDir, "wind?w").isDefined)
+    assert(TextIndex.candidateIds(spark, indexDir, "*park").isEmpty,
+      "a leading wildcard constrains no postings lookup")
+    assert(TextIndex.candidateIds(spark, indexDir, "NOT merge").isEmpty,
+      "pure negation cannot use the index")
+    assert(TextIndex.candidateIds(spark, indexDir, "spark OR NOT merge").isEmpty,
+      "an OR union is only a superset if every clause contributes")
+    // a NOT clause must never shrink candidates below the true matches
+    val cand = TextIndex.candidateIds(spark, indexDir, "spark AND NOT merge").get
+      .collect().map(_.getLong(0)).toSet
+    assert(fullScan(docs, "spark AND NOT merge").subsetOf(cand))
+  }
+
   test("term lookup prunes to a fraction of the postings files") {
     val ranges = SortedLayout.fileRanges(spark, indexDir, "term")
     assert(ranges.size >= 4, "postings should span several files")
