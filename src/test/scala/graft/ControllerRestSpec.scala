@@ -104,4 +104,58 @@ class ControllerRestSpec extends GraftSuite {
     assert(rb3.get("status").asText() === "FAILED")
     assert(serverList("events") === before, "failed rebalance must not mutate")
   }
+
+  test("scale-out Lambda sequence: added server registers, rebalance_all, " +
+      "poll serverToSegmentsMap until it serves, segments spread (ts:538-659)") {
+    httpServer
+    // the fleet before the scale-out event: srv0 in service (re-tagged —
+    // the dryRun test drained it), the ASG then launches a new instance
+    send("PUT", s"/instances/$srv0/updateTags?tags=DefaultTenant_REALTIME")
+    send("POST", "/tables/events/rebalance/?type=realtime&dryRun=false")
+    // instance boot: the new Pinot server self-registers with server tags;
+    // the Lambda derives its name Server_{privateIp}_8098 (handler())
+    val srv2 = "Server_10.0.1.42_8098"
+    val (regCode, _) = send("PUT",
+      s"/instances/$srv2/updateTags?tags=DefaultTenant_REALTIME&updateBrokerResource=false")
+    assert(regCode === 200)
+    // registration alone moves nothing — this is WHY the Lambda exists
+    assert(!serverList("events").contains(srv2))
+
+    // rebalance_all: list_tables, then rebalance_table per table with the
+    // Lambda's exact URL shape (stack.ts:559-576)
+    val (tCode, tBody) = send("GET", "/tables")
+    assert(tCode === 200)
+    val tables = (0 until tBody.get("tables").size()).map(tBody.get("tables").get(_).asText())
+    tables.foreach { t =>
+      val (rc, rb) = send("POST",
+        s"/tables/$t/rebalance/?type=realtime&dryRun=false&reassignInstances=true&" +
+          "includeConsuming=true&bootstrap=false&downtime=true&minAvailableReplicas=1&" +
+          "bestEfforts=true&externalViewCheckIntervalInMs=1000&" +
+          "externalViewStabilizationTimeoutInMs=3600000&updateTargetTier=false")
+      assert(rc === 200)
+      assert(rb.get("status").asText() === "DONE", rb.toString)
+    }
+
+    // check_rebalance_status: poll GET /segments/{t}/servers until the new
+    // server appears in serverToSegmentsMap keys (the Lambda's wait loop,
+    // stack.ts:580-597 — metadata-only rebalance converges immediately,
+    // the loop shape is preserved)
+    tables.foreach { t =>
+      var servers = serverList(t)
+      var polls = 0
+      while (!servers.contains(srv2) && polls < 50) {
+        Thread.sleep(20); servers = serverList(t); polls += 1
+      }
+      assert(servers.contains(srv2), s"new server never served $t: $servers")
+    }
+
+    // segment spread: both the standing and the added server hold segments,
+    // and every manifest segment is assigned exactly once
+    val (code, body) = send("GET", "/segments/events/servers")
+    assert(code === 200)
+    val m = body.get(0).get("serverToSegmentsMap")
+    assert(m.get(srv0).size() > 0 && m.get(srv2).size() > 0,
+      s"rebalance must spread over old+new: $m")
+    assert(m.get(srv0).size() + m.get(srv2).size() === 8)
+  }
 }
