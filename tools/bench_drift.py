@@ -27,15 +27,35 @@ import sys
 # so best-of-history starts at the sink change.
 HONEST_SINK_COMMIT = "ff17daf"
 
+# Per-query plan eras: when a query's PLAN was deliberately replaced (a
+# scale-safety trade documented in the source), bests recorded under the
+# RETIRED plan are permanent false positives, not targets — e.g.
+# q_agg_percentile's 1.30s value-map best predates the two-pass bucketed
+# order-statistics plan (ops/ExactPercentile, commit 98c0199) that replaced
+# it because the per-group value map OOMs at 100x on near-unique columns.
+# Times recorded before the named commit are excluded for that query.
+PLAN_ERAS = {
+    "q_agg_percentile": "98c0199",
+}
+
+
+def post_era_revs(era_commit):
+    """BENCH-touching revs at or after the era commit (inclusive)."""
+    revs = subprocess.check_output(
+        ["git", "rev-list", f"{era_commit}~1..HEAD"], text=True).split()
+    return set(revs)
+
 
 def history_best(sf, cpus):
     """Best per-query time over committed BENCH.json versions at the SAME
     scale factor and core count (a sf0.001 or 8-cpu run is not a baseline
     for a sf0.1 32-cpu run; entries without a cpus field predate it and
-    were all 32-cpu driver runs)."""
+    were all 32-cpu driver runs). Queries with a PLAN_ERAS entry only
+    consider revisions from their current plan's era."""
     revs = subprocess.check_output(
         ["git", "log", "--format=%H", f"{HONEST_SINK_COMMIT}~1..HEAD",
          "--", "BENCH.json"], text=True).split()
+    eras = {q: post_era_revs(c) for q, c in PLAN_ERAS.items()}
     best = {}
     for rev in revs:
         try:
@@ -47,6 +67,8 @@ def history_best(sf, cpus):
         if doc.get("sf") != sf or doc.get("cpus", 32) != cpus:
             continue
         for q, t in (doc.get("queries") or {}).items():
+            if q in eras and rev not in eras[q]:
+                continue  # recorded under a retired plan
             if isinstance(t, (int, float)) and t > 0:
                 best[q] = min(best.get(q, t), t)
     return best
