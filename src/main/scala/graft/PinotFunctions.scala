@@ -528,6 +528,9 @@ object PinotFunctions {
       graft.expressions.CpcSketchAgg(args(0)).toAggregateExpression())),
     "distinctcountrawcpcsketch" -> (args =>
       graft.expressions.CpcSketchAgg(args(0)).toAggregateExpression()),
+    "cpcsketchunion" -> (args => args.reduceLeft(
+      graft.expressions.CpcScalarUnion(_, _))),
+    "cpcsketchestimate" -> (args => graft.expressions.CpcSketchEstimate(args(0))),
     // UltraLogLog / HLL++ share the estimate contract; Spark's HLL++
     // serves both
     "distinctcountull" -> fwd("approx_count_distinct"),

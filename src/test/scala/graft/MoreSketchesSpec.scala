@@ -32,6 +32,31 @@ class MoreSketchesSpec extends GraftSuite {
     assert(math.abs(est - 8000L).toDouble / 8000 <= 0.05, s"union estimate $est vs 8000")
   }
 
+  test("cpc: scalar two-sketch union (native expression + Pinot spelling) " +
+      "agrees with the aggregate union") {
+    val a = spark.range(0, 6000).agg(cpcSketchAgg(col("id")).as("sk"))
+      .as[Array[Byte]].head()
+    val b = spark.range(2000, 8000).agg(cpcSketchAgg(col("id")).as("sk"))
+      .as[Array[Byte]].head()
+    // Column-API scalar union — now a codegen'd native expression
+    val est = spark.range(1).select(
+        cpcEstimate(cpcUnion(lit(a), lit(b))).as("e")).as[Long].head()
+    assert(math.abs(est - 8000L).toDouble / 8000 <= 0.05, s"scalar union $est")
+    // Pinot registry spelling on a compat session, same answer
+    val p = spark.newSession()
+    PinotFunctions.register(p)
+    p.range(1).createOrReplaceTempView("one")
+    val hexA = a.map("%02x".format(_)).mkString
+    val hexB = b.map("%02x".format(_)).mkString
+    val est2 = p.sql(
+      s"""SELECT CPCSKETCHESTIMATE(CPCSKETCHUNION(unhex('$hexA'), unhex('$hexB'))) AS e
+         |FROM one""".stripMargin).collect().head.getLong(0)
+    assert(est2 === est, "registry spelling must hit the same kernel")
+    // null propagation: the expression is null-safe like the family
+    assert(spark.range(1).select(cpcUnion(lit(a), lit(null).cast("binary")))
+      .collect().head.isNullAt(0))
+  }
+
   test("freq: counts exact under map capacity, canonical topk, merge parity") {
     // 10 items with distinct planted frequencies over 8 partitions
     val df = spark.range(0, 5500, 1, 8)
