@@ -30,30 +30,93 @@ object TextMatchBuilder {
     * `?` = one word char, `*` = any run of word chars. (A pure trailing
     * `*` with no `?` stays the dedicated [[Prefix]] shape.) */
   final case class Wildcard(pattern: String) extends Clause
-  final case class Not(inner: Clause) extends Clause
 
-  /** (isAnd, clauses). Single-clause queries report isAnd = true. */
-  def parse(query: String): (Boolean, Seq[Clause]) = {
-    val q = query.trim
-    val hasAnd = q.contains(" AND ")
-    val hasOr = q.contains(" OR ")
-    if (hasAnd && hasOr) throw new IllegalArgumentException(
-      s"TEXT_MATCH: mixed AND/OR not supported without parentheses: $query")
-    val parts = q.split(if (hasAnd) " AND " else " OR ").toSeq
-    def positive(t: String): Clause = {
-      if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
-        Phrase(t.substring(1, t.length - 1))
-      else if (t.endsWith("*") && !t.dropRight(1).exists(c => c == '*' || c == '?'))
-        Prefix(t.dropRight(1))
-      else if (t.exists(c => c == '*' || c == '?')) Wildcard(t)
-      else Term(t)
+  /** Boolean query tree (round 8): full Lucene-style grammar with
+    * parentheses, mixed AND/OR at standard precedence (AND binds tighter),
+    * and NOT at any depth. */
+  sealed trait Node
+  final case class Leaf(c: Clause) extends Node
+  final case class AndNode(kids: Seq[Node]) extends Node
+  final case class OrNode(kids: Seq[Node]) extends Node
+  final case class NotNode(kid: Node) extends Node
+
+  private def positive(t: String): Clause = {
+    if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
+      Phrase(t.substring(1, t.length - 1))
+    else if (t.endsWith("*") && !t.dropRight(1).exists(c => c == '*' || c == '?'))
+      Prefix(t.dropRight(1))
+    else if (t.exists(c => c == '*' || c == '?')) Wildcard(t)
+    else Term(t)
+  }
+
+  /** Tokens: parens, quoted phrases (optionally `-`-negated), bare words.
+    * Operators AND/OR/NOT are recognized at parse, not here. */
+  private def tokenize(q: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    def quoted(from: Int): Int = {
+      val j = q.indexOf('"', from + 1)
+      require(j >= 0, s"TEXT_MATCH: unterminated phrase in: $q")
+      j
     }
-    val clauses = parts.map(_.trim).map { t =>
-      if (t.startsWith("NOT ")) Not(positive(t.substring(4).trim))
-      else if (t.startsWith("-") && t.length > 1) Not(positive(t.substring(1)))
-      else positive(t)
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(' || c == ')') { out += c.toString; i += 1 }
+      else if (c == '"') { val j = quoted(i); out += q.substring(i, j + 1); i = j + 1 }
+      else if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '"') {
+        val j = quoted(i + 1); out += q.substring(i, j + 1); i = j + 1
+      } else {
+        var j = i
+        while (j < q.length && !q.charAt(j).isWhitespace &&
+          q.charAt(j) != '(' && q.charAt(j) != ')') j += 1
+        out += q.substring(i, j); i = j
+      }
     }
-    (!hasOr, clauses)
+    out.toSeq
+  }
+
+  /** Recursive-descent parse of the full grammar:
+    * or := and (OR and)*; and := unary (AND unary)*;
+    * unary := NOT unary | -token | ( or ) | token.
+    * Adjacent terms with no operator stay a LOUD error (Lucene's implicit
+    * operator is configuration-dependent — refusing beats guessing). */
+  def parseTree(query: String): Node = {
+    val toks = tokenize(query.trim)
+    require(toks.nonEmpty, "TEXT_MATCH: empty query")
+    var pos = 0
+    def peek: Option[String] = if (pos < toks.length) Some(toks(pos)) else None
+    def take(): String = { val t = toks(pos); pos += 1; t }
+    def parseOr(): Node = {
+      val kids = scala.collection.mutable.ArrayBuffer(parseAnd())
+      while (peek.contains("OR")) { take(); kids += parseAnd() }
+      if (kids.size == 1) kids.head else OrNode(kids.toSeq)
+    }
+    def parseAnd(): Node = {
+      val kids = scala.collection.mutable.ArrayBuffer(parseUnary())
+      while (peek.contains("AND")) { take(); kids += parseUnary() }
+      if (kids.size == 1) kids.head else AndNode(kids.toSeq)
+    }
+    def parseUnary(): Node = peek match {
+      case Some("NOT") => take(); NotNode(parseUnary())
+      case Some("(") =>
+        take()
+        val n = parseOr()
+        require(peek.contains(")"), s"TEXT_MATCH: expected ')' in: $query")
+        take(); n
+      case Some(t) if t == ")" || t == "AND" || t == "OR" =>
+        throw new IllegalArgumentException(s"TEXT_MATCH: unexpected '$t' in: $query")
+      case Some(t) if t.startsWith("-") && t.length > 1 =>
+        take(); NotNode(Leaf(positive(t.substring(1))))
+      case Some(t) => take(); Leaf(positive(t))
+      case None => throw new IllegalArgumentException(
+        s"TEXT_MATCH: unexpected end of query: $query")
+    }
+    val n = parseOr()
+    require(pos == toks.length,
+      s"TEXT_MATCH: trailing tokens from '${toks(pos)}' — adjacent terms " +
+        s"need an explicit AND/OR: $query")
+    n
   }
 
   /** The `(?i)`-anchored single-token regex for a wildcard pattern:
@@ -79,13 +142,17 @@ object TextMatchBuilder {
     case Prefix(stem) => RLike(input, Literal("(?i)\\b\\Q" + stem + "\\E"))
     case Term(s) => RLike(input, Literal("(?i)\\b\\Q" + s + "\\E\\b"))
     case Wildcard(p) => RLike(input, Literal(wildcardRegex(p)))
-    case Not(inner) => org.apache.spark.sql.catalyst.expressions.Not(clauseExpr(input, inner))
+  }
+
+  private def nodeExpr(input: Expression, n: Node): Expression = n match {
+    case Leaf(c) => clauseExpr(input, c)
+    case AndNode(ks) => ks.map(nodeExpr(input, _)).reduce(And)
+    case OrNode(ks) => ks.map(nodeExpr(input, _)).reduce(Or)
+    case NotNode(k) =>
+      org.apache.spark.sql.catalyst.expressions.Not(nodeExpr(input, k))
   }
 
   /** The exact full-scan predicate for `query` over `input`. */
-  def predicate(input: Expression, query: String): Expression = {
-    val (isAnd, clauses) = parse(query)
-    val exprs = clauses.map(clauseExpr(input, _))
-    if (isAnd) exprs.reduce(And) else exprs.reduce(Or)
-  }
+  def predicate(input: Expression, query: String): Expression =
+    nodeExpr(input, parseTree(query))
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.expressions.TextMatchBuilder
-import graft.expressions.TextMatchBuilder.{Clause, Not, Phrase, Prefix, Term, Wildcard}
+import graft.expressions.TextMatchBuilder.{AndNode, Clause, Leaf, Node, NotNode, OrNode, Phrase, Prefix, Term, Wildcard}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftBridge
@@ -105,11 +105,6 @@ object TextIndex {
         // lookup → None → the full-scan fallback.
         val stem = pat.takeWhile(ch => ch != '*' && ch != '?')
         if (stem.isEmpty) None else candidateWords(Prefix(stem))
-      case Not(_) =>
-        // the complement of a postings lookup is not a lookup — a negated
-        // clause can never narrow candidates (candidateIds handles the
-        // chain-level consequences)
-        None
     }
   }
 
@@ -124,33 +119,40 @@ object TextIndex {
       .select("id").distinct()
 
   /** Candidate doc-ids for `query`, or None when only a full scan can
-    * answer it. Always a SUPERSET of the true match set:
+    * answer it. Always a SUPERSET of the true match set, by recursion over
+    * the boolean tree (round 8: full parenthesized mixed AND/OR/NOT
+    * grammar):
     *
-    *  - AND chains: intersecting ANY subset of the clauses' candidate
+    *  - AND nodes: intersecting ANY subset of the children's candidate
     *    supersets is still a superset of the conjunction's matches — so
-    *    underivable clauses (negations, leading-wildcard terms) are simply
-    *    SKIPPED and the derivable ones prune; only a chain with no
-    *    derivable clause at all falls back.
-    *  - OR chains: the union is a superset only if EVERY clause
-    *    contributes, so one underivable clause forces the fallback.
+    *    underivable children (negations, leading-wildcard terms, OR
+    *    subtrees with an underivable branch) are simply SKIPPED and the
+    *    derivable ones prune; an AND with no derivable child reports None.
+    *  - OR nodes: the union is a superset only if EVERY child contributes;
+    *    one underivable branch makes the node underivable (its PARENT may
+    *    still prune through siblings).
+    *  - NOT nodes: the complement of a postings lookup is not a lookup —
+    *    never derivable.
     */
   def candidateIds(spark: SparkSession, dir: String, query: String): Option[DataFrame] = {
-    val (isAnd, clauses) = TextMatchBuilder.parse(query)
-    val perClause: Seq[Option[DataFrame]] = clauses.map { c =>
-      candidateWords(c).map { case (exact, prefix) =>
-        val lookups = exact.map(lookupExact(spark, dir, _)) ++
-          prefix.map(lookupPrefix(spark, dir, _))
-        lookups.reduce((a, b) => a.join(b, "id")).distinct()
-      }
+    def cand(n: Node): Option[DataFrame] = n match {
+      case Leaf(c) =>
+        candidateWords(c).map { case (exact, prefix) =>
+          val lookups = exact.map(lookupExact(spark, dir, _)) ++
+            prefix.map(lookupPrefix(spark, dir, _))
+          lookups.reduce((a, b) => a.join(b, "id")).distinct()
+        }
+      case NotNode(_) => None
+      case AndNode(ks) =>
+        val frames = ks.flatMap(cand)
+        if (frames.isEmpty) None
+        else Some(frames.reduce((a, b) => a.join(b, "id")).distinct())
+      case OrNode(ks) =>
+        val opts = ks.map(cand)
+        if (opts.exists(_.isEmpty)) None
+        else Some(opts.flatten.reduce(_ union _).distinct())
     }
-    if (isAnd) {
-      val frames = perClause.flatten
-      if (frames.isEmpty) None
-      else Some(frames.reduce((a, b) => a.join(b, "id")).distinct())
-    } else {
-      if (perClause.exists(_.isEmpty)) None
-      else Some(perClause.flatten.reduce(_ union _).distinct())
-    }
+    cand(TextMatchBuilder.parseTree(query))
   }
 
   /** Index-accelerated TEXT_MATCH: semi-join the candidate ids, then apply

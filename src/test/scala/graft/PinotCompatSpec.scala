@@ -457,8 +457,17 @@ class PinotCompatSpec extends GraftSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2)
       && r.getBoolean(3) && r.getBoolean(4))
     assert(!r.getBoolean(5))
-    // unsupported syntax fails loudly, not silently wrong
-    intercept[Exception](one("SELECT TEXT_MATCH('x', 'a AND b OR c') AS bad"))
+    // round 8: mixed AND/OR now parses at standard precedence (AND binds
+    // tighter), parens group, NOT negates — and malformed queries STAY loud
+    val m = one(
+      """SELECT TEXT_MATCH('The Quick Brown Fox', 'cat AND quick OR fox') AS mixed,
+        |       TEXT_MATCH('The Quick Brown Fox', '(cat OR fox) AND quick') AS grouped,
+        |       TEXT_MATCH('The Quick Brown Fox', 'quick AND NOT cat') AS negated,
+        |       TEXT_MATCH('The Quick Brown Fox', 'qu?ck AND f*x') AS wild
+        |""".stripMargin)
+    assert(m.getBoolean(0) && m.getBoolean(1) && m.getBoolean(2) && m.getBoolean(3))
+    intercept[Exception](one("SELECT TEXT_MATCH('x', 'a b') AS bad")) // implicit op
+    intercept[Exception](one("SELECT TEXT_MATCH('x', '(a AND b') AS bad2"))
   }
 
   test("TEXT_MATCH filters rows over the documents table") {

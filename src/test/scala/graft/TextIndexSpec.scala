@@ -82,6 +82,44 @@ class TextIndexSpec extends GraftSuite {
     assert(fullScan(docs, "spark AND NOT merge").subsetOf(cand))
   }
 
+  test("parenthesized mixed AND/OR/NOT grammar: index path ≡ full scan; " +
+      "AND binds tighter than OR; derivable branches prune next to " +
+      "underivable siblings") {
+    val queries = Seq(
+      "(spark OR merge) AND window",
+      "spark AND (window OR merge)",
+      "spark OR merge AND window", // precedence: spark OR (merge AND window)
+      "(spark AND NOT merge) OR (window AND NOT join)",
+      "NOT (spark OR merge)",
+      "spark AND (wind?w OR st*am)",
+      "((spark))",
+      "(spark AND window) OR (merge AND jo*)",
+      "-\"batch batch\" AND spark",
+      "spark AND (NOT merge OR window)")
+    queries.foreach { q =>
+      val expected = fullScan(docs, q)
+      val got = indexed(docs, q)
+      assert(got === expected, s"query [$q]: index ${got.size} vs scan ${expected.size}")
+      assert(expected.nonEmpty, s"query [$q] matched nothing — test has no teeth")
+    }
+    // precedence pin: the unparenthesized mixed form equals its
+    // AND-binds-tighter reading and differs from the other grouping
+    assert(fullScan(docs, "spark OR merge AND window") ===
+      fullScan(docs, "spark OR (merge AND window)"))
+    assert(fullScan(docs, "spark OR merge AND window") !==
+      fullScan(docs, "(spark OR merge) AND window"))
+    // derivability: an OR with one underivable branch is underivable, but
+    // prunes through an AND sibling; a fully-derivable nested tree prunes
+    assert(TextIndex.candidateIds(spark, indexDir, "(spark OR merge) AND window").isDefined)
+    assert(TextIndex.candidateIds(spark, indexDir, "spark AND (NOT merge OR window)").isDefined,
+      "AND child [spark] must carry the pruning even though the OR branch cannot")
+    assert(TextIndex.candidateIds(spark, indexDir, "NOT (spark OR merge)").isEmpty)
+    // malformed queries stay LOUD
+    intercept[IllegalArgumentException](TextMatchBuilder.parseTree("spark AND (window"))
+    intercept[IllegalArgumentException](TextMatchBuilder.parseTree("spark window"))
+    intercept[IllegalArgumentException](TextMatchBuilder.parseTree("AND spark"))
+  }
+
   test("term lookup prunes to a fraction of the postings files") {
     val ranges = SortedLayout.fileRanges(spark, indexDir, "term")
     assert(ranges.size >= 4, "postings should span several files")
