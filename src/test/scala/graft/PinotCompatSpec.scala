@@ -81,6 +81,15 @@ class PinotCompatSpec extends GraftSuite {
     // that merely CONTAIN the word inside a literal
     val passthrough = "SELECT 'gapfill((' AS s, k FROM gf_obs WHERE k <> 'FILL(x)'"
     assert(PinotFunctions.rewriteGapfill(passthrough) === passthrough)
+    // Pinot's AGGREGATE-gapfill form: aggregation ON TOP of the filled
+    // frame — the table function is a relation, so GROUP BY composes
+    val agg = p.sql(PinotFunctions.rewriteGapfill(
+      """SELECT k, sum(v) AS sv FROM GAPFILL('SELECT k, t, v FROM gf_obs',
+        |  't', '1:MILLISECONDS:EPOCH', '0', '14400000', '1:HOURS',
+        |  FILL(v, 'FILL_PREVIOUS_VALUE'), TIMESERIESON(k))
+        |GROUP BY k ORDER BY k""".stripMargin))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(agg === Seq(("a", 4.0), ("b", 10.0))) // carried values summed
   }
 
   test("DATETRUNC / TOEPOCHSECONDS / FROMEPOCHSECONDS round-trip") {
