@@ -204,6 +204,107 @@ object AnnIndex {
     writePointer(spark, dir, dstName) // atomic cutover
   }
 
+  // ---- per-cell HNSW graphs (round 8 — the graph-index class) -------------
+
+  /** One serialized HNSW node: neighbor lists are ID-based (level → ids,
+    * closest-first) so a graph rebuilds identically regardless of row order,
+    * and the vector is denormalized in so search reads ONE directory per
+    * probed cell (no assignments join). */
+  final case class HnswRow(cell: Int, id: Long, level: Int,
+      nbrs: Seq[Seq[Long]], emb: Seq[Float])
+
+  private def hnswPath(dir: String) = s"$dir/hnsw"
+
+  /** Build one deterministic HNSW graph PER CELL over the live assignments
+    * and persist it partitioned by cell — the sharded-HNSW scale shape (each
+    * executor builds the graphs of the cells it holds; no global mutable
+    * structure, graphs rebuild independently after append/compact). Pinot
+    * 1.2's VectorSimilarity index is the single-node HNSW instance of this
+    * class. */
+  def buildHnsw(spark: SparkSession, dir: String, m: Int = 8,
+      efConstruction: Int = 64): Unit = {
+    val p = graft.ops.Hnsw.Params(m, efConstruction)
+    import spark.implicits._
+    spark.read.parquet(assignDir(spark, dir))
+      .select(col("cell"), col("id"), col("emb"))
+      .repartition(col("cell"))
+      .as[(Int, Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (cell, rows) =>
+          val pts = rows.map { case (_, id, e) => (id, e.toArray) }
+          val g = graft.ops.Hnsw.build(pts, p)
+          (0 until g.size).iterator.map { s =>
+            HnswRow(cell, g.ids(s), g.levels(s),
+              g.neighbors(s).toSeq.map(_.toSeq.map(g.ids(_))), g.vecs(s).toSeq)
+          }
+        }
+      }
+      .toDF()
+      .write.mode("overwrite").partitionBy("cell").parquet(hnswPath(dir))
+  }
+
+  /** Rebuild a [[graft.ops.Hnsw.Graph]] from its serialized rows. Entry =
+    * max-level node, lowest id on ties — exactly the node the deterministic
+    * builder promoted, so the rebuilt graph searches bit-identically. */
+  def graphOf(rows: Seq[HnswRow]): graft.ops.Hnsw.Graph = {
+    val sorted = rows.sortBy(_.id).toArray
+    val ids = sorted.map(_.id)
+    val slotOf = ids.zipWithIndex.toMap
+    val nbrs = sorted.map(_.nbrs.map(_.map(slotOf(_)).toArray).toArray)
+    val levels = sorted.map(_.level)
+    val entry = if (ids.isEmpty) -1
+      else levels.zipWithIndex.minBy { case (l, s) => (-l, ids(s)) }._2
+    new graft.ops.Hnsw.Graph(ids, sorted.map(_.emb.toArray), levels, nbrs,
+      entry, if (levels.isEmpty) -1 else levels.max)
+  }
+
+  /** Top-k through the per-cell graphs: queries probe their `probes` best
+    * cells (same static partition cut as [[topK]]), each probed cell's graph
+    * is searched with beam `ef` (per-cell top-k, NOT an exhaustive scan),
+    * and the per-cell hits merge to a global top-k. Output shape and ranking
+    * (`round(sim,4)` desc, nid asc) match [[topK]], so when the beam search
+    * is exact within every probed cell the two routes are bit-identical. */
+  def topKHnsw(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int, probes: Int, ef: Int): DataFrame = {
+    val cents = readCentroids(spark, dir)
+    val qRows = queries.select(
+        col(qidCol).cast("long").as("qid"), col(qvecCol).as("qe"),
+        transform(cellsOf(cents, col(qvecCol), probes),
+          c => c.getField("cell")).as("cells"))
+      .collect()
+    // query set is the broadcast-a-tiny-side pattern (bruteForceTopK's
+    // contract); its probed-cell ids bound the scan statically like topK
+    val qByCell: Map[Int, Seq[(Long, Array[Float])]] = qRows.toSeq
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qe = r.getSeq[Float](1).toArray
+        r.getSeq[Int](2).map(c => (c, (qid, qe)))
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sortBy(_._1) }
+    val cellIds = qByCell.keys.toArray.sorted
+    val bc = spark.sparkContext.broadcast(qByCell)
+    import spark.implicits._
+    val hits = spark.read.parquet(hnswPath(dir))
+      .filter(col("cell").isin(cellIds.toIndexedSeq: _*))
+      .select(col("cell"), col("id"), col("level"), col("nbrs"), col("emb"))
+      .as[HnswRow]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_.cell).iterator.flatMap { case (cell, rows) =>
+          val g = graphOf(rows)
+          bc.value.getOrElse(cell, Seq.empty).iterator.flatMap { case (qid, qe) =>
+            graft.ops.Hnsw.search(g, qe, k, ef, excludeId = qid)
+              .hits.map { case (nid, sim) => (qid, nid, sim) }
+          }
+        }
+      }
+      .toDF("qid", "nid", "rawsim")
+      .select(col("qid"), col("nid"), round(col("rawsim"), 4).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"), col("sim"))
+  }
+
   /** Cell population stats — `imbalance` (max/mean) is the drift signal
     * that schedules a centroid retrain. */
   def stats(spark: SparkSession, dir: String): Stats = {

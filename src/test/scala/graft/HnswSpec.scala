@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops.Hnsw
+import graft.sources.{AnnIndex, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deterministic HNSW graph index: rebuild/search determinism, recall vs
+  * brute force, sublinear traversal cost, degree bounds, and bit-parity of
+  * the persisted per-cell route (AnnIndex.buildHnsw/topKHnsw) with both the
+  * in-memory graph and the exhaustive IVF scan. */
+class HnswSpec extends GraftSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_hnsw").toString
+
+  /** Seeded isotropic float vectors — the fixture generator's shape. */
+  private def randomPoints(n: Int, dim: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(r.nextFloat() * 2f - 1f)))
+  }
+
+  private def bruteTopK(pts: Seq[(Long, Array[Float])], q: Array[Float],
+      k: Int, excludeId: Long): Seq[Long] =
+    pts.filter(_._1 != excludeId)
+      .map { case (id, v) => (Hnsw.dist(q, v), id) }
+      .sorted.take(k).map(_._2)
+
+  test("build and search are deterministic and rebuild-stable") {
+    val pts = randomPoints(400, 16, seed = 7)
+    val p = Hnsw.Params(m = 8, efConstruction = 48)
+    val g1 = Hnsw.build(pts, p)
+    val g2 = Hnsw.build(scala.util.Random.shuffle(pts.toList), p) // order-free
+    assert(g1.ids.toSeq === g2.ids.toSeq)
+    assert(g1.levels.toSeq === g2.levels.toSeq)
+    assert(g1.entry === g2.entry && g1.maxLevel === g2.maxLevel)
+    assert(g1.neighbors.map(_.map(_.toSeq).toSeq).toSeq ===
+      g2.neighbors.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = pts(123)._2
+    val r1 = Hnsw.search(g1, q, 10, 32)
+    val r2 = Hnsw.search(g2, q, 10, 32)
+    assert(r1.hits === r2.hits && r1.evals === r2.evals)
+  }
+
+  test("levels are a function of (seed, id) with the geometric distribution") {
+    val p = Hnsw.Params(m = 8)
+    val levels = (0L until 10000L).map(Hnsw.levelOf(_, p))
+    assert(levels.min === 0)
+    val frac0 = levels.count(_ == 0).toDouble / levels.size
+    // P(level 0) = 1 - 1/m = 0.875 for m=8
+    assert(math.abs(frac0 - 0.875) < 0.02, s"frac0=$frac0")
+    assert(levels.max <= 8, "tail must stay shallow at 10k nodes")
+  }
+
+  test("degree bounds hold everywhere: <= 2m at layer 0, <= m above") {
+    val p = Hnsw.Params(m = 6, efConstruction = 48)
+    val g = Hnsw.build(randomPoints(500, 16, seed = 11), p)
+    for (s <- 0 until g.size; lc <- 0 to g.levels(s)) {
+      val bound = if (lc == 0) p.mMax0 else p.m
+      assert(g.neighbors(s)(lc).length <= bound, s"slot $s level $lc")
+    }
+  }
+
+  test("recall@10 >= 0.95 vs brute force, with sublinear traversal cost") {
+    val pts = randomPoints(4000, 16, seed = 3)
+    val g = Hnsw.build(pts, Hnsw.Params(m = 12, efConstruction = 96))
+    val queryIds = (0 until 40).map(_ * 97L)
+    var hitSum = 0.0
+    var evalSum = 0L
+    queryIds.foreach { qid =>
+      val q = pts(qid.toInt)._2
+      val truth = bruteTopK(pts, q, 10, excludeId = qid).toSet
+      val r = Hnsw.search(g, q, 10, ef = 64, excludeId = qid)
+      hitSum += r.hits.count(h => truth.contains(h._1)) / 10.0
+      evalSum += r.evals
+    }
+    val recall = hitSum / queryIds.size
+    val meanEvals = evalSum.toDouble / queryIds.size
+    assert(recall >= 0.95, s"recall=$recall")
+    assert(meanEvals < 4000 * 0.4, s"meanEvals=$meanEvals — graph must not degenerate to a scan")
+  }
+
+  test("serialized rows rebuild a graph that searches bit-identically") {
+    val pts = randomPoints(300, 16, seed = 19)
+    val p = Hnsw.Params(m = 8, efConstruction = 48)
+    val g = Hnsw.build(pts, p)
+    val rows = (0 until g.size).map { s =>
+      AnnIndex.HnswRow(0, g.ids(s), g.levels(s),
+        g.neighbors(s).toSeq.map(_.toSeq.map(g.ids(_))), g.vecs(s).toSeq)
+    }
+    val g2 = AnnIndex.graphOf(scala.util.Random.shuffle(rows.toList))
+    assert(g2.entry === g.entry && g2.maxLevel === g.maxLevel)
+    pts.take(20).foreach { case (qid, q) =>
+      val a = Hnsw.search(g, q, 5, 32, excludeId = qid)
+      val b = Hnsw.search(g2, q, 5, 32, excludeId = qid)
+      assert(a.hits === b.hits && a.evals === b.evals)
+    }
+  }
+
+  test("persisted per-cell route: wide beam equals the exhaustive IVF scan bit for bit") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 16)
+    AnnIndex.buildHnsw(spark, dir, m = 8, efConstruction = 64)
+    val queries = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    // ef >= max cell population -> layer-0 beam search is exhaustive within
+    // every probed cell -> identical candidates, identical ranking contract
+    val maxCell = AnnIndex.stats(spark, dir).maxCell.toInt
+    val viaGraph = AnnIndex.topKHnsw(spark, dir, queries, "vec_id", "embedding",
+        k = 3, probes = 2, ef = maxCell)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val viaScan = AnnIndex.topK(spark, dir, queries, "vec_id", "embedding",
+        k = 3, probes = 2)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(viaGraph.map(_.toSeq) === viaScan.map(_.toSeq))
+  }
+
+  test("persisted per-cell route: narrow beam keeps recall >= 0.9 vs the exhaustive scan") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 16)
+    AnnIndex.buildHnsw(spark, dir, m = 8, efConstruction = 64)
+    val queries = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    val truth = AnnIndex.topK(spark, dir, queries, "vec_id", "embedding", 10, 2)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = AnnIndex.topKHnsw(spark, dir, queries, "vec_id", "embedding", 10, 2, ef = 16)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean per-query recall=$mean")
+  }
+}
