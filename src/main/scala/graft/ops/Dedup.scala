@@ -232,6 +232,42 @@ object Dedup {
   /** SimHash near-duplicate pairs: 64-bit fingerprints, candidates via
     * 16-bit hash bands (salt-split over `maxBucket` — see saltSplit),
     * confirmed at Hamming distance ≤ maxHamming. */
+  /** Positional duplicate-SPAN report per document (the exact-substring
+    * dedup shape of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — arXiv 2107.06499 §4.1): a token n-gram
+    * occurrence is duplicated when its gram appears anywhere else in the
+    * corpus (another doc OR another position of the same doc); overlapping/
+    * adjacent duplicated grams merge into maximal spans (gram at p covers
+    * tokens [p, p+n−1], so positions join one span while p − prev ≤ n).
+    * Returns (doc_id, n_spans, dup_tokens) for docs with ≥1 span — the
+    * per-doc feed for span REMOVAL or span-rate quality filters.
+    *
+    * Scale: positional gram rows are 16 B (pos int + hash64) — one shuffle
+    * on the gram hash to find global dups, one partitionBy(doc) window to
+    * merge islands. The suffix-array formulation of the paper is a
+    * single-machine construction; the n-gram–anchored span form is the one
+    * that distributes (no corpus-wide order, no all-pairs). Docs shorter
+    * than n tokens have no positional gram and are reported span-free. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val pos = Par.fanOut(df.filter(size(split(col(textCol), " ")) >= n))
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingleHashes(split(col(textCol), " "), n)).as(Seq("p", "g")))
+      .persist() // feeds both the global-dup agg and the join back
+    val dupG = pos.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    pos.join(dupG, Seq("g"))
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("p")) - min(col("p")) + n).as("span_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens").cast("long")).as("dup_tokens"))
+  }
+
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -374,8 +374,84 @@ object DedupQueries {
     },
     Some(DedupOracles.incrementalSql))
 
+  /** X1-spans (round 8): positional duplicate-SPAN report — the
+    * exact-substring dedup of Lee et al. 2022 in its distributable, n-gram-
+    * anchored form (ops/Dedup.duplicateSpans). Where q_dedup_substring
+    * counts duplicated grams per source (a df report), this one merges
+    * overlapping duplicated gram POSITIONS into maximal spans per document
+    * — the unit a span-removal pass would actually cut — and rolls the
+    * per-doc span accounting up to sources. The DuckDB oracle replicates
+    * the positional gram hashes (same FNV+SplitMix fold as the substring
+    * oracle, WITHOUT the distinct), the global dup set, and the island
+    * merge (lag window → running-sum island ids) bit-exactly. */
+  private val dedupSpans = Q(
+    "q_dedup_spans",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val spans = graft.ops.Dedup.duplicateSpans(d, "doc_id", "text", 5)
+      val eligible = d.filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      eligible.join(spans, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("n_spans")).as("n_docs_dup"),
+          sum(coalesce(col("n_spans"), lit(0L))).as("n_spans"),
+          sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+          round(sum(coalesce(col("dup_tokens"), lit(0L))).cast("double") /
+            sum(col("n_toks")).cast("double"), 4).as("dup_token_rate"))
+        .orderBy(col("source"))
+    },
+    Some {
+      import DuckDbSql.{u, wadd, wmul, mix, hash64U}
+      val prime = u(0x100000001b3L)
+      val offset = u(0xcbf29ce484222325L)
+      val golden = u(0x9e3779b97f4a7c15L)
+      val acc = (0 until 5).foldLeft(offset)((a, j) => wadd(wmul(a, prime), s"th[si+$j]"))
+      val shingle = mix(wadd(acc, golden))
+      s"""WITH th AS (
+         |  SELECT doc_id, source,
+         |         list_transform(string_split(text, ' '), tk -> ${hash64U("tk")}) AS th
+         |  FROM documents
+         |), elig AS (
+         |  SELECT doc_id, source, th, len(th) AS n_toks FROM th WHERE len(th) >= 5
+         |), occ AS (
+         |  SELECT doc_id, si, $shingle AS g
+         |  FROM (SELECT doc_id, th, unnest(range(1, len(th) - 4 + 1)) AS si FROM elig)
+         |), dupg AS (
+         |  SELECT g FROM occ GROUP BY g HAVING count(*) > 1
+         |), brk AS (
+         |  SELECT doc_id, si,
+         |         CASE WHEN si - lag(si) OVER (PARTITION BY doc_id ORDER BY si) > 5
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM occ JOIN dupg USING (g)
+         |), isl AS (
+         |  SELECT doc_id, si,
+         |         sum(b) OVER (PARTITION BY doc_id ORDER BY si
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM brk
+         |), sp AS (
+         |  SELECT doc_id, island, max(si) - min(si) + 5 AS span_tokens
+         |  FROM isl GROUP BY doc_id, island
+         |), perdoc AS (
+         |  SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+         |  FROM sp GROUP BY doc_id
+         |)
+         |SELECT e.source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(p.n_spans) AS BIGINT) AS n_docs_dup,
+         |       CAST(sum(coalesce(p.n_spans, 0)) AS BIGINT) AS n_spans,
+         |       CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+         |       ${DuckDbSql.sparkRound(
+               "CAST(sum(coalesce(p.dup_tokens, 0)) AS DOUBLE) / CAST(sum(e.n_toks) AS DOUBLE)", 4)} AS dup_token_rate
+         |FROM elig e LEFT JOIN perdoc p USING (doc_id)
+         |GROUP BY e.source
+         |ORDER BY e.source""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring,
-    dedupSemantic, dedupIncremental)
+    dedupSemantic, dedupIncremental, dedupSpans)
 }

@@ -492,7 +492,39 @@ object PipelineQueries {
             |  TRUE AS approx_ok
             |FROM m GROUP BY c ORDER BY c""".stripMargin))
 
+  /** X5b stratified sampling (round 8): EXACT-N per stratum by deterministic
+    * hash rank — the "balanced eval set / per-language probe set" pipeline
+    * op (mixture sampling is rate-based and only exact in expectation; this
+    * is exact by construction). rank = row_number over (stratum, hash(id))
+    * with `rk <= N`: Spark 3.5+'s WindowGroupLimit rewrites that filter into
+    * a PER-PARTITION top-N BEFORE the shuffle (plan-asserted in
+    * StratifiedSampleSpec), so the stratum sort never materializes — each
+    * map task forwards at most N rows per stratum, the scale-safe shape even
+    * for a single giant stratum. Seeded stable_hash64 makes the pick
+    * reproducible and oracle-replicable (DuckDbSql.hash64). */
+  private val sampleStratified = Q(
+    "q_sample_stratified",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      d.withColumn("h", stable_hash64(col("doc_id").cast("string"), 13L))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some {
+      val h = DuckDbSql.hash64("CAST(doc_id AS VARCHAR)", 13L)
+      s"""WITH ranked AS (
+         |  SELECT lang, doc_id,
+         |         row_number() OVER (PARTITION BY lang ORDER BY ($h), doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT lang, rk, doc_id FROM ranked WHERE rk <= 5
+         |ORDER BY lang, rk""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
     splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted,
-    sourceCap, profile)
+    sourceCap, profile, sampleStratified)
 }
