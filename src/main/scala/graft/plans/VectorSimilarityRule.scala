@@ -52,21 +52,26 @@ object VectorSimilarity {
 
   /** A registered ANN route: queries scanning `path` with a
     * VECTOR_SIMILARITY predicate on `vecCol` probe the AnnIndex at
-    * `indexDir` (which stores ids from `idCol`). */
+    * `indexDir` (which stores ids from `idCol`). `ef > 0` opts the probe
+    * into the per-cell HNSW graphs (`AnnIndex.topKHnsw`, requires a prior
+    * `buildHnsw`) with that beam width — Pinot's actual index class; `ef = 0`
+    * keeps the exhaustive scan of the probed cells. */
   final case class Entry(path: String, vecCol: String, idCol: String,
-      indexDir: String, probes: Int, fingerprint: String)
+      indexDir: String, probes: Int, fingerprint: String, ef: Int = 0)
 
   private val registry = new ConcurrentHashMap[(String, String), Entry]()
-  // (indexDir fingerprint, vector, k, probes) → probed ids; planning-time
-  // jobs run once per distinct probe, EXPLAIN and re-analysis are free
-  private val probeMemo = new ConcurrentHashMap[(String, Seq[Float], Int, Int), Array[Long]]()
+  // (indexDir fingerprint, vector, k, probes, ef) → probed ids;
+  // planning-time jobs run once per distinct probe, EXPLAIN and
+  // re-analysis are free
+  private val probeMemo =
+    new ConcurrentHashMap[(String, Seq[Float], Int, Int, Int), Array[Long]]()
 
   private def canon(p: String): String = StarTree.canon(p)
 
   def register(spark: SparkSession, dataDir: String, vecCol: String,
-      idCol: String, indexDir: String, probes: Int = 2): Entry = {
+      idCol: String, indexDir: String, probes: Int = 2, ef: Int = 0): Entry = {
     val e = Entry(canon(dataDir), vecCol, idCol, indexDir, probes,
-      graft.sources.Fingerprint.of(canon(dataDir)))
+      graft.sources.Fingerprint.of(canon(dataDir)), ef)
     registry.put((e.path, vecCol), e)
     if (!spark.experimental.extraOptimizations.contains(VectorSimilarityRule))
       spark.experimental.extraOptimizations =
@@ -83,15 +88,21 @@ object VectorSimilarity {
 
   private[plans] def probedIds(spark: SparkSession, e: Entry,
       qv: Array[Float], k: Int): Array[Long] = {
-    val key = (graft.sources.Fingerprint.of(s"${e.indexDir}"), qv.toSeq, k, e.probes)
+    val key = (graft.sources.Fingerprint.of(s"${e.indexDir}"), qv.toSeq, k,
+      e.probes, e.ef)
     probeMemo.computeIfAbsent(key, _ => {
       import spark.implicits._
       // synthetic qid −1 never collides with a stored id, so topK's
       // self-match exclusion never fires — the nearest row is returned
       // even when it equals the query vector (Pinot's behavior)
       val qdf = Seq((-1L, qv.toSeq)).toDF("qid", "qe")
-      graft.sources.AnnIndex.topK(spark, e.indexDir, qdf, "qid", "qe", k, e.probes)
-        .orderBy("rn").select("nid").collect().map(_.getLong(0))
+      val hits =
+        if (e.ef > 0)
+          graft.sources.AnnIndex.topKHnsw(spark, e.indexDir, qdf, "qid", "qe",
+            k, e.probes, e.ef)
+        else
+          graft.sources.AnnIndex.topK(spark, e.indexDir, qdf, "qid", "qe", k, e.probes)
+      hits.orderBy("rn").select("nid").collect().map(_.getLong(0))
     })
   }
 

@@ -114,6 +114,32 @@ class HnswSpec extends GraftSuite {
     assert(viaGraph.map(_.toSeq) === viaScan.map(_.toSeq))
   }
 
+  test("VECTOR_SIMILARITY with ef > 0 routes through the graphs; wide beam equals the scan route") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 16)
+    AnnIndex.buildHnsw(spark, dir, m = 8, efConstruction = 64)
+    val qv = e.filter(col("vec_id") === 0).select("embedding").collect()(0).getSeq[Float](0)
+    val arr = qv.map(_.toString).mkString(", ")
+    val sql = s"""SELECT vec_id FROM embeddings
+                 |WHERE VECTOR_SIMILARITY(embedding, CAST(ARRAY($arr) AS ARRAY<FLOAT>), 5)
+                 |ORDER BY vec_id""".stripMargin
+    def answered(ef: Int): (Set[Long], String) = {
+      val s = spark.newSession()
+      PinotFunctions.register(s); Tables.registerViews(s, sfDir)
+      graft.plans.VectorSimilarity.register(
+        s, s"$sfDir/embeddings.parquet", "embedding", "vec_id", dir, probes = 4, ef = ef)
+      val df = s.sql(sql)
+      (df.collect().map(_.getLong(0)).toSet, df.queryExecution.optimizedPlan.toString)
+    }
+    val (viaScan, _) = answered(ef = 0)
+    val maxCell = AnnIndex.stats(spark, dir).maxCell.toInt
+    val (viaGraph, plan) = answered(ef = maxCell)
+    assert(viaGraph === viaScan, "wide-beam graph probe must equal the exhaustive scan probe")
+    assert(plan.contains(" IN ") || plan.toLowerCase.contains("in ("),
+      s"graph route must still rewrite to an IN-list filter:\n$plan")
+  }
+
   test("persisted per-cell route: narrow beam keeps recall >= 0.9 vs the exhaustive scan") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")
