@@ -705,7 +705,19 @@ object PinotFunctions {
     // the per-transition duration vector (−1 = unreached) that Pinot's
     // funnelStepDurationStats statistics summarize
     "funnelstepdurations" -> graft.expressions.FunnelAggs.sqlBuilder(
-      graft.expressions.FunnelAgg.Durations))
+      graft.expressions.FunnelAgg.Durations),
+    // FUNNEL_COUNT(STEPS(p1, ..., pn), CORRELATE_BY(col), SETTINGS(...)) —
+    // Pinot's order-free set-intersection funnel (counts(k) = distinct
+    // correlated ids matching steps 1..k+1); Pinot canonicalizes function
+    // names case- and underscore-insensitively, so both spellings register.
+    // STEPS/CORRELATE_BY/SETTINGS resolve to FunnelArgMarker carriers whose
+    // CHILDREN the analyzer resolves normally (they are row expressions).
+    "funnelcount" -> graft.expressions.FunnelCountAgg.sqlBuilder _,
+    "funnel_count" -> graft.expressions.FunnelCountAgg.sqlBuilder _,
+    "steps" -> (args => graft.expressions.FunnelArgMarker("steps", args)),
+    "correlate_by" -> (args => graft.expressions.FunnelArgMarker("correlate_by", args)),
+    "correlateby" -> (args => graft.expressions.FunnelArgMarker("correlate_by", args)),
+    "settings" -> (args => graft.expressions.FunnelArgMarker("settings", args)))
 
   /** Pinot DateTimeFunctions field extractor builder (epoch millis + UTC
     * default zone; see the registry comment). */

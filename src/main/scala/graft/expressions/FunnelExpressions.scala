@@ -125,6 +125,22 @@ object FunnelAggs {
   }
 }
 
+/** Inert resolved carrier for FUNNEL_COUNT's `STEPS(...)` /
+  * `CORRELATE_BY(...)` / `SETTINGS(...)` argument groups: unlike the
+  * GAPFILL marker this one EXPOSES its arguments as children, because the
+  * step predicates and the correlation column are real row expressions the
+  * analyzer must resolve before the FUNNEL_COUNT builder consumes them.
+  * Outside FUNNEL_COUNT the marker is Unevaluable and errors at planning. */
+final case class FunnelArgMarker(kind: String, override val children: Seq[Expression])
+  extends Expression with Unevaluable {
+  override def dataType: DataType = NullType
+  override def nullable: Boolean = true
+  override def prettyName: String = kind
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FunnelArgMarker =
+    copy(children = newChildren)
+}
+
 object FunnelAgg {
   /** Session conf key for the per-group buffered-event cap. */
   val MaxEventsConfKey = "graft.funnel.maxEventsPerGroup"
@@ -292,4 +308,154 @@ case class FunnelAgg(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FunnelAgg =
     copy(tsExpr = newLeft, bitsExpr = newRight)
+}
+
+object FunnelCountAgg {
+  /** Strategy hints Pinot 1.2 accepts in `SETTINGS(...)` — all are
+    * EXECUTION hints for the same set-intersection answer (Pinot picks a
+    * physical strategy; Spark picks its own), so they validate and no-op
+    * here. Unknown settings error loudly. */
+  val KnownSettings: Set[String] =
+    Set("set", "bitmap", "theta_sketch", "sorted", "partitioned")
+
+  /** Builds the SQL form from the marker arguments:
+    * `FUNNEL_COUNT(STEPS(p1, ..., pn), CORRELATE_BY(col) [, SETTINGS(...)])`.
+    * Semantics (Pinot FunnelCountAggregationFunction, 1.2): per correlated
+    * id, a step counts iff the id has rows matching EVERY earlier step too
+    * (prefix set-intersection — funnelCount is the order-free funnel; the
+    * time-ordered family is funnelMaxStep/funnelMatchStep). Returns
+    * array<bigint>: counts(k) = |S1 ∩ … ∩ S(k+1)| over distinct ids. */
+  def sqlBuilder(args: Seq[Expression]): Expression = {
+    var steps: Seq[Expression] = Nil
+    var corr: Option[Expression] = None
+    args.foreach {
+      case m: FunnelArgMarker => m.kind match {
+        case "steps" =>
+          require(steps.isEmpty, "FUNNEL_COUNT: one STEPS(...) group")
+          steps = m.children
+        case "correlate_by" =>
+          require(corr.isEmpty && m.children.length == 1,
+            "FUNNEL_COUNT: CORRELATE_BY takes exactly one column")
+          corr = Some(m.children.head)
+        case "settings" =>
+          m.children.foreach {
+            case Literal(s, StringType) if s != null =>
+              require(KnownSettings.contains(s.toString.toLowerCase),
+                s"FUNNEL_COUNT setting '$s' (supported: ${KnownSettings.mkString(", ")})")
+            case other => throw new IllegalArgumentException(
+              s"FUNNEL_COUNT settings must be string literals, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"FUNNEL_COUNT argument group $other (STEPS | CORRELATE_BY | SETTINGS)")
+      }
+      case other => throw new IllegalArgumentException(
+        s"FUNNEL_COUNT arguments must be STEPS(...)/CORRELATE_BY(...)/SETTINGS(...), got $other")
+    }
+    require(steps.nonEmpty, "FUNNEL_COUNT needs STEPS(predicate, ...)")
+    val c = corr.getOrElse(throw new IllegalArgumentException(
+      "FUNNEL_COUNT needs CORRELATE_BY(column)"))
+    // 128-bit id key (two seeded xxhash64) — the contentKey collision
+    // standard: merging two real ids needs a 128-bit collision
+    FunnelCountAgg(
+      XxHash64(Seq(c), 42L), XxHash64(Seq(c), 7L),
+      FunnelAggs.stepBits(steps), steps.size)
+      .toAggregateExpression()
+  }
+}
+
+/** FUNNEL_COUNT: per-group state = one Int bitmask per DISTINCT correlated
+  * id (128-bit hashed key), OR-folded across that id's rows; eval counts
+  * ids whose mask covers each step prefix. The shuffle carries |distinct
+  * ids in group| × 20 B — the same per-group distinct-state bound Pinot's
+  * own set-strategy funnelCount carries (its sketch strategies trade that
+  * bound for approximation; at Spark scale pre-aggregate per id with
+  * funnelMatchStep + element-wise sums instead, the two-level shape). The
+  * FunnelAgg event cap doctrine applies: more than `maxUsers` distinct ids
+  * in ONE group fails loudly rather than growing executor memory. */
+case class FunnelCountAgg(
+    h1: Expression,
+    h2: Expression,
+    bitsExpr: Expression,
+    numSteps: Int,
+    maxUsers: Int = FunnelAgg.DefaultMaxBufferedEvents,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[(Long, Long), Int]] {
+
+  require(numSteps >= 1 && numSteps <= 30, s"numSteps out of range: $numSteps")
+
+  override def children: Seq[Expression] = Seq(h1, h2, bitsExpr)
+  override def prettyName: String = "funnel_count"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): mutable.HashMap[(Long, Long), Int] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[(Long, Long), Int],
+      input: InternalRow): mutable.HashMap[(Long, Long), Int] = {
+    val b = bitsExpr.eval(input)
+    val k1 = h1.eval(input)
+    if (b != null && k1 != null) {
+      val bits = b.asInstanceOf[Int]
+      if (bits != 0) {
+        val key = (k1.asInstanceOf[Long], h2.eval(input).asInstanceOf[Long])
+        val prev = buf.getOrElse(key, 0)
+        if (prev == 0 && buf.size >= maxUsers) capFail()
+        buf.update(key, prev | bits)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.HashMap[(Long, Long), Int],
+      b: mutable.HashMap[(Long, Long), Int]): mutable.HashMap[(Long, Long), Int] = {
+    b.foreach { case (k, bits) =>
+      val prev = a.getOrElse(k, 0)
+      if (prev == 0 && a.size >= maxUsers) capFail()
+      a.update(k, prev | bits)
+    }
+    a
+  }
+
+  private def capFail(): Nothing =
+    throw new IllegalStateException(
+      s"funnel_count: one group exceeded $maxUsers distinct correlated ids — " +
+        s"raise ${FunnelAgg.MaxEventsConfKey} or pre-aggregate per id with " +
+        "funnelMatchStep and sum element-wise (no per-id state in one group).")
+
+  override def eval(buf: mutable.HashMap[(Long, Long), Int]): Any = {
+    val counts = new Array[Long](numSteps)
+    buf.valuesIterator.foreach { bits =>
+      var k = 0
+      while (k < numSteps && ((bits >> k) & 1) == 1) { counts(k) += 1; k += 1 }
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def serialize(buf: mutable.HashMap[(Long, Long), Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 20 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case ((a, b), bits) => bb.putLong(a); bb.putLong(b); bb.putInt(bits) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[(Long, Long), Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = mutable.HashMap.empty[(Long, Long), Int]
+    var i = 0
+    while (i < n) { buf.update((bb.getLong, bb.getLong), bb.getInt); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FunnelCountAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FunnelCountAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FunnelCountAgg =
+    copy(h1 = newChildren(0), h2 = newChildren(1), bitsExpr = newChildren(2))
 }

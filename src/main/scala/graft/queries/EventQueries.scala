@@ -645,6 +645,45 @@ object EventQueries {
             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin))
 
+  /** Pinot `FUNNEL_COUNT(STEPS(...), CORRELATE_BY(...), SETTINGS(...))`
+    * (round 8) — the broker's order-free SET-INTERSECTION funnel: counts(k)
+    * = distinct correlated ids with rows matching every step 1..k+1, no
+    * time ordering (the ordered family is funnelMaxStep et al.). Runs the
+    * verbatim broker spelling on a Pinot session; the aggregate keeps one
+    * 20 B (128-bit hashed id → step bitmask) entry per distinct id per
+    * group — the set-strategy state bound, capped loudly. Oracle re-derives
+    * the prefix intersection as per-user max flags × prefix products. */
+  private val eventsFunnelCount = Q(
+    "q_events_funnel_count",
+    (spark, dir) => {
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT cohort, fc[0] AS n_step1, fc[1] AS n_step2, fc[2] AS n_step3
+          |FROM (
+          |  SELECT user_id % 4 AS cohort,
+          |         FUNNEL_COUNT(
+          |           STEPS(event_type = 'view', event_type = 'click',
+          |                 event_type = 'purchase'),
+          |           CORRELATE_BY(user_id),
+          |           SETTINGS('set')) AS fc
+          |  FROM events GROUP BY user_id % 4)
+          |ORDER BY cohort""".stripMargin)
+    },
+    Some("""WITH per_user AS (
+           |  SELECT user_id % 4 AS cohort, user_id,
+           |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m1,
+           |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m2,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m3
+           |  FROM events GROUP BY 1, 2
+           |)
+           |SELECT cohort,
+           |       CAST(sum(m1) AS BIGINT) AS n_step1,
+           |       CAST(sum(m1 * m2) AS BIGINT) AS n_step2,
+           |       CAST(sum(m1 * m2 * m3) AS BIGINT) AS n_step3
+           |FROM per_user GROUP BY cohort ORDER BY cohort""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
@@ -652,6 +691,6 @@ object EventQueries {
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
     eventsFunnelWindow, eventsFunnelMaxstep, aggFunnelSql, eventsGapfill,
-    eventsGapfillDefault, eventsGapfillSql,
+    eventsGapfillDefault, eventsGapfillSql, eventsFunnelCount,
     eventsCohort, eventsIdSet, eventsHybrid)
 }

@@ -221,4 +221,48 @@ class FunnelSqlSpec extends GraftSuite {
       assert(r.getSeq[Int](3) === (0 until 3).map(i => if (i < m) 1 else 0))
     }
   }
+
+  test("FUNNEL_COUNT: order-free prefix set-intersection, planted truth") {
+    import pinot.implicits._
+    // u1 completes all three steps but OUT OF TIME ORDER — the set funnel
+    // counts it (the ordered family would not); u2 matches steps 1+2; u3
+    // matches step 2 only (counts nowhere — prefix requires step 1); u4
+    // matches step 1 twice (distinct id counted once)
+    Seq(
+      (1L, 30L, "purchase"), (1L, 20L, "click"), (1L, 10L, "view"),
+      (2L, 1L, "view"), (2L, 2L, "click"),
+      (3L, 5L, "click"),
+      (4L, 7L, "view"), (4L, 8L, "view")
+    ).toDF("uid", "t", "etype").createOrReplaceTempView("fc_events")
+    val out = pinot.sql(
+      """SELECT FUNNEL_COUNT(
+        |         STEPS(etype = 'view', etype = 'click', etype = 'purchase'),
+        |         CORRELATE_BY(uid), SETTINGS('set')) AS fc
+        |FROM fc_events""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    assert(out === Seq(3L, 2L, 1L))
+  }
+
+  test("FUNNEL_COUNT: merge path under repartition; both spellings; loud bad setting") {
+    import pinot.implicits._
+    val df = (0L until 400L).map(i => (i % 40, if (i % 3 == 0) "a" else "b"))
+      .toDF("uid", "etype")
+    df.repartition(7).createOrReplaceTempView("fc_big")
+    val a = pinot.sql(
+      """SELECT funnelCount(STEPS(etype = 'a', etype = 'b'), CORRELATE_BY(uid)) AS fc
+        |FROM fc_big""".stripMargin).collect()(0).getSeq[Long](0)
+    // every uid has both types across its 10 rows (i%3 pattern hits both)
+    assert(a === Seq(40L, 40L))
+    val b = pinot.sql(
+      """SELECT funnel_count(STEPS(etype = 'a', etype = 'b'), CORRELATE_BY(uid)) AS fc
+        |FROM fc_big""".stripMargin).collect()(0).getSeq[Long](0)
+    assert(b === a)
+    val err = intercept[Exception] {
+      pinot.sql(
+        """SELECT FUNNEL_COUNT(STEPS(etype = 'a'), CORRELATE_BY(uid),
+          |SETTINGS('warp_drive')) AS fc FROM fc_big""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("warp_drive") ||
+      err.getCause != null && err.getCause.getMessage.contains("warp_drive"))
+  }
 }
