@@ -268,6 +268,61 @@ object Dedup {
         sum(col("span_tokens").cast("long")).as("dup_tokens"))
   }
 
+  /** Duplicate-span REMOVAL — the cleaning transform on top of
+    * [[duplicateSpans]] (Lee et al. §4.1 keep-one-occurrence): for every
+    * duplicated gram the globally-first occurrence (lexicographic
+    * (doc_id, position)) is the KEEPER; every other occurrence is
+    * removable, removable positions merge into cut spans, and each doc's
+    * text is rebuilt WITHOUT the covered tokens. Returns
+    * (doc_id, cleaned_text, n_toks, n_cut) for every input doc (unchanged
+    * docs pass through, cleaned_text = original).
+    *
+    * Scale shape: only SPANS shuffle (a few ints per affected doc) — the
+    * corpus text never re-shuffles. Cut spans per doc collect into a small
+    * array that joins back to the doc row, and reconstruction is a
+    * MAP-SIDE index-aware HOF filter over the token array (codegen'd
+    * `filter(toks, (t, i) -> !exists(spans, ...))`). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toksOf = split(col(textCol), " ")
+    val pos = Par.fanOut(df.filter(size(split(col(textCol), " ")) >= n))
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingleHashes(split(col(textCol), " "), n)).as(Seq("p", "g")))
+      .persist() // feeds the keeper agg and the join back
+    val keepers = pos.groupBy(col("g"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("p"))).as("kp"))
+      .filter(col("c") > 1)
+      .select(col("g"), col("kp"))
+    val removable = pos.join(keepers, Seq("g"))
+      .filter(struct(col("doc_id"), col("p")) =!= col("kp"))
+      .select(col("doc_id"), col("p"))
+    // island merge (gap <= n) over removable positions -> cut spans [s, e]
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = removable
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + n - 1).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("cuts").isNull, col("__text"))
+          .otherwise(array_join(
+            filter(split(col("__text"), " "),
+              (t, i) => !exists(col("cuts"), sp =>
+                i >= sp.getField("s") && i <= sp.getField("e"))),
+            " ")).as("cleaned_text"),
+        size(split(col("__text"), " ")).cast("long").as("n_toks"),
+        coalesce(aggregate(col("cuts"),
+            lit(0L), (acc, sp) => acc + (sp.getField("e") - sp.getField("s") + 1)),
+          lit(0L)).as("n_cut"))
+  }
+
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,

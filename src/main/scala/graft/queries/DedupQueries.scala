@@ -450,8 +450,86 @@ object DedupQueries {
          |ORDER BY e.source""".stripMargin
     })
 
+  /** X1-spans REMOVAL (round 8): the cleaning transform — keep the
+    * globally-first occurrence of every duplicated 5-gram, cut the rest
+    * (ops/Dedup.removeDuplicateSpans; Lee et al. keep-one semantics), and
+    * prove the rebuilt TEXT content-exactly: the oracle reconstructs every
+    * cleaned doc in SQL and both engines fold a seeded hash64 of the
+    * cleaned text with bit_xor per source. Only spans shuffle in the Spark
+    * plan; reconstruction is a map-side index-aware HOF filter. */
+  private val dedupSpansRemove = Q(
+    "q_dedup_spans_remove",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val cleaned = graft.ops.Dedup.removeDuplicateSpans(d, "doc_id", "text", 5)
+      d.filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"), col("source"))
+        .join(cleaned, Seq("doc_id"))
+        .withColumn("ch",
+          when(col("n_cut") > 0, stable_hash64(col("cleaned_text"), 3L)))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_cut") > 0, 1L).otherwise(0L)).as("n_docs_changed"),
+          sum(col("n_toks")).as("toks_before"),
+          sum(col("n_toks") - col("n_cut")).as("toks_after"),
+          coalesce(expr("bit_xor(ch)"), lit(0L)).as("cleaned_xor"))
+        .orderBy(col("source"))
+    },
+    Some {
+      import DuckDbSql.{u, wadd, wmul, mix, hash64U, hash64}
+      val prime = u(0x100000001b3L)
+      val offset = u(0xcbf29ce484222325L)
+      val golden = u(0x9e3779b97f4a7c15L)
+      val acc = (0 until 5).foldLeft(offset)((a, j) => wadd(wmul(a, prime), s"th[si+$j]"))
+      val shingle = mix(wadd(acc, golden))
+      s"""WITH raw AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+         |         list_transform(string_split(text, ' '), t -> ${hash64U("t")}) AS th
+         |  FROM documents
+         |), elig AS (
+         |  SELECT * FROM raw WHERE len(tk) >= 5
+         |), occ AS (
+         |  SELECT doc_id, si, $shingle AS g
+         |  FROM (SELECT doc_id, th, unnest(range(1, len(th) - 4 + 1)) AS si FROM elig)
+         |), dup AS (
+         |  SELECT g, min(doc_id * 4294967296 + si) AS kp
+         |  FROM occ GROUP BY g HAVING count(*) > 1
+         |), rem AS (
+         |  SELECT o.doc_id, o.si FROM occ o JOIN dup USING (g)
+         |  WHERE o.doc_id * 4294967296 + o.si <> kp
+         |), cov AS (
+         |  SELECT DISTINCT doc_id, si + j AS pos
+         |  FROM (SELECT doc_id, si, unnest(range(0, 5)) AS j FROM rem)
+         |), ncut AS (
+         |  SELECT doc_id, count(*) AS n_cut FROM cov GROUP BY doc_id
+         |), tokpos AS (
+         |  SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos FROM elig
+         |), kept AS (
+         |  SELECT t.doc_id, t.pos, t.tk[t.pos] AS tok
+         |  FROM tokpos t ANTI JOIN cov c USING (doc_id, pos)
+         |), rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+         |  FROM kept WHERE doc_id IN (SELECT doc_id FROM ncut) GROUP BY doc_id
+         |), perdoc AS (
+         |  SELECT e.doc_id, e.source, len(e.tk) AS n_toks,
+         |         coalesce(c.n_cut, 0) AS n_cut,
+         |         CASE WHEN c.doc_id IS NULL THEN NULL
+         |              ELSE coalesce(r.ct, '') END AS ct
+         |  FROM elig e LEFT JOIN ncut c USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+         |)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed,
+         |       CAST(sum(n_toks) AS BIGINT) AS toks_before,
+         |       CAST(sum(n_toks - n_cut) AS BIGINT) AS toks_after,
+         |       coalesce(bit_xor(CASE WHEN n_cut > 0
+         |         THEN ${hash64("ct", 3L)} END), 0) AS cleaned_xor
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring,
-    dedupSemantic, dedupIncremental, dedupSpans)
+    dedupSemantic, dedupIncremental, dedupSpans, dedupSpansRemove)
 }

@@ -215,6 +215,28 @@ object AnnIndex {
 
   private def hnswPath(dir: String) = s"$dir/hnsw"
 
+  /** Recursive content signature of the LIVE assignments layout (relative
+    * path + length of every data file): graphs describe a snapshot of the
+    * assignments, so [[topKHnsw]] refuses to answer from graphs built over
+    * a layout that [[append]]/[[compact]]/[[build]] has since changed — the
+    * SegmentPruning staleness doctrine (an index is an accelerator, never a
+    * silent wrong-answer source). */
+  private def assignSignature(spark: SparkSession, dir: String): String = {
+    val fs = fsOf(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(assignDir(spark, dir))
+    val it = fs.listFiles(root, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(root.toUri.getPath)
+      if (!rel.endsWith("_SUCCESS")) parts += s"$rel:${s.getLen}"
+    }
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(parts.sorted.mkString("|")) & 0xffffffffL)
+  }
+
+  private def graphFpPath(dir: String) = s"${hnswPath(dir)}/_GRAPH_FP"
+
   /** Build one deterministic HNSW graph PER CELL over the live assignments
     * and persist it partitioned by cell — the sharded-HNSW scale shape (each
     * executor builds the graphs of the cells it holds; no global mutable
@@ -241,6 +263,9 @@ object AnnIndex {
       }
       .toDF()
       .write.mode("overwrite").partitionBy("cell").parquet(hnswPath(dir))
+    val out = fsOf(spark, dir).create(
+      new org.apache.hadoop.fs.Path(graphFpPath(dir)), true)
+    try out.write(assignSignature(spark, dir).getBytes("UTF-8")) finally out.close()
   }
 
   /** Rebuild a [[graft.ops.Hnsw.Graph]] from its serialized rows. Entry =
@@ -266,6 +291,17 @@ object AnnIndex {
     * is exact within every probed cell the two routes are bit-identical. */
   def topKHnsw(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, qvecCol: String, k: Int, probes: Int, ef: Int): DataFrame = {
+    val fpFile = new org.apache.hadoop.fs.Path(graphFpPath(dir))
+    val fs = fsOf(spark, dir)
+    require(fs.exists(fpFile), s"no HNSW graphs at $dir — run buildHnsw first")
+    val stored = {
+      val in = fs.open(fpFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }
+    require(stored == assignSignature(spark, dir),
+      s"HNSW graphs at $dir are STALE: the assignments layout changed since " +
+        "buildHnsw (append/compact/build). Rebuild with buildHnsw — graphs " +
+        "never silently answer from a layout they don't describe.")
     val cents = readCentroids(spark, dir)
     val qRows = queries.select(
         col(qidCol).cast("long").as("qid"), col(qvecCol).as("qe"),

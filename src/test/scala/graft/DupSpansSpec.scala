@@ -35,6 +35,22 @@ class DupSpansSpec extends GraftSuite {
     assert(!got.contains(3L) && !got.contains(6L))
   }
 
+  test("planted removal: keep the globally-first occurrence, cut the rest") {
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // doc1 is the keeper of every shared gram (lowest (doc, pos)) -> intact
+    assert(got(1L) === (("a b c d e f g h i j", 0L)))
+    // doc2 loses the whole shared run a..h (covered positions 2..9)
+    assert(got(2L) === (("x1 x2 y z", 8L)))
+    // doc4: second (m,n,o) occurrence cut, first kept
+    assert(got(4L) === (("m n o k l", 3L)))
+    // doc5: BOTH (a,b,c) occurrences lose to doc1's keeper
+    assert(got(5L) === (("z1 z2 z3 z4", 6L)))
+    // unique and sub-n docs pass through untouched
+    assert(got(3L) === (("p q r s t u v w", 0L)))
+    assert(got(6L) === (("a b", 0L)))
+  }
+
   test("span accounting is invariant to partitioning") {
     val a = Dedup.duplicateSpans(docs.repartition(7), "doc_id", "text", 3)
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)

@@ -140,6 +140,25 @@ class HnswSpec extends GraftSuite {
       s"graph route must still rewrite to an IN-list filter:\n$plan")
   }
 
+  test("stale graphs refuse loudly after append; rebuild re-admits") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    AnnIndex.build(e.filter(col("vec_id") < n / 2), dir, "vec_id", "embedding", nCells = 8)
+    AnnIndex.buildHnsw(spark, dir, m = 8, efConstruction = 32)
+    val queries = e.filter(col("vec_id") < 5)
+    assert(AnnIndex.topKHnsw(spark, dir, queries, "vec_id", "embedding", 3, 2, 16)
+      .collect().nonEmpty)
+    AnnIndex.append(e.filter(col("vec_id") >= n / 2), dir, "vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.topKHnsw(spark, dir, queries, "vec_id", "embedding", 3, 2, 16).collect()
+    }
+    assert(err.getMessage.contains("STALE"))
+    AnnIndex.buildHnsw(spark, dir, m = 8, efConstruction = 32)
+    assert(AnnIndex.topKHnsw(spark, dir, queries, "vec_id", "embedding", 3, 2, 16)
+      .collect().nonEmpty)
+  }
+
   test("persisted per-cell route: narrow beam keeps recall >= 0.9 vs the exhaustive scan") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")
