@@ -507,6 +507,15 @@ object PinotFunctions {
     // ---- aggregates (A-family) ----
     "distinctcount" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
     "distinctcountbitmap" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
+    // SEGMENT_PARTITIONED_DISTINCT_COUNT: Pinot sums per-segment distincts,
+    // exact ONLY under its own precondition (the column is partitioned so
+    // no value spans segments) — under that precondition the sum equals the
+    // exact distinct count, so the safe mapping is exact COUNT(DISTINCT)
+    // (same answer wherever Pinot's form is correct; never silently wrong
+    // where the precondition fails). The partition-exploiting physical
+    // shape lives in q_agg_segpart_distinct's mapPartitions kernel.
+    "segmentpartitioneddistinctcount" ->
+      (args => Count(args).toAggregateExpression(isDistinct = true)),
     "distinctcounthll" -> fwd("approx_count_distinct"),
     "distinctcountsmarthll" -> fwd("approx_count_distinct"),
     // real mergeable theta sketches (expressions/ThetaSketchExpressions) —
@@ -607,6 +616,12 @@ object PinotFunctions {
     // format divergence, COVERAGE.md A7)
     "percentilerawtdigest" -> (args =>
       graft.expressions.KllSketchAgg(args(0)).toAggregateExpression()),
+    // RAW EST form: Pinot's PERCENTILEEST family is QuantileDigest-backed;
+    // the registry maps EST onto KLL (same role: mergeable quantile sketch
+    // with proven rank error), so RAWEST emits the same KLL binary as the
+    // other raw quantile forms (one interchange format, COVERAGE.md A7)
+    "percentilerawest" -> (args =>
+      graft.expressions.KllSketchAgg(args(0)).toAggregateExpression()),
     // Pinot ARG_MIN/ARG_MAX(measuring, projection): the projection value on
     // the row where the measuring expression is minimal/maximal
     "arg_min" -> (args => MinBy(args(1), args(0)).toAggregateExpression()),
@@ -684,6 +699,9 @@ object PinotFunctions {
     // MV distinct/percentile family — real per-element aggregates (no
     // explode; graft.expressions.MvAggs, shared with the Column API)
     "distinctcountmv" -> (args => graft.expressions.MvAggs.distinctCountMv(args(0))),
+    // BITMAPMV is Pinot's exact MV distinct (bitmap = exact set), same
+    // contract as DISTINCTCOUNTMV here
+    "distinctcountbitmapmv" -> (args => graft.expressions.MvAggs.distinctCountMv(args(0))),
     "distinctcounthllmv" -> (args => graft.expressions.MvAggs.distinctCountHllMv(args(0))),
     "distinctsummv" -> (args => graft.expressions.MvAggs.distinctSumMv(args(0))),
     "distinctavgmv" -> (args => graft.expressions.MvAggs.distinctAvgMv(args(0))),

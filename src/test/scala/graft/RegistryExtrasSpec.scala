@@ -111,4 +111,18 @@ class RegistryExtrasSpec extends GraftSuite {
       .getQuantile(0.5, QuantileSearchCriteria.INCLUSIVE)
     assert(est === direct)
   }
+
+  test("round-8 aliases: PERCENTILERAWEST, SEGMENT_PARTITIONED_DISTINCT_COUNT, DISTINCTCOUNTBITMAPMV") {
+    // RAWEST emits the same KLL interchange binary as the other raw forms
+    val rawEst = one("SELECT PERCENTILERAWEST(m) AS s FROM hx").getAs[Array[Byte]](0)
+    val rawKll = one("SELECT PERCENTILERAWKLL(m) AS s FROM hx").getAs[Array[Byte]](0)
+    assert(rawEst.toSeq === rawKll.toSeq)
+    // exact distinct under the function's own partitioning precondition
+    assert(one("SELECT SEGMENTPARTITIONEDDISTINCTCOUNT(m) AS c FROM hx").getLong(0) === 4L)
+    // exact MV distinct: bitmap = exact set in Pinot
+    import pinot.implicits._
+    Seq((1, Seq("x", "y")), (2, Seq("y", "z"))).toDF("k", "mv")
+      .createOrReplaceTempView("mvx")
+    assert(one("SELECT DISTINCTCOUNTBITMAPMV(mv) AS c FROM mvx").getLong(0) === 3L)
+  }
 }

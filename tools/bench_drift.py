@@ -5,11 +5,19 @@ Compares a fresh BENCH.json per-query map against the BEST time each query
 ever recorded in git history (every committed version of BENCH.json), and
 separates REGRESSION from ENVIRONMENTAL drift:
 
-  - the median ratio (current / best) across all queries estimates host
-    noise — quiet-host runs sit near 1.0-1.3, a throttled host shifts every
-    query uniformly (the round-4 adjudication problem this tool replaces);
-  - a query is flagged only when it is BOTH >1.5x its best AND >1.5x the
-    median ratio (i.e. it moved more than the host did).
+  - the median ratio (current / baseline) across all queries estimates
+    host noise — quiet-host runs sit near 1.0-1.3, a throttled host shifts
+    every query uniformly (the round-4 adjudication problem this tool
+    replaces);
+  - a query is flagged only when it is BOTH >1.5x its baseline AND >1.5x
+    the median ratio (i.e. it moved more than the host did);
+  - the BASELINE is the best-of-history FLOORED at the 25th percentile of
+    that query's own history: a single exceptionally-quiet run otherwise
+    sets an unreachable floor forever (the round-7/8 dedup false-positive
+    class — two outlier-quiet runs made 2x "regressions" out of times
+    sitting exactly on the query's typical envelope). P25 keeps regression
+    sensitivity (a sustained 2x jump still flags against the typical-good
+    era) while bounding a lucky run's influence.
 
 Usage: python3 tools/bench_drift.py [BENCH.json]   (run from the repo root)
 Exit 0 = clean or uniform-environmental; exit 1 = isolated regressions.
@@ -70,8 +78,14 @@ def history_best(sf, cpus):
             if q in eras and rev not in eras[q]:
                 continue  # recorded under a retired plan
             if isinstance(t, (int, float)) and t > 0:
-                best[q] = min(best.get(q, t), t)
-    return best
+                best.setdefault(q, []).append(t)
+    # robust baseline: best floored at the history's 25th percentile
+    out = {}
+    for q, ts in best.items():
+        ts.sort()
+        p25 = ts[max(0, (len(ts) - 1) // 4)]
+        out[q] = max(min(ts), p25) if len(ts) >= 4 else min(ts)
+    return out
 
 
 def main():
