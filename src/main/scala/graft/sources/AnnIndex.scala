@@ -120,10 +120,22 @@ object AnnIndex {
 
   /** Assign a NEW batch against the EXISTING centroids and append its cell
     * partitions — the daily-ingest path (no retrain, standing partitions
-    * untouched). */
-  def append(emb: DataFrame, dir: String, idCol: String, vecCol: String): Unit =
-    assignAndWrite(emb, dir, idCol, vecCol, readCentroids(emb.sparkSession, dir),
-      overwrite = false)
+    * untouched). Returns the cells the batch landed in (sorted) — the
+    * exact argument [[refreshHnsw]] needs to rebuild only the graphs the
+    * append invalidated. */
+  def append(emb: DataFrame, dir: String, idCol: String, vecCol: String): Seq[Int] = {
+    val cents = readCentroids(emb.sparkSession, dir)
+    val staged = emb.select(
+        col(idCol).cast("long").as("id"), col(vecCol).as("emb"),
+        cellsOf(cents, col(vecCol), 1)(0).getField("cell").as("cell"))
+      .persist() // one assignment pass feeds both the write and the cell list
+    staged.write.mode("append").partitionBy("cell")
+      .parquet(assignDir(emb.sparkSession, dir))
+    val cells = staged.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted
+    staged.unpersist()
+    cells
+  }
 
   private def assignAndWrite(emb: DataFrame, dir: String, idCol: String,
       vecCol: String, cents: Array[(Int, Seq[Float])], overwrite: Boolean): Unit =
@@ -245,9 +257,32 @@ object AnnIndex {
     * class. */
   def buildHnsw(spark: SparkSession, dir: String, m: Int = 8,
       efConstruction: Int = 64): Unit = {
+    graphRows(spark, dir, m, efConstruction,
+        spark.read.parquet(assignDir(spark, dir)))
+      .write.mode("overwrite").partitionBy("cell").parquet(hnswPath(dir))
+    stampGraphFp(spark, dir)
+  }
+
+  /** Rebuild the graphs of ONLY `cells` (the list [[append]] returns) —
+    * incremental index maintenance: an append invalidates exactly the cell
+    * graphs it touched, and rewriting those partitions (dynamic partition
+    * overwrite) costs the appended cells, not the corpus. Re-stamps the
+    * staleness fingerprint, so [[topKHnsw]] serves again. */
+  def refreshHnsw(spark: SparkSession, dir: String, cells: Seq[Int],
+      m: Int = 8, efConstruction: Int = 64): Unit = {
+    graphRows(spark, dir, m, efConstruction,
+        spark.read.parquet(assignDir(spark, dir))
+          .filter(col("cell").isin(cells.toIndexedSeq: _*)))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(hnswPath(dir))
+    stampGraphFp(spark, dir)
+  }
+
+  private def graphRows(spark: SparkSession, dir: String, m: Int,
+      efConstruction: Int, assigns: DataFrame): DataFrame = {
     val p = graft.ops.Hnsw.Params(m, efConstruction)
     import spark.implicits._
-    spark.read.parquet(assignDir(spark, dir))
+    assigns
       .select(col("cell"), col("id"), col("emb"))
       .repartition(col("cell"))
       .as[(Int, Long, Seq[Float])]
@@ -262,7 +297,9 @@ object AnnIndex {
         }
       }
       .toDF()
-      .write.mode("overwrite").partitionBy("cell").parquet(hnswPath(dir))
+  }
+
+  private def stampGraphFp(spark: SparkSession, dir: String): Unit = {
     val out = fsOf(spark, dir).create(
       new org.apache.hadoop.fs.Path(graphFpPath(dir)), true)
     try out.write(assignSignature(spark, dir).getBytes("UTF-8")) finally out.close()

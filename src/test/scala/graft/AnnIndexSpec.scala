@@ -90,7 +90,7 @@ class AnnIndexSpec extends GraftSuite {
     val q = ms.toDF().toDF("vec_id", "embedding")
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        AnnIndex.append(b, dir, "vec_id", "embedding")
+        AnnIndex.append(b, dir, "vec_id", "embedding"): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -140,6 +140,36 @@ class HnswSpec extends GraftSuite {
       s"graph route must still rewrite to an IN-list filter:\n$plan")
   }
 
+  test("refreshHnsw rebuilds only the appended cells and equals a full rebuild") {
+    val dirIncr = tmp(); val dirFull = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    // incremental: half build + graph, append rest, refresh touched cells
+    AnnIndex.build(e.filter(col("vec_id") < n / 2), dirIncr, "vec_id", "embedding", nCells = 16)
+    AnnIndex.buildHnsw(spark, dirIncr, m = 8, efConstruction = 64)
+    val touched = AnnIndex.append(
+      e.filter(col("vec_id") >= n / 2), dirIncr, "vec_id", "embedding")
+    assert(touched.nonEmpty && touched == touched.sorted)
+    AnnIndex.refreshHnsw(spark, dirIncr, touched, m = 8, efConstruction = 64)
+    // full: same data in one build (centroids identical — ids < 16 in both)
+    AnnIndex.build(e, dirFull, "vec_id", "embedding", nCells = 16)
+    AnnIndex.buildHnsw(spark, dirFull, m = 8, efConstruction = 64)
+    val queries = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    val a = AnnIndex.topKHnsw(spark, dirIncr, queries, "vec_id", "embedding", 5, 2, 32)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val b = AnnIndex.topKHnsw(spark, dirFull, queries, "vec_id", "embedding", 5, 2, 32)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(a.map(_.toSeq) === b.map(_.toSeq),
+      "refreshed incremental graphs must answer bit-identically to a full rebuild")
+    // untouched cells kept their ORIGINAL graph files (only touched cells rewrote)
+    val untouched = (0 until 16).filterNot(touched.contains)
+    if (untouched.nonEmpty) {
+      val rowsInc = spark.read.parquet(s"$dirIncr/hnsw")
+        .filter(col("cell") === untouched.head).count()
+      assert(rowsInc > 0)
+    }
+  }
+
   test("stale graphs refuse loudly after append; rebuild re-admits") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")

@@ -434,4 +434,41 @@ class HttpSqlEndpointSpec extends GraftSuite {
       assert(rows.get(0).get(1).asLong() === 1704672000000L)
     } finally srv.stop(0)
   }
+
+  test("FUNNEL_COUNT broker spelling runs VERBATIM over the wire (round-8)") {
+    val pinot = spark.newSession()
+    PinotFunctions.register(pinot)
+    Tables.registerViews(pinot, sfDir)
+    val srv = server.HttpSqlEndpoint.start(pinot, port = 0, maxRows = 1000)
+    try {
+      val b = s"http://localhost:${srv.getAddress.getPort}"
+      val body = mapper.createObjectNode()
+      body.put("sql",
+        """SELECT FUNNEL_COUNT(
+          |  STEPS(event_type = 'view', event_type = 'click', event_type = 'purchase'),
+          |  CORRELATE_BY(user_id), SETTINGS('set')) AS fc
+          |FROM events""".stripMargin)
+      val req = HttpRequest.newBuilder(URI.create(s"$b/query/sql"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+        .header("Content-Type", "application/json").build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, resp.body())
+      val json = mapper.readTree(resp.body())
+      assert(json.get("exceptions").size() === 0, json.toString)
+      // one row, one MV cell: the per-step prefix counts as a JSON array
+      val fc = json.get("resultTable").get("rows").get(0).get(0)
+      assert(fc.isArray && fc.size() === 3, json.toString)
+      val counts = (0 until 3).map(fc.get(_).asLong())
+      assert(counts(0) >= counts(1) && counts(1) >= counts(2) && counts(2) > 0,
+        s"prefix counts must be monotone: $counts")
+      // wire cells must equal the DataFrame-path declared-query truth
+      val truth = pinot.sql(
+        """SELECT FUNNEL_COUNT(
+          |  STEPS(event_type = 'view', event_type = 'click', event_type = 'purchase'),
+          |  CORRELATE_BY(user_id), SETTINGS('set')) AS fc
+          |FROM events""".stripMargin).collect()(0).getSeq[Long](0)
+      assert(counts === truth)
+    } finally srv.stop(0)
+  }
 }
