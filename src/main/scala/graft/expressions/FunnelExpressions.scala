@@ -328,6 +328,7 @@ object FunnelCountAgg {
   def sqlBuilder(args: Seq[Expression]): Expression = {
     var steps: Seq[Expression] = Nil
     var corr: Option[Expression] = None
+    var settings: Set[String] = Set.empty
     args.foreach {
       case m: FunnelArgMarker => m.kind match {
         case "steps" =>
@@ -340,8 +341,10 @@ object FunnelCountAgg {
         case "settings" =>
           m.children.foreach {
             case Literal(s, StringType) if s != null =>
-              require(KnownSettings.contains(s.toString.toLowerCase),
+              val v = s.toString.toLowerCase
+              require(KnownSettings.contains(v),
                 s"FUNNEL_COUNT setting '$s' (supported: ${KnownSettings.mkString(", ")})")
+              settings += v
             case other => throw new IllegalArgumentException(
               s"FUNNEL_COUNT settings must be string literals, got $other")
           }
@@ -354,12 +357,18 @@ object FunnelCountAgg {
     require(steps.nonEmpty, "FUNNEL_COUNT needs STEPS(predicate, ...)")
     val c = corr.getOrElse(throw new IllegalArgumentException(
       "FUNNEL_COUNT needs CORRELATE_BY(column)"))
-    // 128-bit id key (two seeded xxhash64) — the contentKey collision
-    // standard: merging two real ids needs a 128-bit collision
-    FunnelCountAgg(
-      XxHash64(Seq(c), 42L), XxHash64(Seq(c), 7L),
-      FunnelAggs.stepBits(steps), steps.size)
-      .toAggregateExpression()
+    if (settings.contains("theta_sketch"))
+      // the APPROXIMATE strategy is real here too: bounded per-group state
+      // (one theta per step), Pinot's unbounded-group trade
+      FunnelCountThetaAgg(XxHash64(Seq(c), 42L),
+        FunnelAggs.stepBits(steps), steps.size).toAggregateExpression()
+    else
+      // 128-bit id key (two seeded xxhash64) — the contentKey collision
+      // standard: merging two real ids needs a 128-bit collision
+      FunnelCountAgg(
+        XxHash64(Seq(c), 42L), XxHash64(Seq(c), 7L),
+        FunnelAggs.stepBits(steps), steps.size)
+        .toAggregateExpression()
   }
 }
 
@@ -458,4 +467,102 @@ case class FunnelCountAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FunnelCountAgg =
     copy(h1 = newChildren(0), h2 = newChildren(1), bitsExpr = newChildren(2))
+}
+
+/** FUNNEL_COUNT under `SETTINGS('theta_sketch')` — Pinot's approximate
+  * strategy made REAL (DataSketches theta): per-group state is ONE theta
+  * sketch per step (each updated with the correlated id's 64-bit hash),
+  * and eval estimates |S1|, |S1 ∩ S2|, … via progressive intersection.
+  * This is the UNBOUNDED-GROUP shape: state is O(numSteps · 2^lgK)
+  * regardless of how many distinct ids the group sees — the exact-map
+  * strategy's cap does not apply. Estimates are exact below the sketch's
+  * retained-entries threshold and carry theta's proven error above it. */
+case class FunnelCountThetaAgg(
+    h1: Expression,
+    bitsExpr: Expression,
+    numSteps: Int,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[org.apache.datasketches.theta.Union]] {
+
+  import org.apache.datasketches.theta.{SetOperation, Sketches, Union}
+  import org.apache.datasketches.memory.Memory
+
+  require(numSteps >= 1 && numSteps <= 30, s"numSteps out of range: $numSteps")
+
+  override def children: Seq[Expression] = Seq(h1, bitsExpr)
+  override def prettyName: String = "funnel_count_theta"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private def newUnion(): Union =
+    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+
+  override def createAggregationBuffer(): Array[Union] =
+    Array.fill(numSteps)(newUnion())
+
+  override def update(buf: Array[Union], input: InternalRow): Array[Union] = {
+    val b = bitsExpr.eval(input)
+    val k1 = h1.eval(input)
+    if (b != null && k1 != null) {
+      val bits = b.asInstanceOf[Int]
+      if (bits != 0) {
+        val id = k1.asInstanceOf[Long]
+        var k = 0
+        while (k < numSteps) {
+          if (((bits >> k) & 1) == 1) buf(k).update(id)
+          k += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Union], b: Array[Union]): Array[Union] = {
+    var k = 0
+    while (k < numSteps) { a(k).union(b(k).getResult); k += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Union]): Any = {
+    val counts = new Array[Long](numSteps)
+    val inter = SetOperation.builder().setNominalEntries(1 << lgK).buildIntersection()
+    var k = 0
+    while (k < numSteps) {
+      inter.intersect(buf(k).getResult)
+      counts(k) = Math.round(inter.getResult.getEstimate)
+      k += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def serialize(buf: Array[Union]): Array[Byte] = {
+    val parts = buf.map(_.getResult.toByteArray)
+    val bb = java.nio.ByteBuffer.allocate(4 + parts.map(4 + _.length).sum)
+    bb.putInt(parts.length)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Union] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    Array.fill(n) {
+      val len = bb.getInt
+      val p = new Array[Byte](len)
+      bb.get(p)
+      val u = newUnion()
+      u.union(Sketches.wrapSketch(Memory.wrap(p)))
+      u
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FunnelCountThetaAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FunnelCountThetaAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FunnelCountThetaAgg =
+    copy(h1 = newChildren(0), bitsExpr = newChildren(1))
 }

@@ -684,6 +684,59 @@ object EventQueries {
            |       CAST(sum(m1 * m2 * m3) AS BIGINT) AS n_step3
            |FROM per_user GROUP BY cohort ORDER BY cohort""".stripMargin))
 
+  /** FUNNEL_COUNT `SETTINGS('theta_sketch')` — Pinot's approximate funnel
+    * strategy as REAL DataSketches theta (one sketch per step per group,
+    * bounded state for unbounded groups; progressive intersection at
+    * eval). The sketch-family oracle contract: exact counts hash exactly
+    * (from the set strategy), the theta estimates participate through
+    * deterministic within-5% booleans (exact below sketch saturation —
+    * which these cohorts are — so the bound is honest, not vacuous). */
+  private val eventsFunnelTheta = Q(
+    "q_events_funnel_theta",
+    (spark, dir) => {
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql(
+        """WITH ex AS (
+          |  SELECT user_id % 4 AS cohort,
+          |         FUNNEL_COUNT(
+          |           STEPS(event_type = 'view', event_type = 'click',
+          |                 event_type = 'purchase'),
+          |           CORRELATE_BY(user_id), SETTINGS('set')) AS fc
+          |  FROM events GROUP BY user_id % 4
+          |), th AS (
+          |  SELECT user_id % 4 AS cohort,
+          |         FUNNEL_COUNT(
+          |           STEPS(event_type = 'view', event_type = 'click',
+          |                 event_type = 'purchase'),
+          |           CORRELATE_BY(user_id), SETTINGS('theta_sketch')) AS fc
+          |  FROM events GROUP BY user_id % 4
+          |)
+          |SELECT ex.cohort,
+          |       ex.fc[0] AS n_step1, ex.fc[1] AS n_step2, ex.fc[2] AS n_step3,
+          |       abs(th.fc[0] - ex.fc[0]) <= greatest(1.0, ex.fc[0] * 0.05) AS theta1_within_5pct,
+          |       abs(th.fc[1] - ex.fc[1]) <= greatest(1.0, ex.fc[1] * 0.05) AS theta2_within_5pct,
+          |       abs(th.fc[2] - ex.fc[2]) <= greatest(1.0, ex.fc[2] * 0.05) AS theta3_within_5pct
+          |FROM ex JOIN th USING (cohort)
+          |ORDER BY cohort""".stripMargin)
+    },
+    Some("""WITH per_user AS (
+           |  SELECT user_id % 4 AS cohort, user_id,
+           |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m1,
+           |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m2,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m3
+           |  FROM events GROUP BY 1, 2
+           |)
+           |SELECT cohort,
+           |       CAST(sum(m1) AS BIGINT) AS n_step1,
+           |       CAST(sum(m1 * m2) AS BIGINT) AS n_step2,
+           |       CAST(sum(m1 * m2 * m3) AS BIGINT) AS n_step3,
+           |       TRUE AS theta1_within_5pct,
+           |       TRUE AS theta2_within_5pct,
+           |       TRUE AS theta3_within_5pct
+           |FROM per_user GROUP BY cohort ORDER BY cohort""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
@@ -691,6 +744,6 @@ object EventQueries {
   val all: Seq[Q] = Seq(eventsByDay, eventsByHour, eventsRetention, eventsJson,
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
     eventsFunnelWindow, eventsFunnelMaxstep, aggFunnelSql, eventsGapfill,
-    eventsGapfillDefault, eventsGapfillSql, eventsFunnelCount,
+    eventsGapfillDefault, eventsGapfillSql, eventsFunnelCount, eventsFunnelTheta,
     eventsCohort, eventsIdSet, eventsHybrid)
 }

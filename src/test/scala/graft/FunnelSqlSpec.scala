@@ -265,4 +265,33 @@ class FunnelSqlSpec extends GraftSuite {
     assert(err.getMessage.contains("warp_drive") ||
       err.getCause != null && err.getCause.getMessage.contains("warp_drive"))
   }
+
+  test("FUNNEL_COUNT theta_sketch strategy: exact below saturation, bounded state above") {
+    import pinot.implicits._
+    // 5k distinct ids, well under lgK=12's retained entries -> theta IS exact
+    (0L until 20000L).map(i => (i % 5000, if (i % 4 == 0) "a" else "b"))
+      .toDF("uid", "etype").repartition(5).createOrReplaceTempView("fc_theta")
+    def fc(setting: String): Seq[Long] = pinot.sql(
+      s"""SELECT FUNNEL_COUNT(STEPS(etype = 'a', etype = 'b'),
+         |CORRELATE_BY(uid), SETTINGS('$setting')) AS fc FROM fc_theta""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    assert(fc("theta_sketch") === fc("set"))
+    // above saturation: estimates carry theta's error, never a cap failure
+    (0L until 400000L).map(i => (i, "a")).toDF("uid", "etype")
+      .createOrReplaceTempView("fc_huge")
+    val est = pinot.sql(
+      """SELECT FUNNEL_COUNT(STEPS(etype = 'a'), CORRELATE_BY(uid),
+        |SETTINGS('theta_sketch')) AS fc FROM fc_huge""".stripMargin)
+      .collect()(0).getSeq[Long](0)(0)
+    assert(math.abs(est - 400000L) < 400000 * 0.05,
+      s"theta estimate $est outside 5% of 400k")
+    // the serialized per-group state is sketch-bounded, not id-bounded
+    val agg = graft.expressions.FunnelCountThetaAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(1), 1)
+    val buf = agg.createAggregationBuffer()
+    (0L until 100000L).foreach(buf(0).update)
+    assert(agg.serialize(buf).length < 70000,
+      "theta state must stay bounded regardless of distinct-id count")
+  }
 }

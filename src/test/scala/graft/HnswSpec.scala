@@ -170,6 +170,43 @@ class HnswSpec extends GraftSuite {
     }
   }
 
+  test("streaming ingest keeps the graph index serveable: append + refresh per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    AnnIndex.build(e.filter(col("vec_id") < n / 2), dir, "vec_id", "embedding", nCells = 16)
+    AnnIndex.buildHnsw(spark, dir, m = 8, efConstruction = 64)
+    val tail = e.filter(col("vec_id") >= n / 2)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(tail.toSeq)
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the micro-batch maintenance loop: append, then rebuild exactly
+        // the graphs the batch invalidated — the index never goes dark
+        val touched = AnnIndex.append(b, dir, "vec_id", "embedding")
+        AnnIndex.refreshHnsw(spark, dir, touched, m = 8, efConstruction = 64)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // graphs are FRESH (no staleness refusal) and equal an all-batch build
+    val queries = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    val dirAll = tmp()
+    AnnIndex.build(e, dirAll, "vec_id", "embedding", nCells = 16)
+    AnnIndex.buildHnsw(spark, dirAll, m = 8, efConstruction = 64)
+    val a = AnnIndex.topKHnsw(spark, dir, queries, "vec_id", "embedding", 5, 2, 32)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    val b = AnnIndex.topKHnsw(spark, dirAll, queries, "vec_id", "embedding", 5, 2, 32)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(a.map(_.toSeq) === b.map(_.toSeq))
+  }
+
   test("stale graphs refuse loudly after append; rebuild re-admits") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")
