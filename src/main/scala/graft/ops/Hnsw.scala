@@ -27,7 +27,14 @@ import scala.collection.mutable
   */
 object Hnsw {
 
-  final case class Params(m: Int = 8, efConstruction: Int = 64, seed: Long = 42L) {
+  /** `heuristic` = Malkov Alg. 4 neighbor selection (keep a candidate only
+    * if it is closer to the base point than to any already-kept neighbor,
+    * refilling with the closest skipped ones — "keepPrunedConnections").
+    * It spreads edges across directions, which is what holds recall up as
+    * graphs grow; the simple closest-M form remains available for study.
+    * Both are deterministic (candidates walk in (dist, id) order). */
+  final case class Params(m: Int = 8, efConstruction: Int = 64, seed: Long = 42L,
+      heuristic: Boolean = true) {
     require(m >= 2, "m >= 2")
     val mMax0: Int = 2 * m
     val mL: Double = 1.0 / math.log(m.toDouble)
@@ -133,6 +140,26 @@ object Hnsw {
       out.sortInPlace()(closerFirst)
     }
 
+    /** Neighbor selection over ascending-(dist, id) candidates: Malkov
+      * Alg. 4 with keepPrunedConnections (or simple closest-M). */
+    def select(cands: Seq[(Double, Int)], m: Int): Array[Int] =
+      if (!p.heuristic) cands.take(m).map(_._2).toArray
+      else {
+        val kept = mutable.ArrayBuffer.empty[(Double, Int)]
+        val skipped = mutable.ArrayBuffer.empty[(Double, Int)]
+        val it = cands.iterator
+        while (it.hasNext && kept.length < m) {
+          val c = it.next()
+          // keep c only if closer to the base than to every kept neighbor
+          val ok = kept.forall { case (_, s) => dist(vecs(c._2), vecs(s)) > c._1 }
+          if (ok) kept += c else skipped += c
+        }
+        val out = kept.map(_._2)
+        val fill = skipped.iterator
+        while (out.length < m && fill.hasNext) out += fill.next()._2
+        out.toArray
+      }
+
     var i = 0
     while (i < n) {
       val li = levels(i)
@@ -148,16 +175,16 @@ object Hnsw {
         }
         while (lc >= 0 && lc <= math.min(maxLevel, li)) {
           val w = searchLayer(q, Seq(ep), p.efConstruction, lc, mutable.BitSet(ep._2))
-          val sel = w.take(p.m)
-          nbrs(i)(lc) = sel.map(_._2).toArray
-          sel.foreach { case (_, s) =>
+          val sel = select(w.toSeq, p.m)
+          nbrs(i)(lc) = sel
+          sel.foreach { s =>
             val cur = nbrs(s)(lc)
             if (!cur.contains(i)) {
               val grown = cur :+ i
               nbrs(s)(lc) =
                 if (grown.length <= mMaxAt(lc)) grown
-                else grown.map(t => (dist(vecs(s), vecs(t)), t))
-                  .sorted(closerFirst).take(mMaxAt(lc)).map(_._2)
+                else select(grown.map(t => (dist(vecs(s), vecs(t)), t))
+                  .sorted(closerFirst).toSeq, mMaxAt(lc))
             }
           }
           ep = w.head

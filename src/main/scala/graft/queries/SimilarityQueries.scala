@@ -481,9 +481,11 @@ object SimilarityQueries {
     "q_sim_ann_hnsw",
     (spark, dir) => {
       val idxDir = graft.sources.Fingerprint.buildOnce(
-        // tag carries the LAYOUT FORMAT version: v1 added the _GRAPH_FP
-        // staleness file, so pre-v1 cached dirs must not cache-hit
-        "annhnsw_v1", dir, "embeddings.parquet") { out =>
+        // tag carries the BUILDER version: v1 added the _GRAPH_FP
+        // staleness file, v2 the heuristic neighbor selection — cached
+        // dirs from an older builder must not cache-hit (reproducibility:
+        // a fresh build and a cache hit must be the same graph)
+        "annhnsw_v2", dir, "embeddings.parquet") { out =>
         graft.sources.AnnIndex.build(
           Tables.t(spark, dir, "embeddings"), out, "vec_id", "embedding", nCells = 16)
         graft.sources.AnnIndex.buildHnsw(spark, out, m = 8, efConstruction = 64)

@@ -62,5 +62,30 @@ object HnswTrend {
       }
       println(f"  ef=$efw%3d  evals=${evals / qids.size}%5d (${evals.toDouble / qids.size / 32000}%5.3f)  recall=${hit / qids.size}%5.3f")
     }
+    // neighbor-selection comparison on CLUSTERED data (the regime the
+    // Malkov heuristic exists for — isotropic data can't separate them)
+    println("clustered 8000 rows (ef=64): heuristic vs simple selection")
+    for (nClusters <- Seq(10, 50)) {
+      val r2 = new scala.util.Random(11)
+      val centers = Array.fill(nClusters)(Array.fill(dim)(r2.nextFloat() * 2f - 1f))
+      val cps = (0 until 8000).map { i =>
+        val c = centers(i % nClusters)
+        (i.toLong, c.map(_ + (r2.nextFloat() * 0.2f - 0.1f)))
+      }
+      def recallOf(heuristic: Boolean): Double = {
+        val gc = Hnsw.build(cps,
+          Hnsw.Params(m = 12, efConstruction = 96, heuristic = heuristic))
+        val qs = (0 until 40).map(i => (i.toLong * 200).min(7999L))
+        qs.map { qid =>
+          val q = cps(qid.toInt)._2
+          val truth = cps.filter(_._1 != qid)
+            .map { case (id, v) => (Hnsw.dist(q, v), id) }
+            .sorted.take(k).map(_._2).toSet
+          Hnsw.search(gc, q, k, 64, excludeId = qid)
+            .hits.count(h => truth.contains(h._1)).toDouble / k
+        }.sum / qs.size
+      }
+      println(f"  clusters=$nClusters%3d  heuristic=${recallOf(true)}%5.3f  simple=${recallOf(false)}%5.3f")
+    }
   }
 }
