@@ -268,6 +268,32 @@ object Dedup {
         sum(col("span_tokens").cast("long")).as("dup_tokens"))
   }
 
+  /** Content-defined chunk hashes of a document (token-level CDC): a chunk
+    * boundary falls AFTER every token whose hash has its low `maskBits`
+    * bits zero (expected chunk length 2^maskBits tokens), the tail closes
+    * the last chunk, and each chunk is one fold_hash64 over its token
+    * hashes. Because boundaries are a function of CONTENT, an insertion
+    * shifts at most the chunk it lands in — downstream chunks re-sync to
+    * the same boundaries (the property fixed-width windows lack, and the
+    * reason CDC is the standard unit for fragment-level dedup). Entirely
+    * map-side: no explode, no shuffle — one array expression per row. */
+  def cdcChunkHashes(textCol: org.apache.spark.sql.Column, maskBits: Int)
+      : org.apache.spark.sql.Column = {
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20]: $maskBits")
+    val th = transform(split(textCol, " "), t => stable_hash64(t))
+    val mask = (1L << maskBits) - 1
+    val ends = filter(
+      transform(th, (h, i) =>
+        when(h.bitwiseAND(lit(mask)) === 0, i + 1).otherwise(lit(-1))),
+      x => x > 0)
+    val starts = concat(array(lit(0)), ends)
+    val allEnds = concat(ends, array(size(th)))
+    filter(
+      zip_with(starts, allEnds, (s, e) =>
+        when(e > s, fold_hash64(slice(th, s + 1, e - s)))),
+      x => x.isNotNull)
+  }
+
   /** Duplicate-span REMOVAL — the cleaning transform on top of
     * [[duplicateSpans]] (Lee et al. §4.1 keep-one-occurrence): for every
     * duplicated gram the globally-first occurrence (lexicographic

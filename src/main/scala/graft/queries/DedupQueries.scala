@@ -528,8 +528,81 @@ object DedupQueries {
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
     })
 
+  /** X1-CDC (round 8): content-defined chunk dedup report — boundaries
+    * fall where token-hash low bits are zero (expected 64-token chunks),
+    * so insertions re-sync instead of shifting every window (CdcSpec
+    * proves the resync property). Chunking is entirely MAP-SIDE (one
+    * array expression per row, no explode before the 8 B chunk-hash
+    * rows); the dup accounting reuses the unique-complement identity
+    * (dup = total − unique, unique attributed via min(source) in the df
+    * agg — no join-back, the q_dedup_substring plan shape). */
+  private val dedupCdc = Q(
+    "q_dedup_cdc",
+    (spark, dir) => {
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
+      val ch = d.select(col("source"),
+          explode(graft.ops.Dedup.cdcChunkHashes(col("text"), 6)).as("ch"))
+        .persist() // feeds the df agg and the per-source totals
+      val uniq = ch.groupBy(col("ch"))
+        .agg(count(lit(1)).as("c"), min(col("source")).as("source"))
+        .filter(col("c") === 1)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+      val totals = ch.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+        .join(totals, Seq("source"))
+        .join(uniq, Seq("source"), "left")
+        .withColumn("n_dup_chunks", col("n_chunks") - coalesce(col("n_unique"), lit(0L)))
+        .select(col("source"), col("n_docs"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 4)
+            .as("dup_chunk_rate"),
+          round(col("n_toks").cast("double") / col("n_chunks").cast("double"), 2)
+            .as("avg_chunk_tokens"))
+        .orderBy(col("source"))
+    },
+    Some {
+      import DuckDbSql.{hash64U, foldHash64U}
+      s"""WITH th AS (
+         |  SELECT doc_id, source,
+         |         list_transform(string_split(text, ' '), t -> ${hash64U("t")}) AS th
+         |  FROM documents
+         |), bounds AS (
+         |  SELECT doc_id, source, th,
+         |         list_filter(list_transform(th, (h, i) ->
+         |           CASE WHEN (h & 63) = 0 THEN i END), x -> x IS NOT NULL) AS ends
+         |  FROM th
+         |), pairs AS (
+         |  SELECT doc_id, source, th, unnest(list_prepend(0, ends)) AS s,
+         |         unnest(list_append(ends, len(th))) AS e
+         |  FROM bounds
+         |), chunks AS (
+         |  SELECT doc_id, source, ${foldHash64U("th[s+1:e]")} AS ch
+         |  FROM pairs WHERE e > s
+         |), uniqc AS (
+         |  SELECT min(source) AS source FROM chunks GROUP BY ch HAVING count(*) = 1
+         |), uniq AS (
+         |  SELECT source, count(*) AS n_unique FROM uniqc GROUP BY source
+         |), totals AS (
+         |  SELECT source, count(*) AS n_chunks FROM chunks GROUP BY source
+         |), docs AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         sum(len(string_split(text, ' '))) AS n_toks
+         |  FROM documents GROUP BY source
+         |)
+         |SELECT d.source, d.n_docs,
+         |       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(t.n_chunks - coalesce(q.n_unique, 0) AS BIGINT) AS n_dup_chunks,
+         |       ${DuckDbSql.sparkRound(
+              "CAST(t.n_chunks - coalesce(q.n_unique, 0) AS DOUBLE) / t.n_chunks", 4)} AS dup_chunk_rate,
+         |       ${DuckDbSql.sparkRound(
+              "CAST(d.n_toks AS DOUBLE) / t.n_chunks", 2)} AS avg_chunk_tokens
+         |FROM docs d JOIN totals t USING (source) LEFT JOIN uniq q USING (source)
+         |ORDER BY d.source""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring,
-    dedupSemantic, dedupIncremental, dedupSpans, dedupSpansRemove)
+    dedupSemantic, dedupIncremental, dedupSpans, dedupSpansRemove, dedupCdc)
 }

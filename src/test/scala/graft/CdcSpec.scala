@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (Dedup.cdcChunkHashes): boundary correctness,
+  * determinism, and the RESYNC property that justifies CDC over fixed
+  * windows — an insertion perturbs only the chunk it lands in. */
+class CdcSpec extends GraftSuite {
+
+  private def chunksOf(texts: Seq[String], maskBits: Int = 4): Seq[Seq[Long]] = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), Dedup.cdcChunkHashes(col("text"), maskBits).as("ch"))
+      .orderBy(col("id"))
+      .collect().map(_.getSeq[Long](1)).toSeq
+  }
+
+  private def randText(n: Int, seed: Long): String = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(_ => "w" + r.nextInt(5000)).mkString(" ")
+  }
+
+  test("chunk count and coverage: every token lands in exactly one chunk") {
+    val text = randText(400, 7)
+    val n = text.split(" ").length
+    val ch = chunksOf(Seq(text)).head
+    assert(ch.nonEmpty)
+    // expected chunk length 2^4 = 16 -> ~25 chunks over 400 tokens
+    assert(ch.size > 5 && ch.size < n, s"got ${ch.size} chunks")
+  }
+
+  test("resync: one inserted token perturbs at most two chunks") {
+    val base = randText(600, 13)
+    val edited = "zzz_inserted " + base
+    val Seq(a, b) = chunksOf(Seq(base, edited))
+    val shared = a.toSet & b.toSet
+    // the insertion sits before the first boundary: only the first chunk
+    // hash changes; every later chunk re-syncs to identical boundaries
+    assert(shared.size >= a.size - 2,
+      s"insertion must not cascade: ${a.size} base chunks, ${shared.size} shared")
+    // a mid-document edit likewise only perturbs its own chunk
+    val toks = base.split(" ").toVector
+    val mid = (toks.take(300) ++ Vector("edited_token") ++ toks.drop(300)).mkString(" ")
+    val Seq(a2, m2) = chunksOf(Seq(base, mid))
+    assert((a2.toSet & m2.toSet).size >= a2.size - 2)
+  }
+
+  test("identical fragments share chunk hashes across documents") {
+    val shared = randText(200, 21)
+    val d1 = randText(50, 22) + " " + shared
+    val d2 = randText(80, 23) + " " + shared
+    val Seq(c1, c2) = chunksOf(Seq(d1, d2))
+    // interior chunks of the shared tail are content-identical
+    assert((c1.toSet & c2.toSet).nonEmpty,
+      "documents sharing a long fragment must share CDC chunks")
+  }
+
+  test("deterministic and partition-invariant through the declared query") {
+    val run = () => SparkEntry.queries("q_dedup_cdc")(spark, sfDir).collect()
+    assert(run().map(_.toSeq).toSeq === run().map(_.toSeq).toSeq)
+  }
+}
