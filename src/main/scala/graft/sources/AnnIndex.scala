@@ -359,6 +359,13 @@ object AnnIndex {
     val hits = spark.read.parquet(hnswPath(dir))
       .filter(col("cell").isin(cellIds.toIndexedSeq: _*))
       .select(col("cell"), col("id"), col("level"), col("nbrs"), col("emb"))
+      // a cell's rows MUST be co-partitioned before the per-partition
+      // graph rebuild: without this, a cell spanning input splits (multiple
+      // append files, or row-group splits of one big file at scale) would
+      // rebuild from partial rows — graphOf fails loudly on a dangling
+      // neighbor id, but correct-by-construction beats loud. The shuffle
+      // moves only the probed cells' rows, bounded by probes × cell size.
+      .repartition(col("cell"))
       .as[HnswRow]
       .mapPartitions { it =>
         it.toSeq.groupBy(_.cell).iterator.flatMap { case (cell, rows) =>

@@ -207,6 +207,36 @@ class HnswSpec extends GraftSuite {
     assert(a.map(_.toSeq) === b.map(_.toSeq))
   }
 
+  test("fragmented cell graphs (many files per cell) still rebuild whole") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 8)
+    AnnIndex.buildHnsw(spark, dir, m = 8, efConstruction = 64)
+    val queries = e.filter(col("vec_id") < 10)
+    val before = AnnIndex.topKHnsw(spark, dir, queries, "vec_id", "embedding", 5, 2, 32)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    // fragment the layout: rewrite every cell's rows across many files —
+    // the shape a row-group split or repeated refresh produces at scale
+    val fp = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/hnsw/_GRAPH_FP"))
+    val frag = spark.read.parquet(s"$dir/hnsw")
+    frag.repartition(16)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/hnsw_frag")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/hnsw"))
+    assert(new java.io.File(s"$dir/hnsw_frag").renameTo(new java.io.File(s"$dir/hnsw")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/hnsw/_GRAPH_FP"), fp)
+    val cellFiles = new java.io.File(s"$dir/hnsw").listFiles
+      .filter(_.getName.startsWith("cell="))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(cellFiles.exists(_ > 1), "fragmentation must actually produce multi-file cells")
+    val after = AnnIndex.topKHnsw(spark, dir, queries, "vec_id", "embedding", 5, 2, 32)
+      .orderBy(col("qid"), col("rn")).collect().toSeq
+    assert(after.map(_.toSeq) === before.map(_.toSeq))
+  }
+
   test("stale graphs refuse loudly after append; rebuild re-admits") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")
