@@ -17,7 +17,15 @@ separates REGRESSION from ENVIRONMENTAL drift:
     class — two outlier-quiet runs made 2x "regressions" out of times
     sitting exactly on the query's typical envelope). P25 keeps regression
     sensitivity (a sustained 2x jump still flags against the typical-good
-    era) while bounding a lucky run's influence.
+    era) while bounding a lucky run's influence;
+  - a suspect must PERSIST: sub-second queries on a 171-query run draw
+    ~2x noise spikes whose membership ROAMS between runs (observed twice
+    in round 8: two back-to-back quiet-median runs each flagged six
+    queries with zero overlap, every prior suspect back at its
+    historical value). A query elevated in the fresh run but NOT in the
+    most recent committed run at the same (sf, cpus) is reported as
+    transient-awaiting-confirmation and does not fail the check; only
+    two consecutive elevated runs exit 1.
 
 Usage: python3 tools/bench_drift.py [BENCH.json]   (run from the repo root)
 Exit 0 = clean or uniform-environmental; exit 1 = isolated regressions.
@@ -110,6 +118,32 @@ def main():
     flagged = sorted(
         ((q, r) for q, r in ratios.items() if r > 1.5 and r > 1.5 * med),
         key=lambda x: -x[1])
+    # persistence gate: compare against the most recent committed run at
+    # the same (sf, cpus) — a suspect not elevated there is transient
+    prev = {}
+    try:
+        revs = subprocess.check_output(
+            ["git", "log", "--format=%H", "--", "BENCH.json"], text=True).split()
+        for rev in revs:
+            d = json.loads(subprocess.check_output(
+                ["git", "show", f"{rev}:BENCH.json"], text=True,
+                stderr=subprocess.DEVNULL))
+            if d.get("sf") == sf and d.get("cpus", 32) == cpus:
+                prev = d.get("queries") or {}
+                break
+    except Exception:
+        pass
+    persistent, transient = [], []
+    for q, r in flagged:
+        prev_elevated = (q in prev and q in best and best[q] > 0
+                         and prev[q] / best[q] > 1.5)
+        (persistent if prev_elevated else transient).append((q, r))
+    if transient:
+        print(f"\n{len(transient)} transient suspects (elevated in THIS run "
+              "only — rerun to confirm before believing):")
+        for q, r in transient:
+            print(f"  {q}: {cur[q]:.2f}s vs baseline {best[q]:.2f}s = {r:.1f}x")
+    flagged = persistent
     new = sorted(q for q in cur if q not in best)
     if new:
         print(f"{len(new)} queries with no history (new this round): "
