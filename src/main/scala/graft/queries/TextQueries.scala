@@ -499,7 +499,121 @@ object TextQueries {
             |FROM pairs GROUP BY pair
             |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin))
 
+  /** X3 bigram LM with Stupid Backoff (round 8) — the CCNet-class
+    * perplexity filter one order up from q_text_lm_score: the model trains
+    * on HALF the corpus (even doc_id — so held-out docs genuinely hit the
+    * backoff path, which a train-on-everything setup never exercises) and
+    * scores ALL docs over their bigram positions:
+    * P(w|v) = c(v,w)/c(v·) when the bigram was seen, else
+    * α·(c(w)+1)/(N+V) with α = 0.4 (Brants et al. 2007 Stupid Backoff —
+    * score, not a normalized probability, exactly as published).
+    * Float determinism: per-doc contributions group per (prev, cur) and
+    * fold in SORTED pair order (sort_array + aggregate ≡ DuckDB
+    * list(ORDER BY)+list_reduce — the lm_score pairing). `n_backoff`
+    * makes the backoff path observable. Bottom-10 = most surprising. */
+  private val textLm2Score = Q(
+    "q_text_lm2_score",
+    (spark, dir) => {
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
+      val toks = split(col("text"), " ")
+      val pairsOf = zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))
+      val allPairs = d.select(col("doc_id"), explode(pairsOf).as("pc"))
+        .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+        .persist() // feeds training (even docs) and scoring (all docs)
+      val big = allPairs.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+      val ctx = big.groupBy(col("prev")).agg(sum(col("cb")).as("cctx"))
+      val uniEx = d.filter(col("doc_id") % 2 === 0)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val uni = uniEx.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+      val tot = uni.agg(sum(col("cu")).cast("double").as("n"),
+        count(lit(1)).cast("double").as("v"))
+      val dp = allPairs.groupBy(col("doc_id"), col("prev"), col("cur"))
+        .agg(count(lit(1)).as("np"))
+        .join(big, Seq("prev", "cur"), "left")
+        .join(broadcast(ctx.withColumnRenamed("prev", "prev_")),
+          col("prev") === col("prev_"), "left")
+        .join(broadcast(uni.withColumnRenamed("term", "cur_")),
+          col("cur") === col("cur_"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("np"),
+          when(col("cb").isNotNull,
+            log(col("cb").cast("double") / col("cctx").cast("double")))
+            .otherwise(log(lit(0.4) *
+              (coalesce(col("cu"), lit(0L)) + 1).cast("double") / (col("n") + col("v"))))
+            .as("lnp"),
+          col("cb").isNull.as("backoff"),
+          struct(col("prev"), col("cur")).as("pk"))
+      val perDoc = dp
+        .select(col("doc_id"), col("np"), col("backoff"),
+          struct(col("pk").getField("prev").as("prev"),
+            col("pk").getField("cur").as("cur"),
+            (col("np").cast("double") * col("lnp")).as("contrib")).as("tc"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("np")).cast("long").as("n_bigrams"),
+          sum(when(col("backoff"), col("np")).otherwise(lit(0L))).as("n_backoff"),
+          expr("aggregate(transform(sort_array(collect_list(tc)), x -> x.contrib), 0.0D, (acc, x) -> acc + x)")
+            .as("s"))
+        .withColumn("score", round(col("s") / col("n_bigrams").cast("double"), 6))
+      val w = Window.orderBy(col("score").asc, col("doc_id").asc)
+      perDoc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("rn"), col("doc_id"), col("n_bigrams"), col("n_backoff"), col("score"))
+        .orderBy(col("rn"))
+    },
+    Some(s"""WITH pairs AS (
+            |  SELECT doc_id, tk[i] AS prev, tk[i+1] AS cur
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+            |               unnest(range(1, len(string_split(text, ' ')))) AS i
+            |        FROM documents)
+            |), big AS (
+            |  SELECT prev, cur, count(*) AS cb FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1, 2
+            |), ctx AS (
+            |  SELECT prev, sum(cb) AS cctx FROM big GROUP BY 1
+            |), uni AS (
+            |  SELECT unnest(string_split(text, ' ')) AS term, 1 AS one
+            |  FROM documents WHERE doc_id % 2 = 0
+            |), unic AS (
+            |  SELECT term, count(*) AS cu FROM uni GROUP BY 1
+            |), tot AS (
+            |  SELECT CAST(sum(cu) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM unic
+            |), dp AS (
+            |  SELECT p.doc_id, p.prev, p.cur, count(*) AS np FROM pairs p GROUP BY 1, 2, 3
+            |), scoredp AS (
+            |  SELECT dp.doc_id, dp.prev, dp.cur, dp.np,
+            |         CASE WHEN b.cb IS NOT NULL
+            |              THEN ln(CAST(b.cb AS DOUBLE) / CAST(c.cctx AS DOUBLE))
+            |              ELSE ln(CAST(0.4 AS DOUBLE) *
+            |                      CAST(coalesce(u.cu, 0) + 1 AS DOUBLE) / (t.n + t.v))
+            |         END AS lnp,
+            |         CASE WHEN b.cb IS NULL THEN dp.np ELSE 0 END AS nbk
+            |  FROM dp
+            |  LEFT JOIN big b ON dp.prev = b.prev AND dp.cur = b.cur
+            |  LEFT JOIN ctx c ON dp.prev = c.prev
+            |  LEFT JOIN unic u ON dp.cur = u.term
+            |  CROSS JOIN tot t
+            |), perdoc AS (
+            |  SELECT doc_id,
+            |         CAST(sum(np) AS BIGINT) AS n_bigrams,
+            |         CAST(sum(nbk) AS BIGINT) AS n_backoff,
+            |         list_reduce(list(CAST(np AS DOUBLE) * lnp ORDER BY prev, cur),
+            |                     (acc, x) -> acc + x) AS s
+            |  FROM scoredp GROUP BY 1
+            |), scored AS (
+            |  SELECT doc_id, n_bigrams, n_backoff,
+            |         ${graft.tools.DuckDbSql.sparkRound("s / CAST(n_bigrams AS DOUBLE)", 6)} AS score
+            |  FROM perdoc
+            |), ranked AS (
+            |  SELECT *, row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rn
+            |  FROM scored
+            |)
+            |SELECT rn, doc_id, n_bigrams, n_backoff, score
+            |FROM ranked WHERE rn <= 10 ORDER BY rn""".stripMargin))
+
   val all: Seq[Q] = Seq(textRareNgram, textTokens, textQuality, textLangId, textFingerprint, textTfidf,
     textRepetition, textChunks, textClean, textBpePairs, textBpeEncode,
-    textLmScore)
+    textLmScore, textLm2Score)
 }
