@@ -737,6 +737,60 @@ object EventQueries {
            |       TRUE AS theta3_within_5pct
            |FROM per_user GROUP BY cohort ORDER BY cohort""".stripMargin))
 
+  /** Per-type hourly anomaly detection (round 8) — the alerting shape a
+    * realtime dashboard derives from the event stream: hourly event counts
+    * per type, per-type mean/std from EXACT integer moments (sum and
+    * sum-of-squares over longs in DECIMAL — no float accumulation-order
+    * divergence between engines, the q_agg_moments two-pass doctrine),
+    * bucket z-scores, anomalies = |z| > 2. */
+  private val eventsAnomaly = Q(
+    "q_events_anomaly",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+      val b = ev.withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      val stats = b.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n")).as("s"),
+          sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")).as("ss"))
+        .select(col("event_type"), col("n_buckets"),
+          (col("s").cast("double") / col("n_buckets").cast("double")).as("mean"),
+          sqrt(col("ss").cast("double") / col("n_buckets").cast("double") -
+            (col("s").cast("double") / col("n_buckets").cast("double")) *
+            (col("s").cast("double") / col("n_buckets").cast("double"))).as("sd"))
+      b.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("n").cast("double") - col("mean")) / col("sd"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_buckets")).as("n_buckets"),
+          round(max(col("mean")), 4).as("mean_n"),
+          round(max(col("sd")), 4).as("sd_n"),
+          sum(when(abs(col("z")) > 2.0, 1L).otherwise(0L)).as("n_anomalies"),
+          round(max(abs(col("z"))), 4).as("max_abs_z"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH b AS (
+            |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+            |  FROM events GROUP BY 1, 2
+            |), stats AS (
+            |  SELECT event_type, count(*) AS n_buckets,
+            |         CAST(sum(n) AS DOUBLE) / count(*) AS mean,
+            |         sqrt(CAST(sum(n * n) AS DOUBLE) / count(*) -
+            |              (CAST(sum(n) AS DOUBLE) / count(*)) *
+            |              (CAST(sum(n) AS DOUBLE) / count(*))) AS sd
+            |  FROM b GROUP BY 1
+            |)
+            |SELECT b.event_type,
+            |       CAST(max(s.n_buckets) AS BIGINT) AS n_buckets,
+            |       ${graft.tools.DuckDbSql.sparkRound("max(s.mean)", 4)} AS mean_n,
+            |       ${graft.tools.DuckDbSql.sparkRound("max(s.sd)", 4)} AS sd_n,
+            |       CAST(sum(CASE WHEN abs((CAST(b.n AS DOUBLE) - s.mean) / s.sd) > 2.0
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+            |       ${graft.tools.DuckDbSql.sparkRound(
+                 "max(abs((CAST(b.n AS DOUBLE) - s.mean) / s.sd))", 4)} AS max_abs_z
+            |FROM b JOIN stats s USING (event_type)
+            |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
@@ -745,5 +799,6 @@ object EventQueries {
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
     eventsFunnelWindow, eventsFunnelMaxstep, aggFunnelSql, eventsGapfill,
     eventsGapfillDefault, eventsGapfillSql, eventsFunnelCount, eventsFunnelTheta,
+    eventsAnomaly,
     eventsCohort, eventsIdSet, eventsHybrid)
 }

@@ -49,5 +49,32 @@ object SqlSurfaceQueries {
       |       round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS price_ratio
       |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)
 
-  val all: Seq[Q] = Seq(sqlCte, sqlInSubquery, sqlExistsSubquery, sqlScalarSubquery)
+  /** SQL PIVOT (round 8) — Spark's native PIVOT clause (count per pivoted
+    * l_linestatus value, plus a 'X' column for a value ABSENT from the
+    * data: Spark pivot yields NULL for empty cells, made deterministic
+    * with coalesce both engines). The oracle is the CASE-aggregation
+    * desugaring — the two spellings must be the same query. */
+  private val sqlPivot = Q(
+    "q_sql_pivot",
+    (spark, dir) => {
+      graft.sources.Tables.registerViews(spark, dir)
+      spark.sql(
+        """SELECT l_returnflag,
+          |       coalesce(F, 0) AS n_f, coalesce(O, 0) AS n_o,
+          |       coalesce(X, 0) AS n_x
+          |FROM (
+          |  SELECT * FROM (SELECT l_returnflag, l_linestatus FROM lineitem)
+          |  PIVOT (count(*) FOR l_linestatus IN ('F' AS F, 'O' AS O, 'X' AS X))
+          |)
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+           |       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           |       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           |       CAST(count(CASE WHEN l_linestatus = 'X' THEN 1 END) AS BIGINT) AS n_x
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[Q] = Seq(sqlCte, sqlInSubquery, sqlExistsSubquery, sqlScalarSubquery,
+    sqlPivot)
 }
