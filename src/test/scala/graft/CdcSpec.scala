@@ -57,6 +57,28 @@ class CdcSpec extends GraftSuite {
       "documents sharing a long fragment must share CDC chunks")
   }
 
+  test("chunking is map-side: no shuffle below the chunk-hash explode") {
+    import spark.implicits._
+    val df = Seq((1L, randText(100, 31)), (2L, randText(80, 32)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(Dedup.cdcChunkHashes(col("text"), 4)).as("ch"))
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other
+    }
+    def hasShuffle(p: SparkPlan): Boolean = {
+      val u = unwrap(p)
+      u.isInstanceOf[ShuffleExchangeLike] || u.children.exists(hasShuffle)
+    }
+    assert(!hasShuffle(df.queryExecution.executedPlan),
+      "chunk-hash generation must not shuffle the corpus")
+  }
+
   test("deterministic and partition-invariant through the declared query") {
     val run = () => SparkEntry.queries("q_dedup_cdc")(spark, sfDir).collect()
     assert(run().map(_.toSeq).toSeq === run().map(_.toSeq).toSeq)
