@@ -88,8 +88,13 @@ object VectorSimilarity {
 
   private[plans] def probedIds(spark: SparkSession, e: Entry,
       qv: Array[Float], k: Int): Array[Long] = {
-    val key = (graft.sources.Fingerprint.of(s"${e.indexDir}"), qv.toSeq, k,
-      e.probes, e.ef)
+    // memo keys on the RECURSIVE layout signature, not the index-dir file
+    // list: an append writes only inside cell subdirectories, which a
+    // flat fingerprint cannot see — the memo would keep serving
+    // pre-append top-k for the rest of the session (found in round-8
+    // review; AnnIndexSpec covers the append-then-reprobe case)
+    val key = (graft.sources.AnnIndex.layoutSignature(spark, e.indexDir),
+      qv.toSeq, k, e.probes, e.ef)
     probeMemo.computeIfAbsent(key, _ => {
       import spark.implicits._
       // synthetic qid −1 never collides with a stored id, so topK's

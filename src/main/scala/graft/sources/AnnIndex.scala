@@ -233,6 +233,12 @@ object AnnIndex {
     * a layout that [[append]]/[[compact]]/[[build]] has since changed — the
     * SegmentPruning staleness doctrine (an index is an accelerator, never a
     * silent wrong-answer source). */
+  /** Public alias: the signature callers key caches on (e.g. the
+    * VECTOR_SIMILARITY planning-time probe memo) — any append/compact/
+    * rebuild of the live layout changes it. */
+  def layoutSignature(spark: SparkSession, dir: String): String =
+    assignSignature(spark, dir)
+
   private def assignSignature(spark: SparkSession, dir: String): String = {
     val fs = fsOf(spark, dir)
     val root = new org.apache.hadoop.fs.Path(assignDir(spark, dir))

@@ -208,6 +208,32 @@ class AnnIndexSpec extends GraftSuite {
       s"(indexed=$indexed brute=$brute)")
   }
 
+  test("VECTOR_SIMILARITY probe memo sees appends: newly ingested exact match wins") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    // hold the last vector OUT of the initial build
+    AnnIndex.build(e.filter(col("vec_id") < n - 1), dir, "vec_id", "embedding", nCells = 8)
+    val held = e.filter(col("vec_id") === n - 1)
+    val qv = held.select("embedding").collect()(0).getSeq[Float](0)
+    val arr = qv.map(_.toString).mkString(", ")
+    val s = spark.newSession()
+    PinotFunctions.register(s); Tables.registerViews(s, sfDir)
+    graft.plans.VectorSimilarity.register(
+      s, s"$sfDir/embeddings.parquet", "embedding", "vec_id", dir, probes = 8)
+    val sql = s"""SELECT vec_id FROM embeddings
+                 |WHERE VECTOR_SIMILARITY(embedding, CAST(ARRAY($arr) AS ARRAY<FLOAT>), 3)
+                 |ORDER BY vec_id""".stripMargin
+    val before = s.sql(sql).collect().map(_.getLong(0)).toSet
+    assert(!before.contains(n - 1), "held-out id cannot be served before ingest")
+    AnnIndex.append(held, dir, "vec_id", "embedding")
+    // same session, same SQL: the probe memo must key on the CHANGED
+    // layout and re-probe — the exact match (sim 1.0) now wins
+    val after = s.sql(sql).collect().map(_.getLong(0)).toSet
+    assert(after.contains(n - 1),
+      s"memo served stale pre-append top-k: $after")
+  }
+
   test("k-means build path: distributed training, recall vs brute force") {
     val dir = tmp()
     val e = Tables.t(spark, sfDir, "embeddings")
