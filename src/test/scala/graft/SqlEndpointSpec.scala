@@ -154,4 +154,23 @@ class SqlEndpointSpec extends GraftSuite {
       assert(rs.getLong("dflt") === 7L)
     } finally conn.close()
   }
+
+  test("FUNNEL_COUNT broker spelling answers over JDBC (round-8)") {
+    val conn = connect()
+    try {
+      // Thrift renders the array cell as its string form — parse the
+      // bracketed longs (the BI-tool wire shape for MV results)
+      val rs = conn.createStatement().executeQuery(
+        "SELECT CAST(FUNNEL_COUNT(" +
+          "STEPS(event_type = 'view', event_type = 'click', event_type = 'purchase'), " +
+          "CORRELATE_BY(user_id), SETTINGS('set')) AS STRING) AS fc " +
+          "FROM global_temp.events")
+      assert(rs.next())
+      val counts = rs.getString("fc").stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.toLong).toSeq
+      assert(counts.length === 3)
+      assert(counts(0) >= counts(1) && counts(1) >= counts(2) && counts(2) > 0,
+        s"prefix counts must be monotone: $counts")
+    } finally conn.close()
+  }
 }
