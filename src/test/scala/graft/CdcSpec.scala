@@ -79,6 +79,39 @@ class CdcSpec extends GraftSuite {
       "chunk-hash generation must not shuffle the corpus")
   }
 
+  test("10 seeded fuzz rounds: chunk hashes match the JVM kernel reference") {
+    import graft.expressions.{FoldHashOps, TextOps}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def refChunks(text: String, maskBits: Int): Seq[Long] = {
+      val th = text.split(" ").map(t => TextOps.hash64(UTF8String.fromString(t), 0L))
+      val mask = (1L << maskBits) - 1
+      val ends = th.zipWithIndex.collect { case (h, i) if (h & mask) == 0L => i + 1 }.toSeq
+      val starts = 0 +: ends
+      val allEnds = ends :+ th.length
+      starts.zip(allEnds).collect { case (s, e) if e > s =>
+        FoldHashOps.foldHash64(new GenericArrayData(th.slice(s, e)))
+      }
+    }
+    import spark.implicits._
+    for (round <- 0 until 10) {
+      val r = new scala.util.Random(400 + round)
+      val maskBits = 1 + r.nextInt(6) // small masks -> many boundaries
+      val texts = (0 until 20).map { _ =>
+        val len = 1 + r.nextInt(60)
+        (0 until len).map(_ => "w" + r.nextInt(300)).mkString(" ")
+      } :+ "solo" // single-token edge
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), Dedup.cdcChunkHashes(col("text"), maskBits).as("ch"))
+        .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) === refChunks(t, maskBits),
+          s"round $round maskBits $maskBits doc $i")
+      }
+    }
+  }
+
   test("deterministic and partition-invariant through the declared query") {
     val run = () => SparkEntry.queries("q_dedup_cdc")(spark, sfDir).collect()
     assert(run().map(_.toSeq).toSeq === run().map(_.toSeq).toSeq)
