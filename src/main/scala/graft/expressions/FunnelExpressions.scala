@@ -61,7 +61,7 @@ object FunnelAggs {
     * (analysis runs on the driver; executors see the baked-in value). A
     * single hot key — a bot user emitting step-matching events forever —
     * would otherwise grow one group's aggregation buffer without bound. */
-  private def configuredCap(): Int =
+  private[expressions] def configuredCap(): Int =
     try org.apache.spark.sql.internal.SQLConf.get
       .getConfString(FunnelAgg.MaxEventsConfKey, FunnelAgg.DefaultMaxBufferedEvents.toString)
       .toInt
@@ -367,7 +367,11 @@ object FunnelCountAgg {
       // standard: merging two real ids needs a 128-bit collision
       FunnelCountAgg(
         XxHash64(Seq(c), 42L), XxHash64(Seq(c), 7L),
-        FunnelAggs.stepBits(steps), steps.size)
+        FunnelAggs.stepBits(steps), steps.size,
+        // analysis-time conf read, same doctrine as FunnelAggs.agg — capFail()
+        // tells users to raise graft.funnel.maxEventsPerGroup, so it must
+        // actually govern this aggregate too
+        maxUsers = FunnelAggs.configuredCap())
         .toAggregateExpression()
   }
 }

@@ -230,7 +230,12 @@ object Hnsw {
     val visited = mutable.BitSet(ep._2)
     val cand = mutable.PriorityQueue.empty[(Double, Int)](closerFirst.reverse)
     val res = mutable.PriorityQueue.empty[(Double, Int)](closerFirst)
-    cand.enqueue(ep); res.enqueue(ep)
+    // the excluded slot (self-search) may be TRAVERSED (cand) but never
+    // occupies a result slot — with ef <= k the old trim-then-filter wasted
+    // one of only k slots on the query point itself
+    def excluded(slot: Int): Boolean = g.ids(slot) == excludeId
+    cand.enqueue(ep)
+    if (!excluded(ep._2)) res.enqueue(ep)
     val width = math.max(ef, k)
     while (cand.nonEmpty) {
       val c = cand.dequeue()
@@ -244,8 +249,11 @@ object Hnsw {
             visited += e
             val de = (d(e), e)
             if (res.size < width || closerFirst.lt(de, res.head)) {
-              cand.enqueue(de); res.enqueue(de)
-              if (res.size > width) res.dequeue()
+              cand.enqueue(de)
+              if (!excluded(e)) {
+                res.enqueue(de)
+                if (res.size > width) res.dequeue()
+              }
             }
           }
           j += 1
@@ -253,7 +261,6 @@ object Hnsw {
       }
     }
     val hits = res.toVector.sorted(closerFirst)
-      .filter { case (_, s) => g.ids(s) != excludeId }
       .take(k)
       .map { case (dd, s) => (g.ids(s), 1.0 - dd) }
     Result(hits, evals)

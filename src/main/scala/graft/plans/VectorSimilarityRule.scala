@@ -60,11 +60,11 @@ object VectorSimilarity {
       indexDir: String, probes: Int, fingerprint: String, ef: Int = 0)
 
   private val registry = new ConcurrentHashMap[(String, String), Entry]()
-  // (indexDir fingerprint, vector, k, probes, ef) → probed ids;
-  // planning-time jobs run once per distinct probe, EXPLAIN and
+  // (layout signature, graph signature, vector, k, probes, ef) → probed
+  // ids; planning-time jobs run once per distinct probe, EXPLAIN and
   // re-analysis are free
   private val probeMemo =
-    new ConcurrentHashMap[(String, Seq[Float], Int, Int, Int), Array[Long]]()
+    new ConcurrentHashMap[(String, String, Seq[Float], Int, Int, Int), Array[Long]]()
 
   private def canon(p: String): String = StarTree.canon(p)
 
@@ -92,9 +92,15 @@ object VectorSimilarity {
     // list: an append writes only inside cell subdirectories, which a
     // flat fingerprint cannot see — the memo would keep serving
     // pre-append top-k for the rest of the session (found in round-8
-    // review; AnnIndexSpec covers the append-then-reprobe case)
+    // review; AnnIndexSpec covers the append-then-reprobe case). When the
+    // probe routes through HNSW (ef > 0) the key also carries the GRAPH
+    // identity: a buildHnsw re-run with different m/efConstruction leaves
+    // the assignments layout unchanged while rewriting every graph file —
+    // without this the memo would serve old-graph top-k for the session.
+    val gsig =
+      if (e.ef > 0) graft.sources.AnnIndex.graphSignature(spark, e.indexDir) else ""
     val key = (graft.sources.AnnIndex.layoutSignature(spark, e.indexDir),
-      qv.toSeq, k, e.probes, e.ef)
+      gsig, qv.toSeq, k, e.probes, e.ef)
     probeMemo.computeIfAbsent(key, _ => {
       import spark.implicits._
       // synthetic qid −1 never collides with a stored id, so topK's

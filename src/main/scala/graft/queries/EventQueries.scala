@@ -760,7 +760,12 @@ object EventQueries {
             (col("s").cast("double") / col("n_buckets").cast("double")) *
             (col("s").cast("double") / col("n_buckets").cast("double"))).as("sd"))
       b.join(broadcast(stats), Seq("event_type"))
-        .withColumn("z", (col("n").cast("double") - col("mean")) / col("sd"))
+        // sd=0 (all hourly counts equal) must not produce NaN/Inf — NULL z
+        // (no anomaly) in BOTH engines, else float division-by-zero semantics
+        // diverge on degenerate strata
+        .withColumn("z",
+          when(col("sd") > 0.0,
+            (col("n").cast("double") - col("mean")) / col("sd")))
         .groupBy(col("event_type"))
         .agg(max(col("n_buckets")).as("n_buckets"),
           round(max(col("mean")), 4).as("mean_n"),
@@ -784,10 +789,12 @@ object EventQueries {
             |       CAST(max(s.n_buckets) AS BIGINT) AS n_buckets,
             |       ${graft.tools.DuckDbSql.sparkRound("max(s.mean)", 4)} AS mean_n,
             |       ${graft.tools.DuckDbSql.sparkRound("max(s.sd)", 4)} AS sd_n,
-            |       CAST(sum(CASE WHEN abs((CAST(b.n AS DOUBLE) - s.mean) / s.sd) > 2.0
+            |       CAST(sum(CASE WHEN abs(CASE WHEN s.sd > 0
+            |                     THEN (CAST(b.n AS DOUBLE) - s.mean) / s.sd END) > 2.0
             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
             |       ${graft.tools.DuckDbSql.sparkRound(
-                 "max(abs((CAST(b.n AS DOUBLE) - s.mean) / s.sd))", 4)} AS max_abs_z
+                 "max(abs(CASE WHEN s.sd > 0 THEN (CAST(b.n AS DOUBLE) - s.mean) / s.sd END))",
+                 4)} AS max_abs_z
             |FROM b JOIN stats s USING (event_type)
             |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin))
 

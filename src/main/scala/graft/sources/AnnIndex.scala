@@ -255,6 +255,28 @@ object AnnIndex {
 
   private def graphFpPath(dir: String) = s"${hnswPath(dir)}/_GRAPH_FP"
 
+  /** Identity of the CURRENT graph set (recursive hnsw/ listing with file
+    * length AND modification time). [[layoutSignature]] alone cannot see a
+    * `buildHnsw` re-run with different m/efConstruction — the assignments
+    * layout (and thus `_GRAPH_FP`) is unchanged while every graph file is
+    * rewritten — so planning-time caches over HNSW answers must key on this
+    * too. Empty string when no graphs exist. */
+  def graphSignature(spark: SparkSession, dir: String): String = {
+    val fs = fsOf(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(hnswPath(dir))
+    if (!fs.exists(root)) return ""
+    val it = fs.listFiles(root, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(root.toUri.getPath)
+      if (!rel.endsWith("_SUCCESS"))
+        parts += s"$rel:${s.getLen}:${s.getModificationTime}"
+    }
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(parts.sorted.mkString("|")) & 0xffffffffL)
+  }
+
   /** Build one deterministic HNSW graph PER CELL over the live assignments
     * and persist it partitioned by cell — the sharded-HNSW scale shape (each
     * executor builds the graphs of the cells it holds; no global mutable

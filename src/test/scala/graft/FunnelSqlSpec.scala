@@ -266,6 +266,27 @@ class FunnelSqlSpec extends GraftSuite {
       err.getCause != null && err.getCause.getMessage.contains("warp_drive"))
   }
 
+  test("FUNNEL_COUNT honors graft.funnel.maxEventsPerGroup (analysis-time conf read)") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    import s.implicits._
+    (0L until 50L).map(i => (i, "a")).toDF("uid", "etype")
+      .createOrReplaceTempView("fc_cap")
+    val q = """SELECT FUNNEL_COUNT(STEPS(etype = 'a'), CORRELATE_BY(uid)) AS fc
+              |FROM fc_cap""".stripMargin
+    // capFail tells users to raise this conf — so it must actually govern
+    // FUNNEL_COUNT, not just the ordered funnel family (round-8 advice)
+    s.conf.set(graft.expressions.FunnelAgg.MaxEventsConfKey, "10")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception](s.sql(q).collect())
+    assert(msgs(e).exists(_.contains(graft.expressions.FunnelAgg.MaxEventsConfKey)),
+      msgs(e).mkString("; "))
+    s.conf.set(graft.expressions.FunnelAgg.MaxEventsConfKey, "1000")
+    assert(s.sql(q).collect()(0).getSeq[Long](0) === Seq(50L))
+    s.conf.unset(graft.expressions.FunnelAgg.MaxEventsConfKey)
+  }
+
   test("FUNNEL_COUNT theta_sketch strategy: exact below saturation, bounded state above") {
     import pinot.implicits._
     // 5k distinct ids, well under lgK=12's retained entries -> theta IS exact

@@ -79,6 +79,22 @@ class HnswSpec extends GraftSuite {
     assert(meanEvals < 4000 * 0.4, s"meanEvals=$meanEvals — graph must not degenerate to a scan")
   }
 
+  test("self-search with ef <= k still returns k hits (excluded node must not occupy a result slot)") {
+    val pts = randomPoints(500, 16, seed = 23)
+    val g = Hnsw.build(pts, Hnsw.Params(m = 8, efConstruction = 64))
+    (0 until 20).map(_ * 23L).foreach { qid =>
+      val q = pts(qid.toInt)._2
+      // ef == k and ef < k: the query point is IN the graph and closest to
+      // itself, so before the round-9 fix the trimmed heap wasted a slot on
+      // it and returned only k-1 hits
+      Seq(10 -> 10, 10 -> 4).foreach { case (k, ef) =>
+        val r = Hnsw.search(g, q, k, ef, excludeId = qid)
+        assert(r.hits.size === k, s"qid=$qid k=$k ef=$ef got ${r.hits.size}")
+        assert(!r.hits.exists(_._1 == qid), s"qid=$qid leaked into results")
+      }
+    }
+  }
+
   test("serialized rows rebuild a graph that searches bit-identically") {
     val pts = randomPoints(300, 16, seed = 19)
     val p = Hnsw.Params(m = 8, efConstruction = 48)
@@ -138,6 +154,25 @@ class HnswSpec extends GraftSuite {
     assert(viaGraph === viaScan, "wide-beam graph probe must equal the exhaustive scan probe")
     assert(plan.contains(" IN ") || plan.toLowerCase.contains("in ("),
       s"graph route must still rewrite to an IN-list filter:\n$plan")
+  }
+
+  test("graphSignature changes on a param-different rebuild while layoutSignature does not") {
+    val dir = tmp()
+    val e = Tables.t(spark, sfDir, "embeddings")
+    AnnIndex.build(e, dir, "vec_id", "embedding", nCells = 16)
+    assert(AnnIndex.graphSignature(spark, dir) === "", "no graphs yet -> empty")
+    AnnIndex.buildHnsw(spark, dir, m = 8, efConstruction = 64)
+    val layout1 = AnnIndex.layoutSignature(spark, dir)
+    val g1 = AnnIndex.graphSignature(spark, dir)
+    assert(g1.nonEmpty)
+    Thread.sleep(5) // modtime granularity
+    // a rebuild with DIFFERENT build params rewrites every graph file but
+    // leaves the assignments layout (and the _GRAPH_FP stamp) unchanged —
+    // the VECTOR_SIMILARITY probe memo must see a new key (round-8 advice)
+    AnnIndex.buildHnsw(spark, dir, m = 4, efConstruction = 16)
+    assert(AnnIndex.layoutSignature(spark, dir) === layout1)
+    assert(AnnIndex.graphSignature(spark, dir) !== g1,
+      "graph identity must change when the graphs are rebuilt")
   }
 
   test("refreshHnsw rebuilds only the appended cells and equals a full rebuild") {

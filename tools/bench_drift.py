@@ -133,10 +133,17 @@ def main():
                 break
     except Exception:
         pass
+    # normalize the prev run by ITS OWN median host drift, mirroring the
+    # fresh-run test — a uniformly throttled previous run elevates most
+    # queries, which would promote roaming noise to "persistent" exactly
+    # when host noise is worst
+    prev_ratios = [prev[q] / best[q] for q in prev if q in best and best[q] > 0]
+    prev_med = statistics.median(prev_ratios) if prev_ratios else 1.0
     persistent, transient = [], []
     for q, r in flagged:
         prev_elevated = (q in prev and q in best and best[q] > 0
-                         and prev[q] / best[q] > 1.5)
+                         and prev[q] / best[q] > 1.5
+                         and prev[q] / best[q] > 1.5 * prev_med)
         (persistent if prev_elevated else transient).append((q, r))
     if transient:
         print(f"\n{len(transient)} transient suspects (elevated in THIS run "
