@@ -364,9 +364,13 @@ object TextQueries {
           expr("aggregate(transform(sort_array(collect_list(tc)), x -> x.contrib), 0.0D, (acc, x) -> acc + x)")
             .as("s"))
         .withColumn("score", round(col("s") / col("n_toks").cast("double"), 6))
+      // distributed top-k FIRST (TakeOrderedAndProject: per-partition top-10,
+      // merge of 10×P rows) — ranking the full perDoc frame through a
+      // no-partition window moved every doc to ONE partition (the WindowExec
+      // warning class; a 100 TB corpus would serialize through one task)
+      val top = perDoc.orderBy(col("score").asc, col("doc_id").asc).limit(10)
       val w = Window.orderBy(col("score").asc, col("doc_id").asc)
-      perDoc.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      top.withColumn("rn", row_number().over(w))
         .select(col("rn"), col("doc_id"), col("n_toks"), col("score"))
         .orderBy(col("rn"))
     },
@@ -558,9 +562,10 @@ object TextQueries {
           expr("aggregate(transform(sort_array(collect_list(tc)), x -> x.contrib), 0.0D, (acc, x) -> acc + x)")
             .as("s"))
         .withColumn("score", round(col("s") / col("n_bigrams").cast("double"), 6))
+      // distributed top-k first, rank the 10 survivors (see q_text_lm_score)
+      val top = perDoc.orderBy(col("score").asc, col("doc_id").asc).limit(10)
       val w = Window.orderBy(col("score").asc, col("doc_id").asc)
-      perDoc.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      top.withColumn("rn", row_number().over(w))
         .select(col("rn"), col("doc_id"), col("n_bigrams"), col("n_backoff"), col("score"))
         .orderBy(col("rn"))
     },
