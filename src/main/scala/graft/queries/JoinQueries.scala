@@ -253,7 +253,33 @@ object JoinQueries {
             |FROM pts JOIN bands ON unit_price >= lo AND unit_price <= hi
             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
+  /** Fuzzy (edit-distance) string self-join over part names —
+    * [[graft.ops.FuzzyJoin]], the PassJoin topology: d+1 pigeonhole
+    * segments per string on the index side, bounded substring enumeration
+    * on the probe side, shuffled equi-join on (length, slot, segment),
+    * exact `levenshtein` confirm. Candidate generation is provably
+    * COMPLETE (at least one segment of a within-distance pair survives
+    * with zero edits), so the oracle is plain brute force — distinct-name
+    * cross pairs filtered by DuckDB's own levenshtein. At corpus scale the
+    * name dictionary is the distinct frame (never row-level), fan-out per
+    * string is a constant (~(2d+1)^2*(d+1)), and no partition grows with
+    * data size — the standard typo-class reconciliation shape. */
+  private val joinFuzzy = Q(
+    "q_join_fuzzy",
+    (spark, dir) => {
+      graft.ops.FuzzyJoin
+        .selfJoin(Tables.t(spark, dir, "part"), "p_name", d = 3)
+        .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some("""WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+            |SELECT a.p_name AS name_a, b.p_name AS name_b,
+            |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            |FROM n a JOIN n b ON a.p_name < b.p_name
+            |WHERE levenshtein(a.p_name, b.p_name) <= 3
+            |ORDER BY name_a, name_b""".stripMargin))
+
   val all: Seq[Q] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinCross, joinTheta, joinLookup, joinRange, joinMulti)
+    joinCross, joinTheta, joinLookup, joinRange, joinMulti, joinFuzzy)
 }

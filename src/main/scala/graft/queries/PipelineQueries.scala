@@ -524,7 +524,120 @@ object PipelineQueries {
          |ORDER BY lang, rk""".stripMargin
     })
 
+  /** X5b importance resampling (round 9) — the DSIR recipe (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): represent documents as hashed n-gram counts (unigrams +
+    * bigrams into B = 256 buckets), fit bag-of-buckets distributions for
+    * the TARGET domain (here: lang = 'en') and the SOURCE pool (the rest),
+    * score every source doc with its importance log-weight
+    * Σ_b n_db · [ln p̂_t(b) − ln p̂_s(b)] (add-one smoothed), and resample
+    * by Gumbel top-k (priority = logw + Gumbel(hash(doc_id)) — sampling
+    * without replacement ∝ w with ZERO RNG state, the q_sample_weighted
+    * doctrine).
+    *
+    * Scale shape: the bucket-stats frame is B = 256 rows (broadcast), the
+    * per-(doc,bucket) count shuffle is bounded by 256 distinct keys per
+    * doc, the per-doc fold runs in BUCKET-SORTED order (the lm_score
+    * bit-exact float pairing), and selection is TakeOrderedAndProject —
+    * nothing grows super-linearly and no global window. B=256 = 2^8 keeps
+    * pmod(signed)/unsigned-% equality for the oracle hash pairing. */
+  private val sampleDsir = Q(
+    "q_sample_dsir",
+    (spark, dir) => {
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val bigrams = zip_with(
+        slice(toks, lit(1), greatest(n - 1, lit(0))),
+        slice(toks, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      val bg = d.select(col("doc_id"), col("lang"),
+          explode(concat(toks, bigrams)).as("g"))
+        .select(col("doc_id"), col("lang"),
+          pmod(stable_hash64(col("g"), 17L), lit(256L)).as("b"))
+        .persist() // shared: bucket stats (full corpus) + per-doc counts
+      val stats = bg.groupBy(col("b")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cs"))
+      val tot = stats.agg(sum(col("ct")).cast("double").as("nt"),
+        sum(col("cs")).cast("double").as("ns"))
+      val lr = stats.crossJoin(broadcast(tot)).select(col("b"),
+        (log((col("ct") + 1L).cast("double") / (col("nt") + 256.0)) -
+          log((col("cs") + 1L).cast("double") / (col("ns") + 256.0))).as("lr"))
+      val db = bg.filter(col("lang") =!= "en")
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n_db"))
+      val perDoc = db.join(broadcast(lr), Seq("b"))
+        .select(col("doc_id"), col("lang"), col("n_db"),
+          struct(col("b"), (col("n_db").cast("double") * col("lr")).as("c")).as("tc"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("n_db")).cast("long").as("n_grams"),
+          expr("aggregate(transform(sort_array(collect_list(tc)), x -> x.c), 0.0D, (acc, x) -> acc + x)")
+            .as("lw"))
+      val m = pmod(stable_hash64(col("doc_id").cast("string"), 31L),
+        lit(9007199254740992L))
+      val u = (m.cast("double") + 0.5) / 9007199254740992.0
+      val scored = perDoc
+        .withColumn("priority", round(col("lw") + (-log(-log(u))), 6))
+        .withColumn("logw", round(col("lw"), 6))
+      val top = scored.orderBy(col("priority").desc, col("doc_id").asc).limit(20)
+      val w = Window.orderBy(col("priority").desc, col("doc_id").asc)
+      top.withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("doc_id"), col("lang"), col("n_grams"),
+          col("logw"), col("priority"))
+        .orderBy(col("rn"))
+    },
+    Some {
+      val hg = DuckDbSql.hash64U("g", 17L)
+      val hd = DuckDbSql.hash64U("CAST(doc_id AS VARCHAR)", 31L)
+      s"""WITH toksed AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+         |), grams AS (
+         |  SELECT doc_id, lang, unnest(tk) AS g FROM toksed
+         |  UNION ALL
+         |  SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS g
+         |  FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i FROM toksed)
+         |), bg AS (
+         |  SELECT doc_id, lang, CAST(($hg) % 256 AS BIGINT) AS b FROM grams
+         |), stats AS (
+         |  SELECT b,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |         CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+         |  FROM bg GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cs) AS DOUBLE) AS ns FROM stats
+         |), lr AS (
+         |  SELECT b,
+         |         ln(CAST(ct + 1 AS DOUBLE) / (nt + CAST(256 AS DOUBLE))) -
+         |         ln(CAST(cs + 1 AS DOUBLE) / (ns + CAST(256 AS DOUBLE))) AS lr
+         |  FROM stats, tot
+         |), db AS (
+         |  SELECT doc_id, lang, b, count(*) AS n_db
+         |  FROM bg WHERE lang <> 'en' GROUP BY 1, 2, 3
+         |), perdoc AS (
+         |  SELECT db.doc_id, db.lang,
+         |         CAST(sum(n_db) AS BIGINT) AS n_grams,
+         |         list_reduce(list(CAST(n_db AS DOUBLE) * lr.lr ORDER BY db.b),
+         |                     (acc, x) -> acc + x) AS lw
+         |  FROM db JOIN lr USING (b) GROUP BY 1, 2
+         |), gum AS (
+         |  SELECT *,
+         |         -ln(-ln((CAST(($hd) % 9007199254740992 AS DOUBLE) + 0.5) / 9007199254740992)) AS gmb
+         |  FROM perdoc
+         |), scored AS (
+         |  SELECT doc_id, lang, n_grams,
+         |         ${DuckDbSql.sparkRound("lw", 6)} AS logw,
+         |         ${DuckDbSql.sparkRound("lw + gmb", 6)} AS priority
+         |  FROM gum
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT rn, doc_id, lang, n_grams, logw, priority
+         |FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
     splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted,
-    sourceCap, profile, sampleStratified)
+    sourceCap, profile, sampleStratified, sampleDsir)
 }

@@ -618,7 +618,102 @@ object TextQueries {
             |SELECT rn, doc_id, n_bigrams, n_backoff, score
             |FROM ranked WHERE rn <= 10 ORDER BY rn""".stripMargin))
 
+  /** X3 ranked retrieval (round 9): BM25 top-10 for a fixed term query —
+    * the scoring half of a text index (TEXT_MATCH is the boolean half;
+    * Lucene's default similarity IS BM25, so this is what the reference's
+    * text-index queries rank by under the hood). Okapi BM25 with Lucene's
+    * idf form: score(d) = Σ_t ln(1 + (N - df + 0.5)/(df + 0.5)) ·
+    * tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)), k1 = 1.2, b = 0.75.
+    *
+    * Scale shape: the term filter is an IN-list pushed to the scan of the
+    * exploded stream, per-(doc,term) tf is ONE corpus shuffle bounded by
+    * |query| terms per doc, the idf/avgdl table is |query| rows broadcast,
+    * the per-doc sum folds in TERM-SORTED order (the lm_score bit-exact
+    * float pairing), and top-10 is TakeOrderedAndProject — never a global
+    * window. All arithmetic is IEEE double with one defined association,
+    * replicated literally in the oracle (every literal CAST AS DOUBLE —
+    * DuckDB folds bare decimals exactly as DECIMAL otherwise). */
+  private val textBm25 = Q(
+    "q_text_bm25",
+    (spark, dir) => {
+      val qTerms = Seq("spark", "table", "hash")
+      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
+      val sized = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val totals = sized.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      val tf = sized
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .persist() // shared by the df_t aggregate and the scoring join
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      val idf = dfT.crossJoin(broadcast(totals))
+        .select(col("term"),
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+          col("avgdl"))
+      val contrib = tf.join(broadcast(idf), Seq("term"))
+        .select(col("doc_id"),
+          struct(col("term"),
+            (col("idf") * (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+              .as("c")).as("tc"))
+      val perDoc = contrib.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          expr("aggregate(transform(sort_array(collect_list(tc)), x -> x.c), 0.0D, (acc, x) -> acc + x)")
+            .as("s"))
+        .withColumn("score", round(col("s"), 6))
+      val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+      top.withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("doc_id"), col("n_terms"), col("score"))
+        .orderBy(col("rn"))
+    },
+    Some(s"""WITH sized AS (
+            |  SELECT doc_id, string_split(text, ' ') AS toks,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            |  FROM documents
+            |), totals AS (
+            |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+            |  FROM sized
+            |), tf AS (
+            |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+            |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM sized)
+            |  WHERE term IN ('spark', 'table', 'hash')
+            |  GROUP BY 1, 2, 3
+            |), dft AS (
+            |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            |), idf AS (
+            |  SELECT term,
+            |         ln(CAST(1.0 AS DOUBLE) +
+            |            (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) AS idf,
+            |         avgdl
+            |  FROM dft, totals
+            |), perdoc AS (
+            |  SELECT tf.doc_id,
+            |         CAST(count(*) AS BIGINT) AS n_terms,
+            |         list_reduce(list(
+            |           idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) /
+            |             (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+            |               CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE) / idf.avgdl)))
+            |           ORDER BY tf.term),
+            |           (acc, x) -> acc + x) AS s
+            |  FROM tf JOIN idf USING (term) GROUP BY 1
+            |), scored AS (
+            |  SELECT doc_id, n_terms, ${graft.tools.DuckDbSql.sparkRound("s", 6)} AS score
+            |  FROM perdoc
+            |), ranked AS (
+            |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+            |  FROM scored
+            |)
+            |SELECT rn, doc_id, n_terms, score
+            |FROM ranked WHERE rn <= 10 ORDER BY rn""".stripMargin))
+
   val all: Seq[Q] = Seq(textRareNgram, textTokens, textQuality, textLangId, textFingerprint, textTfidf,
     textRepetition, textChunks, textClean, textBpePairs, textBpeEncode,
-    textLmScore, textLm2Score)
+    textLmScore, textLm2Score, textBm25)
 }
