@@ -62,6 +62,21 @@ class FuzzyJoinSpec extends GraftSuite {
       assert(viaJoin(names, d) === brute(names, d), s"d=$d")
   }
 
+  test("two-table join equals brute force (record-linkage shape), dist 0 admitted") {
+    import spark.implicits._
+    val ref = Seq("kitten", "table", "flaw", "maple")
+    val noisy = Seq("kitten", "sitten", "cable", "fla", "stone")
+    val got = graft.ops.FuzzyJoin
+      .join(noisy.toDF("s"), "s", ref.toDF("t"), "t", d = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- noisy.distinct; b <- ref.distinct
+      dist = lev(a, b) if dist <= 2
+    } yield (a, b, dist.toLong)).toSet
+    assert(got === want)
+    assert(got.contains(("kitten", "kitten", 0L)))
+  }
+
   test("fixture part names at d=3 match DuckDB-shape brute force") {
     val names = graft.sources.Tables.t(spark, sfDir, "part")
       .select("p_name").distinct().collect().map(_.getString(0)).toSeq
