@@ -798,6 +798,126 @@ object EventQueries {
             |FROM b JOIN stats s USING (event_type)
             |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin))
 
+  /** Last-touch attribution (round 9) — the revenue question every
+    * clickstream dashboard on the reference's stack asks: attribute each
+    * purchase to the user's most recent PRECEDING click within a 72 h
+    * lookback, keyed by the click's campaign (props.k mod 10), bucket -1 =
+    * unattributed. Carry-forward via last(ignoreNulls) over an explicit
+    * ROWS frame inside per-user partitions (bounded — never a global
+    * window); revenue sums in DECIMAL so accumulation order cannot
+    * diverge between engines. */
+  private val eventsAttribution = Q(
+    "q_events_attribution",
+    (spark, dir) => {
+      val lookback = 72L * 3600 * 1000000
+      val ev = Tables.t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("lc_t",
+          last(when(col("event_type") === "click", col("tus")), ignoreNulls = true).over(w))
+        .withColumn("lc_k",
+          last(when(col("event_type") === "click", col("k")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("campaign",
+          when(col("lc_t").isNotNull && col("lc_t") >= col("tus") - lookback,
+            pmod(col("lc_k"), lit(10L))).otherwise(lit(-1L)))
+        .groupBy(col("campaign"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("revenue"))
+        .orderBy(col("campaign"))
+    },
+    Some("""WITH ev AS (
+            |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus, value,
+            |         CAST(props->>'$.k' AS BIGINT) AS k
+            |  FROM events
+            |), carried AS (
+            |  SELECT *,
+            |         last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+            |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+            |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc_t,
+            |         last_value(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS)
+            |           OVER (PARTITION BY user_id ORDER BY tus, event_id
+            |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc_k
+            |  FROM ev
+            |)
+            |SELECT CASE WHEN lc_t IS NOT NULL AND lc_t >= tus - 259200000000
+            |            THEN lc_k % 10 ELSE -1 END AS campaign,
+            |       count(*) AS n_purchases,
+            |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+            |FROM carried WHERE event_type = 'purchase'
+            |GROUP BY 1 ORDER BY campaign""".stripMargin))
+
+  /** Exponentially-weighted daily event volume (round 9) — the smoothed
+    * trend line a realtime ops dashboard overlays on raw counts. EMA is a
+    * SEQUENTIAL float fold (acc' = α·x + (1−α)·acc), which both engines
+    * evaluate in day order over identical doubles: Spark
+    * sort_array+aggregate ≡ DuckDB list(ORDER BY)+list_reduce with the
+    * init element prepended — the lm_score bit-exact pairing. Per-type
+    * state is |days| elements, never corpus-sized. */
+  private val eventsEma = Q(
+    "q_events_ema",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+      ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(col("n")).cast("long").as("n_events"),
+          expr("""aggregate(
+                    transform(sort_array(collect_list(struct(day, n))), x -> CAST(x.n AS DOUBLE)),
+                    CAST(0.0 AS DOUBLE),
+                    (acc, x) -> 0.25D * x + 0.75D * acc)""").as("ema"))
+        .withColumn("ema", round(col("ema"), 6))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (
+            |  SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day, count(*) AS n
+            |  FROM events GROUP BY 1, 2
+            |)
+            |SELECT event_type,
+            |       CAST(count(*) AS BIGINT) AS n_days,
+            |       CAST(sum(n) AS BIGINT) AS n_events,
+            |       round(list_reduce(
+            |         [CAST(0 AS DOUBLE)] || list(CAST(n AS DOUBLE) ORDER BY day),
+            |         (acc, x) -> CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc), 6) AS ema
+            |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Event-type transition matrix (round 9) — the user-journey Markov
+    * counts behind "what do users do after a view": per-user event streams
+    * in (ts, event_id) order, lag(event_type) pairs, exact integer counts.
+    * Per-user window partitions (bounded), one tiny-key shuffle. */
+  private val eventsTransitions = Q(
+    "q_events_transitions",
+    (spark, dir) => {
+      val ev = Tables.t(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev"), col("event_type").as("cur"), col("n"))
+        .orderBy(col("prev"), col("cur"))
+    },
+    Some("""WITH ev AS (
+            |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events
+            |), seq AS (
+            |  SELECT event_type,
+            |         lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+            |  FROM ev
+            |)
+            |SELECT prev, event_type AS cur, count(*) AS n
+            |FROM seq WHERE prev IS NOT NULL
+            |GROUP BY 1, 2 ORDER BY prev, cur""".stripMargin))
+
   /** Flagship entry for the driver smoke check (rows > 0 at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     eventsByDay.run(spark, "/root/testdata/sf0.001")
@@ -806,6 +926,6 @@ object EventQueries {
     eventsTumbling, eventsSliding, eventsSessions, eventsAsof, eventsFunnel,
     eventsFunnelWindow, eventsFunnelMaxstep, aggFunnelSql, eventsGapfill,
     eventsGapfillDefault, eventsGapfillSql, eventsFunnelCount, eventsFunnelTheta,
-    eventsAnomaly,
+    eventsAnomaly, eventsAttribution, eventsEma, eventsTransitions,
     eventsCohort, eventsIdSet, eventsHybrid)
 }

@@ -52,6 +52,11 @@ HONEST_SINK_COMMIT = "ff17daf"
 # Times recorded before the named commit are excluded for that query.
 PLAN_ERAS = {
     "q_agg_percentile": "98c0199",
+    # PassJoin-segment best (0.49s) predates the symmetric-deletion plan
+    # (e2e4aa7) that replaced it for the quadratic-on-low-entropy-dictionary
+    # scale failure; the deletion plan costs ~0.4s more at the 64-name
+    # fixture and ~10x less at a 160k dictionary.
+    "q_join_fuzzy": "e2e4aa7",
 }
 
 
