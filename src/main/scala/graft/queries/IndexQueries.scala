@@ -193,6 +193,43 @@ object IndexQueries {
             |GROUP BY user_id
             |ORDER BY user_id""".stripMargin))
 
+  private def zorderEventsCopy(spark: SparkSession, dir: String): String =
+    buildOnce("zorder_events", dir, "events.parquet") { out =>
+      graft.sources.ZOrderLayout.write(
+        Tables.t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        out, "user_id", "value", nFiles = 16)
+    }
+
+  /** A 2-D box lookup through a z-ordered layout (round 9): ONE write buys
+    * footer selectivity on BOTH user_id and value — the rule intersects the
+    * two registered manifests, so the box scans O(1) files where a
+    * single-sorted layout reads the value dimension in full
+    * (ZOrderLayoutSpec measures 16 → 6/6 single-dim → 2 box). The oracle
+    * runs the same SQL over the raw table: value-identical to the unpruned
+    * scan. */
+  private val segpruneZorder = Q(
+    "q_idx_prune_zorder",
+    (spark, dir) => {
+      val z = zorderEventsCopy(spark, dir)
+      val s = spark.newSession()
+      graft.sources.ZOrderLayout.register(s, z, "user_id", "value")
+      s.read.parquet(z)
+        .filter(col("user_id").between(10, 25) && col("value").between(20.0, 40.0))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+            |FROM events
+            |WHERE user_id BETWEEN 10 AND 25 AND value BETWEEN 20.0 AND 40.0
+            |GROUP BY event_type
+            |ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(segpruneRange, segprunePartition, textMatchLookup,
-    valueRangeLookup, segpruneMulti)
+    valueRangeLookup, segpruneMulti, segpruneZorder)
 }

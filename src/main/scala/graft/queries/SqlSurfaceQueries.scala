@@ -75,6 +75,71 @@ object SqlSurfaceQueries {
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[Q] = Seq(sqlCte, sqlInSubquery, sqlExistsSubquery, sqlScalarSubquery,
+  /** SQL UNPIVOT (round 9) — Spark's native UNPIVOT clause melting a wide
+    * per-segment stats row into (metric, value) pairs; the oracle is the
+    * stack/UNION-ALL desugaring (the two spellings must be the same
+    * query). Values pre-cast to one type (UNPIVOT requires a common
+    * value-column type). */
+  private val sqlUnpivot = Q(
+    "q_sql_unpivot",
+    (spark, dir) => {
+      graft.sources.Tables.registerViews(spark, dir)
+      spark.sql(
+        """SELECT c_mktsegment, metric, round(v, 2) AS v
+          |FROM (
+          |  SELECT c_mktsegment,
+          |         CAST(count(*) AS DOUBLE) AS n_customers,
+          |         CAST(round(avg(c_acctbal), 4) AS DOUBLE) AS avg_bal,
+          |         CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+          |  FROM customer GROUP BY c_mktsegment
+          |) UNPIVOT (v FOR metric IN (n_customers, avg_bal, max_bal))
+          |ORDER BY c_mktsegment, metric""".stripMargin)
+    },
+    Some("""WITH wide AS (
+           |  SELECT c_mktsegment,
+           |         CAST(count(*) AS DOUBLE) AS n_customers,
+           |         CAST(round(avg(c_acctbal), 4) AS DOUBLE) AS avg_bal,
+           |         CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+           |  FROM customer GROUP BY c_mktsegment
+           |), melted AS (
+           |  SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS v FROM wide
+           |  UNION ALL
+           |  SELECT c_mktsegment, 'avg_bal', avg_bal FROM wide
+           |  UNION ALL
+           |  SELECT c_mktsegment, 'max_bal', max_bal FROM wide
+           |)
+           |SELECT c_mktsegment, metric, round(v, 2) AS v
+           |FROM melted ORDER BY c_mktsegment, metric""".stripMargin))
+
+  /** SQL LATERAL subquery (round 9) — a correlated derived table per outer
+    * row (the top-order-per-customer shape users write against the broker);
+    * Catalyst decorrelates it into a join, which is the oracle's explicit
+    * spelling. */
+  private val sqlLateral = Q(
+    "q_sql_lateral",
+    (spark, dir) => {
+      graft.sources.Tables.registerViews(spark, dir)
+      spark.sql(
+        """SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.best
+          |FROM customer c,
+          |LATERAL (
+          |  SELECT count(*) AS n_orders,
+          |         round(max(o_totalprice), 2) AS best
+          |  FROM orders o WHERE o.o_custkey = c.c_custkey
+          |) t
+          |WHERE c.c_custkey <= 200 AND t.n_orders > 0
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+    Some("""WITH agg AS (
+           |  SELECT o_custkey, count(*) AS n_orders,
+           |         round(max(o_totalprice), 2) AS best
+           |  FROM orders GROUP BY o_custkey
+           |)
+           |SELECT c_custkey, c_mktsegment, n_orders, best
+           |FROM customer JOIN agg ON o_custkey = c_custkey
+           |WHERE c_custkey <= 200 AND n_orders > 0
+           |ORDER BY c_custkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(sqlUnpivot, sqlLateral, sqlCte, sqlInSubquery, sqlExistsSubquery, sqlScalarSubquery,
     sqlPivot)
 }
