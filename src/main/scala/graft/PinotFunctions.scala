@@ -521,10 +521,14 @@ object PinotFunctions {
     // real mergeable theta sketches (expressions/ThetaSketchExpressions) —
     // estimate out for the DISTINCT form, raw persistable binary for RAW,
     // plus the scalar set algebra Pinot exposes for stored sketches
-    "distinctcountthetasketch" -> (args => graft.expressions.ThetaSketchEstimate(
-      graft.expressions.ThetaSketchAgg(args(0)).toAggregateExpression())),
+    // full Pinot broker argument form: (col [, 'nominalEntries=K'
+    // [, 'pred1', ..., 'predN' [, 'SET_OP($1,...,$N)']]]) — one FILTERed
+    // theta aggregate per predicate string, scalar set algebra over the
+    // $i references (ThetaSketchSql); bare (col) stays the 1-arg form
+    "distinctcountthetasketch" -> (args =>
+      graft.expressions.ThetaSketchSql.build(args, raw = false)),
     "distinctcountrawthetasketch" -> (args =>
-      graft.expressions.ThetaSketchAgg(args(0)).toAggregateExpression()),
+      graft.expressions.ThetaSketchSql.build(args, raw = true)),
     "thetasketchestimate" -> (args => graft.expressions.ThetaSketchEstimate(args(0))),
     "thetasketchunion" -> (args => args.reduceLeft(
       graft.expressions.ThetaSetOp(_, _, "union"))),
@@ -1068,10 +1072,52 @@ object PinotFunctions {
       .queryExecution.analyzed
   }
 
+  /** Pinot canonicalizes function names case- AND underscore-insensitively
+    * (its FunctionRegistry strips underscores before lookup), so a console
+    * user can write `DISTINCT_COUNT_THETA_SKETCH` for
+    * `distinctCountThetaSketch`. Spark's registry is exact-name, so the
+    * underscore spellings of the aggregate/sketch families — the style the
+    * Pinot docs use — register explicitly to the same builders as their
+    * flattened forms. Every entry must flatten to an existing registry key
+    * (checked at register time — a typo here fails loudly, never a silent
+    * missing alias). Names whose underscore form would SHADOW a Spark
+    * builtin with different semantics (date_trunc, time_convert) are
+    * deliberately absent. */
+  private val underscoreAliases: Seq[String] = Seq(
+    "distinct_count", "distinct_count_bitmap", "distinct_count_bitmap_mv",
+    "distinct_count_hll", "distinct_count_hll_mv", "distinct_count_hll_plus",
+    "distinct_count_raw_hll", "distinct_count_raw_hll_plus",
+    "distinct_count_smart_hll", "distinct_count_theta_sketch",
+    "distinct_count_raw_theta_sketch", "distinct_count_cpc_sketch",
+    "distinct_count_raw_cpc_sketch", "distinct_count_tuple_sketch",
+    "distinct_count_raw_integer_sum_tuple_sketch", "distinct_count_ull",
+    "distinct_count_mv", "distinct_sum", "distinct_sum_mv", "distinct_avg",
+    "distinct_avg_mv",
+    "percentile_est", "percentile_est_mv", "percentile_kll",
+    "percentile_kll_mv", "percentile_mv", "percentile_raw_est",
+    "percentile_raw_kll", "percentile_raw_tdigest",
+    "percentile_smart_tdigest", "percentile_tdigest", "percentile_tdigest_mv",
+    "theta_sketch_estimate", "theta_sketch_union", "theta_sketch_intersect",
+    "theta_sketch_diff", "cpc_sketch_estimate", "cpc_sketch_union",
+    "frequent_strings_sketch", "frequent_longs_sketch",
+    "segment_partitioned_distinct_count", "first_with_time", "last_with_time",
+    "min_max_range", "min_max_range_mv", "sum_precision",
+    "funnel_max_step", "funnel_match_step", "funnel_complete_count",
+    "funnel_step_durations",
+    "avg_value_integer_sum_tuple_sketch", "sum_values_integer_sum_tuple_sketch")
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     registry.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
+    }
+    val byName = registry.toMap
+    underscoreAliases.foreach { u =>
+      val builder = byName.getOrElse(u.replace("_", ""),
+        throw new IllegalStateException(
+          s"underscore alias '$u' has no flattened registry key"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        u, builder, "built-in")
     }
     // GAPFILL in the FROM position — Spark's table-function registry is
     // the natural hook for a row-expanding broker form (a scalar registry

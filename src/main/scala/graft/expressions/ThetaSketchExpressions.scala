@@ -193,3 +193,124 @@ object ThetaSketch {
   def thetaANotB(a: Column, b: Column): Column =
     column(ThetaSetOp(expression(a), expression(b), "anotb"))
 }
+
+/** Pinot 1.2's FULL broker argument form for the theta family (the shape
+  * the upstream docs use for funnel/retention examples against the deployed
+  * endpoint):
+  *
+  *   distinctCountThetaSketch(col
+  *     [, 'nominalEntries=K'
+  *     [, 'predicate1', ..., 'predicateN'
+  *     [, 'SET_OP($1, ..., $N)' ]]])
+  *
+  * Each predicate string is a filter expression evaluated per row — here
+  * parsed with Spark's own SQL parser and attached as the FILTER clause of
+  * an independent theta aggregate (one bounded sketch per predicate) — and
+  * the trailing SET_UNION/SET_INTERSECT/SET_DIFF post-expression combines
+  * the per-predicate sketches by `$i` reference (nested, n-ary). Without a
+  * post-expression the predicate sketches union; without predicates the
+  * plain single-sketch form applies. `raw = true` returns the serialized
+  * result sketch (DIST_COUNT_RAW_THETA_SKETCH), else the estimate. */
+object ThetaSketchSql {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+
+  def build(args: Seq[Expression], raw: Boolean): Expression = {
+    require(args.nonEmpty, "distinctCountThetaSketch needs a column argument")
+    val combined: Expression =
+      if (args.length == 1)
+        ThetaSketchAgg(args.head).toAggregateExpression()
+      else {
+        val strs: Seq[String] = args.tail.map {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            "distinctCountThetaSketch: parameters/predicates/set-expression " +
+              s"must be string literals, got $other")
+        }
+        val lgK = parseLgK(strs.head)
+        val rest = strs.tail
+        val (preds, post) =
+          if (rest.nonEmpty && rest.last.trim.toUpperCase.startsWith("SET_"))
+            (rest.dropRight(1), Some(rest.last))
+          else (rest, None)
+        require(preds.nonEmpty || post.isEmpty,
+          "distinctCountThetaSketch: a set expression needs predicate arguments")
+        if (preds.isEmpty)
+          ThetaSketchAgg(args.head, lgK).toAggregateExpression()
+        else {
+          val sketches: IndexedSeq[Expression] = preds.map { p =>
+            ThetaSketchAgg(args.head, lgK).toAggregateExpression(
+              isDistinct = false,
+              filter = Some(CatalystSqlParser.parseExpression(p))): Expression
+          }.toIndexedSeq
+          post match {
+            case None => sketches.reduceLeft(ThetaSetOp(_, _, "union"))
+            case Some(e) => parseSetExpr(e, sketches)
+          }
+        }
+      }
+    if (raw) combined else ThetaSketchEstimate(combined)
+  }
+
+  /** `nominalEntries=K` (Pinot's thetaSketchParams) → lgK; blank → default
+    * 12; any other key errors loudly (never a silently-ignored typo). */
+  private def parseLgK(params: String): Int = {
+    val trimmed = params.trim
+    if (trimmed.isEmpty) 12
+    else trimmed.split("[;,]").map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.equalsIgnoreCase("nominalEntries") =>
+          val n = v.trim.toLong
+          require(n >= 16 && n <= (1L << 26), s"nominalEntries out of range: $n")
+          64 - java.lang.Long.numberOfLeadingZeros(n - 1) // ceil(log2(n))
+        case other => throw new IllegalArgumentException(
+          s"distinctCountThetaSketch: unsupported parameter '$kv' (supported: nominalEntries)")
+      }
+    }.last
+  }
+
+  /** Recursive-descent parser for the post-aggregation set expression:
+    * expr := '$'N | SET_UNION|SET_INTERSECT|SET_DIFF '(' expr (',' expr)* ')'
+    * (n-ary union/intersect fold left; SET_DIFF is strictly binary). */
+  private def parseSetExpr(s: String, sk: IndexedSeq[Expression]): Expression = {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"distinctCountThetaSketch set expression '$s' at position $i: $msg")
+    def parse(): Expression = {
+      ws()
+      if (i >= s.length) fail("unexpected end")
+      if (s.charAt(i) == '$') {
+        i += 1
+        val st = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        if (st == i) fail("expected a digit after $")
+        val n = s.substring(st, i).toInt
+        if (n < 1 || n > sk.size) fail(s"$$${n} out of range (1..${sk.size})")
+        sk(n - 1)
+      } else {
+        val st = i
+        while (i < s.length && (s.charAt(i).isLetter || s.charAt(i) == '_')) i += 1
+        val op = s.substring(st, i).toUpperCase match {
+          case "SET_UNION" => "union"
+          case "SET_INTERSECT" => "intersect"
+          case "SET_DIFF" => "anotb"
+          case other => fail(s"unknown set operation '$other'")
+        }
+        ws(); if (i >= s.length || s.charAt(i) != '(') fail("expected '('"); i += 1
+        val as = scala.collection.mutable.ArrayBuffer(parse())
+        ws()
+        while (i < s.length && s.charAt(i) == ',') { i += 1; as += parse(); ws() }
+        if (i >= s.length || s.charAt(i) != ')') fail("expected ')'"); i += 1
+        if (op == "anotb") {
+          if (as.size != 2) fail("SET_DIFF takes exactly two arguments")
+          ThetaSetOp(as(0), as(1), "anotb")
+        } else as.reduceLeft(ThetaSetOp(_, _, op))
+      }
+    }
+    val r = parse()
+    ws()
+    if (i != s.length) fail("trailing input")
+    r
+  }
+}

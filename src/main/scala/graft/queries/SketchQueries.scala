@@ -615,7 +615,46 @@ object SketchQueries {
             |       TRUE AS p99_within_5pct
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta, sketchRollup,
+  /** Pinot's FULL distinctCountThetaSketch broker argument form (round 9) —
+    * the literal upstream docs shape: per-predicate FILTERed theta
+    * aggregates combined by a SET_OP postfix over $i references
+    * (expressions/ThetaSketchSql). nominalEntries=65536 keeps every
+    * per-predicate sketch below saturation at all test SFs AND the 10×
+    * heavy-tail sweep (≤15k distinct users < 65536 retained), so the
+    * estimates are EXACT and the oracle hashes plain distinct counts. */
+  private val sketchThetaSql = Q(
+    "q_sketch_theta_sql",
+    (spark, dir) => {
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT DISTINCT_COUNT_THETA_SKETCH(user_id, 'nominalEntries=65536',
+          |         'event_type = ''view''', 'event_type = ''click''',
+          |         'SET_INTERSECT($1, $2)') AS viewers_who_clicked,
+          |       DISTINCT_COUNT_THETA_SKETCH(user_id, 'nominalEntries=65536',
+          |         'event_type = ''view''', 'event_type = ''purchase''',
+          |         'SET_DIFF($1, $2)') AS viewers_no_purchase,
+          |       DISTINCT_COUNT_THETA_SKETCH(user_id, 'nominalEntries=65536',
+          |         'event_type = ''view''', 'event_type = ''click''',
+          |         'event_type = ''purchase''',
+          |         'SET_UNION(SET_INTERSECT($1, $2), $3)') AS engaged_or_buyers
+          |FROM events""".stripMargin)
+    },
+    Some("""WITH per_user AS (
+           |  SELECT user_id,
+           |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+           |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+           |  FROM events GROUP BY 1
+           |)
+           |SELECT CAST(sum(v * c) AS BIGINT) AS viewers_who_clicked,
+           |       CAST(sum(v * (1 - p)) AS BIGINT) AS viewers_no_purchase,
+           |       CAST(sum(CASE WHEN v * c = 1 OR p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS engaged_or_buyers
+           |FROM per_user""".stripMargin))
+
+  val all: Seq[Q] = Seq(sketchHll, sketchPercentile, sketchTopK, sketchTheta, sketchThetaSql, sketchRollup,
     sketchThetaRollup, sketchSmart, sketchTuple, sketchTupleRetention, sketchFreq,
     sketchCpc, sketchKll)
 }

@@ -63,6 +63,26 @@ class RegistryExtrasSpec extends GraftSuite {
     assert(names.size >= 139) // the round-5 vocabulary floor
   }
 
+  test("underscore spellings resolve (Pinot canonicalizes names underscore-insensitively)") {
+    val s = spark.newSession()
+    PinotFunctions.register(s)
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b"), (2L, "a")).toDF("v", "tag")
+      .createOrReplaceTempView("ux")
+    val r = s.sql(
+      """SELECT DISTINCT_COUNT(v) AS dc,
+        |       DISTINCT_COUNT_HLL(v) AS hll,
+        |       DISTINCT_COUNT_THETA_SKETCH(v) AS theta,
+        |       PERCENTILE_EST(v, 50) AS p50,
+        |       MIN_MAX_RANGE(v) AS mmr,
+        |       FIRST_WITH_TIME(tag, v, 'STRING') AS fwt,
+        |       SUM_PRECISION(v) AS sp,
+        |       FUNNEL_MAX_STEP(v, 0, 1, tag = 'a') AS fms
+        |FROM ux""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getString(5) === "a")
+  }
+
   test("jsonPath* scalar family: typed extraction with Pinot sentinel defaults") {
     val r = one(
       """SELECT JSONPATHSTRING('{"a": {"b": "x"}}', '$.a.b') AS s,
