@@ -471,4 +471,39 @@ class HttpSqlEndpointSpec extends GraftSuite {
       assert(counts === truth)
     } finally srv.stop(0)
   }
+
+  test("DISTINCT_COUNT_THETA_SKETCH full broker form runs VERBATIM over the wire (round-9)") {
+    val pinot = spark.newSession()
+    PinotFunctions.register(pinot)
+    Tables.registerViews(pinot, sfDir)
+    val srv = server.HttpSqlEndpoint.start(pinot, port = 0, maxRows = 1000)
+    try {
+      val b = s"http://localhost:${srv.getAddress.getPort}"
+      // the upstream-docs retention shape: predicates + SET_OP postfix,
+      // underscore spelling (Pinot canonicalizes names underscore-insensitively)
+      val sql =
+        """SELECT DISTINCT_COUNT_THETA_SKETCH(user_id, 'nominalEntries=65536',
+          |  'event_type = ''view''', 'event_type = ''click''',
+          |  'SET_INTERSECT($1, $2)') AS both_n
+          |FROM events""".stripMargin
+      val body = mapper.createObjectNode()
+      body.put("sql", sql)
+      val req = HttpRequest.newBuilder(URI.create(s"$b/query/sql"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+        .header("Content-Type", "application/json").build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, resp.body())
+      val json = mapper.readTree(resp.body())
+      assert(json.get("exceptions").size() === 0, json.toString)
+      val wire = json.get("resultTable").get("rows").get(0).get(0).asLong()
+      // below saturation theta is exact: equals the per-user set truth
+      val truth = pinot.sql(
+        """SELECT CAST(sum(v * c) AS BIGINT) FROM (
+          |  SELECT max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+          |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+          |  FROM events GROUP BY user_id)""".stripMargin).collect()(0).getLong(0)
+      assert(wire === truth)
+    } finally srv.stop(0)
+  }
 }
