@@ -59,6 +59,9 @@ object ZOrderLayout {
       percentile_approx(col(colA).cast("double"), lit(qs), lit(10000)).as("a"),
       percentile_approx(col(colB).cast("double"), lit(qs), lit(10000)).as("b"))
       .head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"z-order columns must be numeric-castable with non-null values " +
+        s"($colA, $colB — a non-numeric string column quantiles to null)")
     val ba = row.getSeq[Double](0)
     val bb = row.getSeq[Double](1)
     df.withColumn("_z", morton(binOf(col(colA), ba), binOf(col(colB), bb), bits))

@@ -105,6 +105,55 @@ object SegmentCompaction {
     done.result()
   }
 
+  /** Compact + RE-CLUSTER (round 9): rewrite each partition's small
+    * streaming files into right-sized Z-ORDERED files
+    * ([[graft.sources.ZOrderLayout]]) — the production minion shape where
+    * the maintenance task does double duty: the same rewrite that fixes the
+    * small-file problem ALSO converts arrival-ordered data (which prunes on
+    * nothing but time) into a layout whose parquet footers are selective on
+    * BOTH z-columns. After the swap, registering the partition dirs gives
+    * 2-D footer pruning inside every day (`dt=` pruning stays free on top).
+    * Same snapshot/staging/swap + ownership-handoff mechanics as
+    * [[compact]]. */
+  def compactZOrder(
+      spark: SparkSession,
+      tableDir: String,
+      colA: String,
+      colB: String,
+      targetBytes: Long = 512L * 1024 * 1024,
+      minFiles: Int = 4,
+      dropSinkLog: Boolean = true): Seq[PartitionStats] = {
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    val done = Seq.newBuilder[PartitionStats]
+    val partDirs =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      else Array.empty[FileStatus]
+    partDirs.foreach { d =>
+      val snapshot = dataFiles(fs, d.getPath)
+      if (snapshot.length >= minFiles) {
+        val bytes = snapshot.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val tmp = new Path(root, s".compact_tmp_${d.getPath.getName}")
+        graft.sources.ZOrderLayout.write(
+          spark.read.parquet(snapshot.map(_.getPath.toString): _*),
+          tmp.toString, colA, colB, nFiles = nOut)
+        val staged = dataFiles(fs, tmp)
+        snapshot.foreach(s => fs.delete(s.getPath, false))
+        val stamp = System.currentTimeMillis()
+        staged.zipWithIndex.foreach { case (s, i) =>
+          fs.rename(s.getPath, new Path(d.getPath, s"zordered-$stamp-$i.parquet"))
+        }
+        fs.delete(tmp, true)
+        val after = dataFiles(fs, d.getPath)
+        done += PartitionStats(d.getPath.getName, after.length, after.map(_.getLen).sum)
+      }
+    }
+    if (dropSinkLog) fs.delete(new Path(root, "_spark_metadata"), true)
+    done.result()
+  }
+
   /** Merge-ROLLUP — the second half of Pinot's `MergeRollupTask`: partitions
     * older than `olderThan` (exclusive, compared on the `dt=` value — ISO
     * dates compare lexically) are rewritten as `groupBy(groupCols).agg(...)`,

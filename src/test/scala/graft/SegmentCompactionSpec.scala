@@ -56,6 +56,56 @@ class SegmentCompactionSpec extends GraftSuite {
     assert(spark.read.parquet(sink).filter(col("dt") === lit("2024-05-02").cast("date")).count() === 4)
   }
 
+  test("z-order compaction: re-clustered partitions keep every row and prune on both columns") {
+    val src = tmp("graft-zc-src")
+    val sink = tmp("graft-zc-sink")
+    val ckpt = tmp("graft-zc-ckpt")
+    // 6 micro-batches, one day, arrival order ~ time — userID and price
+    // arrive fully interleaved so the raw layout prunes on neither
+    (1 to 6).foreach { b =>
+      writeBatch(src, (0 until 20).map(i =>
+        kdgEvent(user = (b * 31 + i * 7) % 100, campaign = "NONE",
+          price = (b * 13 + i * 11) % 200, ts = s"2024-06-01 0$b:00:00")))
+      val q = EventIngest.sealedSink(
+        EventIngest.readJsonLines(spark, src), sink, ckpt, Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    val before = SegmentCompaction.stats(spark, sink)
+    assert(before.head.files >= 6)
+    val expected = spark.read.parquet(sink)
+      .select(col("userID"), col("price")).collect().map(_.toString).sorted
+
+    // tiny targetBytes => several z-ordered output files to prune across
+    val out = SegmentCompaction.compactZOrder(
+      spark, sink, "userID", "price", targetBytes = 4096, minFiles = 2)
+    assert(out.size === 1 && out.head.files > 2, s"want multiple z files: $out")
+    val after = spark.read.parquet(sink)
+      .select(col("userID"), col("price")).collect().map(_.toString).sorted
+    assert(after === expected, "z-order compaction must preserve every row")
+
+    // both columns now footer-prune inside the day partition
+    val s = spark.newSession()
+    val partDir = s"$sink/dt=2024-06-01"
+    graft.sources.ZOrderLayout.register(s, partDir, "userID", "price")
+    def files(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      df.collect()
+      def find(p: SparkPlan): Option[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Some(f)
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case other => other.children.view.flatMap(find(_)).headOption
+      }
+      find(df.queryExecution.executedPlan).get.metrics("numFiles").value
+    }
+    val total = out.head.files.toLong
+    val fU = files(s.read.parquet(partDir).filter(col("userID") === "7").select(count(lit(1))))
+    val fP = files(s.read.parquet(partDir).filter(col("price") === 42).select(count(lit(1))))
+    assert(fU < total || fP < total,
+      s"z-order compaction should buy footer pruning (userID: $fU, price: $fP of $total)")
+  }
+
   test("merge-rollup collapses aged partitions to dims, keeps recent raw, preserves additive totals") {
     import spark.implicits._
     val dir = tmp("graft-rollup")
