@@ -713,7 +713,114 @@ object TextQueries {
             |SELECT rn, doc_id, n_terms, score
             |FROM ranked WHERE rn <= 10 ORDER BY rn""".stripMargin))
 
+  /** WordPiece-style greedy subword tokenization (round 9 — ops/Subword):
+    * vocab = top-200 substrings (≤6 chars) by EXACT corpus occurrence
+    * score ∪ all single chars, then greedy longest-match-first encoding —
+    * the BERT tokenizer runtime (Devlin et al. 2019). The whole pipeline
+    * is integer/string arithmetic, so the oracle replicates it verbatim:
+    * the same substring scoring, the same top-K cut, and a RECURSIVE CTE
+    * that walks the identical greedy matches (longest piece at each
+    * position, lexicographic tie) per unique word. Scale: one corpus
+    * shuffle to the unique-word table, codebook-sized vocab collect
+    * (broker-style), map-only encode with broadcast vocab. */
+  private val textWordpiece = Q(
+    "q_text_wordpiece_encode",
+    (spark, dir) => {
+      val docs = Tables.t(spark, dir, "documents")
+      val words = graft.ops.Bpe.wordFreq(docs, "text")
+      val vocab = graft.ops.Subword.seedVocab(words, maxPieceLen = 6, topK = 200)
+        .select("piece").collect().map(_.getString(0)).toSet
+      val pieces = graft.ops.Subword.encodeCorpusGreedy(docs, "text", vocab, maxPieceLen = 6)
+      val top = pieces.orderBy(col("n").desc, col("piece").asc).limit(25)
+      val w = Window.orderBy(col("n").desc, col("piece").asc)
+      top.withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("piece"), col("n"))
+        .orderBy(col("rn"))
+    },
+    Some("""WITH RECURSIVE words AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE len(w) > 0 GROUP BY 1
+           |), pieces AS (
+           |  SELECT substr(w, s, e - s + 1) AS piece, CAST(sum(freq) AS BIGINT) AS score
+           |  FROM (SELECT w, freq, s, unnest(range(s, least(s + 5, len(w)) + 1)) AS e
+           |        FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS s FROM words))
+           |  GROUP BY 1
+           |), vocab AS (
+           |  SELECT piece FROM (
+           |    SELECT piece FROM pieces ORDER BY score DESC, piece ASC LIMIT 200)
+           |  UNION
+           |  SELECT piece FROM pieces WHERE len(piece) = 1
+           |), seg AS (
+           |  SELECT w, freq, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM words
+           |  UNION ALL
+           |  SELECT w, freq, pos + len(m) AS pos, list_append(toks, m) AS toks
+           |  FROM (
+           |    SELECT w, freq, pos, toks,
+           |           (SELECT v.piece FROM vocab v
+           |            WHERE v.piece = substr(seg.w, seg.pos, len(v.piece))
+           |            ORDER BY len(v.piece) DESC, v.piece LIMIT 1) AS m
+           |    FROM seg WHERE pos <= len(w)
+           |  ) WHERE m IS NOT NULL
+           |), counts AS (
+           |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq, unnest(toks) AS piece FROM seg WHERE pos > len(w))
+           |  GROUP BY 1
+           |), ranked AS (
+           |  SELECT *, row_number() OVER (ORDER BY n DESC, piece ASC) AS rn FROM counts
+           |)
+           |SELECT rn, piece, n FROM ranked WHERE rn <= 25 ORDER BY rn""".stripMargin))
+
+  /** Unigram-LM tokenizer training (round 9 — ops/Unigram, Kudo 2018 in
+    * hard-EM form): 3 Viterbi-EM iterations over the unique-word table,
+    * 120-piece multi-char budget. Model selection rides FLOAT Viterbi
+    * comparisons, so the surviving vocab is deterministic per engine but
+    * not SQL-replicable — the oracle therefore checks the STRONG exact
+    * invariant (the encode is a true partition of the corpus:
+    * Σ len(piece)·count == Σ len(word)·freq, both sides exact integers)
+    * plus theorem booleans computed Spark-side (Gibbs: MLE likelihood over
+    * the final counts beats uniform; token count ≤ char count; char
+    * coverage + multi-char budget hold). */
+  private val textUnigram = Q(
+    "q_text_unigram",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.t(spark, dir, "documents")
+      val words = graft.ops.Bpe.wordFreq(docs, "text")
+      val t = graft.ops.Unigram.trainHardEm(words, seedTopK = 300,
+        maxPieceLen = 6, vocabSize = 120, iters = 3)
+      val enc = graft.ops.Unigram.encodeCorpus(docs, "text", t.logp, 6)
+      val Array(pieceChars, nTokens) = enc
+        .selectExpr("CAST(sum(length(piece) * n) AS LONG)", "CAST(sum(n) AS LONG)")
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val Array(totalChars, nWords) = words
+        .selectExpr("CAST(sum(length(w) * freq) AS LONG)", "CAST(sum(freq) AS LONG)")
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      // Gibbs over the final counts: sum c ln(c/N) >= sum c ln(1/V)
+      val cs = t.counts.values.toSeq.sortBy(identity)
+      val n = cs.sum.toDouble
+      val llMle = cs.foldLeft(0.0)((a, c) => a + c * math.log(c / n))
+      val llUni = n * math.log(1.0 / t.counts.size)
+      val (chars, multi) = t.counts.keySet.partition(_.length == 1)
+      Seq((pieceChars, nWords,
+        nTokens <= totalChars,
+        llMle >= llUni,
+        multi.size <= 120 && chars.forall(_.length == 1)))
+        .toDF("total_piece_chars", "n_words", "n_tokens_le_n_chars",
+          "ll_trained_beats_uniform", "vocab_within_budget")
+    },
+    Some("""SELECT CAST(sum(len(w) * freq) AS BIGINT) AS total_piece_chars,
+           |       CAST(sum(freq) AS BIGINT) AS n_words,
+           |       TRUE AS n_tokens_le_n_chars,
+           |       TRUE AS ll_trained_beats_uniform,
+           |       TRUE AS vocab_within_budget
+           |FROM (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE len(w) > 0 GROUP BY 1
+           |)""".stripMargin))
+
   val all: Seq[Q] = Seq(textRareNgram, textTokens, textQuality, textLangId, textFingerprint, textTfidf,
     textRepetition, textChunks, textClean, textBpePairs, textBpeEncode,
-    textLmScore, textLm2Score, textBm25)
+    textLmScore, textLm2Score, textBm25, textWordpiece, textUnigram)
 }
