@@ -637,7 +637,62 @@ object PipelineQueries {
          |FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin
     })
 
+  /** Trainable quality classifier (round 9 — ops/LogReg): the
+    * fastText-class linear filter over hashed n-gram features that
+    * pretraining pipelines train to score documents (CCNet/GPT-3 quality
+    * filtering). Planted-but-honest task: label = doc contains the token
+    * "spark" (SQL-derivable, so the oracle checks the exact label counts),
+    * trained on EVEN doc_ids, evaluated HELD-OUT on odd — generalization,
+    * not memorization (residual held-out error is hash-collision +
+    * rare-combination noise, bounded in spec and here by the 0.85 floor).
+    * Training runs the decimal-quantized distributed GD
+    * (bit-reproducible under any partitioning); the oracle verifies exact
+    * split/label counts and the Spark side asserts the learning booleans
+    * (loss halved, held-out accuracy ≥ 0.85, score separation). */
+  private val qualityClassifier = Q(
+    "q_pipe_quality_classifier",
+    (spark, dir) => {
+      import spark.implicits._
+      val dim = 1024
+      val d = Tables.t(spark, dir, "documents")
+        .withColumn("label",
+          array_contains(split(col("text"), " "), "spark").cast("int"))
+        .withColumn("features", graft.ops.LogReg.hashedFeatures(col("text"), dim))
+        .persist()
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val eval_ = d.filter(col("doc_id") % 2 === 1)
+      val m = graft.ops.LogReg.trainAuto(train, dim, iters = 80, lr = 0.5)
+      val scored = graft.ops.LogReg.score(eval_, "features", m)
+        .select(col("label"), col("score"),
+          (col("score") > 0.5).cast("int").as("pred"))
+        .persist()
+      val agg = scored.agg(
+        count(lit(1)).as("n_eval"),
+        sum(col("label")).cast("long").as("n_pos_eval"),
+        avg((col("label") === col("pred")).cast("double")).as("acc"),
+        avg(when(col("label") === 1, col("score"))).as("mean_pos"),
+        avg(when(col("label") === 0, col("score"))).as("mean_neg"))
+        .collect()(0)
+      val nTrain = train.count()
+      val lossHalved = m.losses.last < m.losses.head * 0.5
+      Seq((nTrain, agg.getLong(0), agg.getLong(1),
+        lossHalved,
+        agg.getDouble(2) >= 0.85,
+        agg.getDouble(3) > agg.getDouble(4)))
+        .toDF("n_train", "n_eval", "n_pos_eval",
+          "loss_halved", "heldout_acc_ge_085", "scores_separate")
+    },
+    Some("""SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+           |       CAST(sum(CASE WHEN doc_id % 2 = 1
+           |                      AND list_contains(string_split(text, ' '), 'spark')
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_eval,
+           |       TRUE AS loss_halved,
+           |       TRUE AS heldout_acc_ge_085,
+           |       TRUE AS scores_separate
+           |FROM documents""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
     splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted,
-    sourceCap, profile, sampleStratified, sampleDsir)
+    sourceCap, profile, sampleStratified, sampleDsir, qualityClassifier)
 }
