@@ -22,7 +22,8 @@ object Registry {
     PipelineQueries.all,
     MultimodalQueries.all,
     StarTreeQueries.all,
-    IndexQueries.all)
+    IndexQueries.all,
+    GraphQueries.all)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over entity relationship graphs (SURVEY.md §2 extension
+  * G1) — the authority-scoring step data-curation pipelines run over host /
+  * link / co-occurrence graphs (Common-Crawl-style PageRank for source
+  * quality). Built on `ops/PageRank`: exact-integer power iteration, so the
+  * DuckDB oracle replicates EVERY iteration verbatim in HUGEINT and the
+  * comparison is bit-exact — no float tolerance anywhere.
+  */
+object GraphQueries {
+
+  private val Iters = 8
+
+  /** The co-purchase authority graph: customer ↔ supplier edges from
+    * orders⋈lineitem (suppliers offset by 1e6 into a disjoint id range),
+    * symmetrized, PageRank'd. Hub suppliers (many distinct customers)
+    * surface at the top — the bipartite-authority shape. */
+  private val pagerank = Q(
+    "q_graph_pagerank",
+    (spark, dir) => {
+      val orders = Tables.t(spark, dir, "orders")
+      val li = Tables.t(spark, dir, "lineitem")
+      val pairs = orders
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.ops.PageRank.run(edges, iters = Iters)
+        .select(col("node"),
+          when(col("node") >= 1000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"),
+          col("r").as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
+    Some(pagerankSql(Iters)))
+
+  /** Unrolled exact-integer PageRank in DuckDB: one CTE per iteration, all
+    * arithmetic HUGEINT (`//` = floor division on positives = Spark's
+    * BIGINT `div`), mirroring ops/PageRank.run step for step. */
+  private def pagerankSql(iters: Int): String = {
+    val its = (0 until iters).map { i =>
+      s"""it${i + 1} AS (
+         |  SELECT n.node,
+         |         CAST(150000000000 AS HUGEINT)
+         |           + (85 * COALESCE(s.msum, CAST(0 AS HUGEINT))) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.r // e.outdeg) AS msum
+         |    FROM it$i p JOIN ewd e ON e.src = p.node
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |         CAST(l_suppkey AS BIGINT) + 1000000 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |ewd AS (
+       |  SELECT edges.src, edges.dst, CAST(od.outdeg AS HUGEINT) AS outdeg
+       |  FROM edges JOIN (
+       |    SELECT src AS osrc, count(*) AS outdeg FROM edges GROUP BY src) od
+       |  ON od.osrc = edges.src),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |it0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS r FROM nodes),
+       |$its
+       |SELECT node,
+       |       CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
+       |       CAST(r AS BIGINT) AS rank
+       |FROM it$iters
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(pagerank)
+}
