@@ -79,5 +79,50 @@ object GraphQueries {
        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(pagerank)
+  /** Triangle census of the part co-purchase graph (parts linked when they
+    * appear in the same order — the market-basket projection). Top parts by
+    * triangle participation + the global count: near-clique neighborhoods
+    * rank first, the link-farm-detection shape. Exact set algebra end to
+    * end, so the DuckDB oracle rebuilds the identical triangle set with
+    * id-ordered joins (orientation-invariant). */
+  private val triangleCensus = Q(
+    "q_graph_triangles",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("src"),
+          col("y.l_partkey").cast("long").as("dst"))
+      val tris = graft.ops.Triangles.triangles(edges).persist()
+      val perNode = tris
+        .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("tri"))
+      val total = tris.groupBy().agg(count(lit(1)).as("total_tri"))
+      perNode.crossJoin(broadcast(total))
+        .orderBy(col("tri").desc, col("part"))
+        .limit(20)
+    },
+    Some("""WITH e AS (
+      |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+      |         CAST(y.l_partkey AS BIGINT) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |pn AS (
+      |  SELECT node, COUNT(*) AS tri FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY node)
+      |SELECT pn.node AS part, CAST(pn.tri AS BIGINT) AS tri,
+      |       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS total_tri
+      |FROM pn ORDER BY tri DESC, part LIMIT 20""".stripMargin))
+
+  val all: Seq[Q] = Seq(pagerank, triangleCensus)
 }
