@@ -42,6 +42,21 @@ object PinotFunctions {
       false)
   }
 
+  /** Java Math.log-family edge semantics: 0 → -Infinity, negative → NaN
+    * (Spark's ln/log10/log2 answer NULL outside the domain instead). */
+  private def javaLog(x: Expression, fn: String): Expression = {
+    val d = Cast(x, DoubleType)
+    // direct Catalyst ctors — a same-name UnresolvedFunction would resolve
+    // back to this temp entry and recurse
+    val native: Expression = fn match {
+      case "ln" => Log(d)
+      case "log10" => Log10(d)
+      case "log2" => Log2(d)
+    }
+    If(EqualTo(d, Literal(0.0)), Literal(Double.NegativeInfinity),
+      If(LessThan(d, Literal(0.0)), Literal(Double.NaN), native))
+  }
+
   /** Whole epoch units since 1970 (floor division of epoch seconds). */
   private def epochUnits(ts: Expression, secondsPerUnit: Long): Expression =
     IntegralDivide(UnixSeconds(ts), Literal(secondsPerUnit), evalMode = EvalMode.LEGACY)
@@ -229,6 +244,22 @@ object PinotFunctions {
       if (args.length >= 3) Coalesce(Seq(e, Cast(args(2), DoubleType)))
       else Coalesce(Seq(e, Literal(Double.NegativeInfinity))) // Pinot default
     }),
+    // jsonPath(json, path): the untyped form — the raw node (Pinot returns
+    // the Object; in SQL output position it renders as its string form,
+    // which is exactly what GetJsonObject yields)
+    "jsonpath" -> (args => GetJsonObject(args(0), args(1))),
+    // jsonPathArray(json, path): array extraction. The node must be a JSON
+    // array; elements surface as strings (Pinot yields Object[] — untyped),
+    // so numeric use sites cast per element. DefaultEmpty form answers []
+    // instead of null on a missing/invalid path.
+    "jsonpatharray" -> (args =>
+      JsonToStructs(ArrayType(StringType), Map.empty[String, String],
+        GetJsonObject(args(0), args(1)))),
+    "jsonpatharraydefaultempty" -> (args =>
+      Coalesce(Seq(
+        JsonToStructs(ArrayType(StringType), Map.empty[String, String],
+          GetJsonObject(args(0), args(1))),
+        Literal.create(Seq.empty[String], ArrayType(StringType))))),
     // ---- index-predicate superset (F8) ----
     // The reference deploys NO text/JSON index (kinesisTableConfigFile
     // .json:12-27), but the broker still parses TEXT_MATCH/JSON_MATCH; this
@@ -247,6 +278,20 @@ object PinotFunctions {
       // (graft.sources.TextIndex), which derives candidates from the same
       // clause structure and re-applies this exact predicate
       graft.expressions.TextMatchBuilder.predicate(args(0), query)
+    }),
+    // TEXT_CONTAINS(col, 'term'): the native-text-index predicate — a
+    // SINGLE term only (Pinot: no phrases/boolean inside; compose with SQL
+    // AND/OR). Routed through the same grammar so a multi-term literal
+    // fails loudly instead of silently term-matching the whole string.
+    "text_contains" -> (args => {
+      val term = args(1) match {
+        case Literal(s, StringType) if s != null => s.toString.trim
+        case other => throw new IllegalArgumentException(
+          s"TEXT_CONTAINS term must be a string literal, got $other")
+      }
+      require(term.nonEmpty && !term.exists(_.isWhitespace),
+        s"TEXT_CONTAINS takes one term (got '$term'); compose with SQL AND/OR")
+      graft.expressions.TextMatchBuilder.predicate(args(0), term)
     }),
     // JSON_MATCH(col, '"$.path" <op> value'): =, !=/<>, </<=/>/>=,
     // IS [NOT] NULL over one JSON path (numbers compare numerically,
@@ -311,6 +356,12 @@ object PinotFunctions {
       else Subtract(Cast(StringInstr(args(0), args(1)), IntegerType), Literal(1))),
     // Pinot remove(input, search) = delete every occurrence
     "remove" -> (args => StringReplace(args(0), args(1), Literal(""))),
+    // Pinot strrpos(input, find[, instance]): Java lastIndexOf conventions —
+    // 0-based, -1 absent; 3-arg counts the instance-th occurrence FROM THE
+    // END (commons lastOrdinalIndexOf; instance 1 == plain lastIndexOf)
+    "strrpos" -> (args =>
+      graft.expressions.StrRPosOrdinal(args(0), args(1),
+        if (args.length >= 3) Cast(args(2), IntegerType) else Literal(1))),
     // Pinot hammingDistance: -1 on unequal lengths, else differing chars
     "hammingdistance" -> (args =>
       graft.expressions.HammingDistanceStr(args(0), args(1))),
@@ -338,6 +389,46 @@ object PinotFunctions {
       val d = Cast(args(0), DoubleType)
       Not(Or(IsNaN(d), EqualTo(Abs(d), Literal(Double.PositiveInfinity))))
     }),
+    "ifnotfinite" -> (args => {
+      // ifNotFinite(value, default): Pinot's guard for the div/ln family —
+      // NaN/±Inf fall to the default, both sides evaluated in DOUBLE
+      val d = Cast(args(0), DoubleType)
+      If(Or(IsNaN(d), EqualTo(Abs(d), Literal(Double.PositiveInfinity))),
+        Cast(args(1), DoubleType), d)
+    }),
+    // Pinot ln/log10/log2 are raw java.lang.Math calls: 0 → -Infinity,
+    // negative → NaN. Spark's return NULL outside the domain — a silent
+    // divergence for ported filters like `ln(x) > -10`, so shadow them.
+    "ln" -> (args => javaLog(args(0), "ln")),
+    "log10" -> (args => javaLog(args(0), "log10")),
+    "log2" -> (args => javaLog(args(0), "log2")),
+    // Pinot ArithmeticFunctions verb spellings: DOUBLE arithmetic (the Java
+    // signatures take double — `div` is float division, NOT Spark SQL's
+    // integral `div` operator; `mod` is IEEE remainder, not Pmod)
+    "add" -> (args => Add(Cast(args(0), DoubleType), Cast(args(1), DoubleType))),
+    "sub" -> (args => Subtract(Cast(args(0), DoubleType), Cast(args(1), DoubleType))),
+    "mult" -> (args => Multiply(Cast(args(0), DoubleType), Cast(args(1), DoubleType))),
+    // IEEE zero-divisor edges spelled out: Java x/0 is ±Inf (NaN for 0/0)
+    // and x%0 is NaN, where Spark answers NULL (legacy) or throws (ANSI)
+    "div" -> (args => {
+      val da = Cast(args(0), DoubleType); val db = Cast(args(1), DoubleType)
+      If(EqualTo(db, Literal(0.0)),
+        If(Or(IsNaN(da), EqualTo(da, Literal(0.0))), Literal(Double.NaN),
+          If(GreaterThan(da, Literal(0.0)), Literal(Double.PositiveInfinity),
+            Literal(Double.NegativeInfinity))),
+        Divide(da, db, EvalMode.LEGACY))
+    }),
+    "mod" -> (args => {
+      val da = Cast(args(0), DoubleType); val db = Cast(args(1), DoubleType)
+      If(EqualTo(db, Literal(0.0)), Literal(Double.NaN),
+        Remainder(da, db, EvalMode.LEGACY))
+    }),
+    // roundDecimal(x[, scale]): BigDecimal.valueOf(x).setScale(HALF_UP) —
+    // bit-identical to Spark's native round over DOUBLE (probe-verified
+    // shortest-repr HALF_UP semantics); the input cast matters — a bare
+    // 2.345 literal is DECIMAL, and decimal round would return DECIMAL
+    "rounddecimal" -> (args =>
+      UnresolvedFunction("round", Cast(args(0), DoubleType) +: args.tail, false)),
     // ---- Pinot DateTimeFunctions field extractors ----
     // year(millis[, tz]) family: EPOCH MILLIS input, UTC default, ISO
     // week/dow semantics (Joda). Polymorphic on the resolved input type so
@@ -633,6 +724,31 @@ object PinotFunctions {
     // pre-1.2 spellings of the same pair
     "exprmin" -> (args => MinBy(args(1), args(0)).toAggregateExpression()),
     "exprmax" -> (args => MaxBy(args(1), args(0)).toAggregateExpression()),
+    // arrayAgg(col, 'dataType'[, distinct]): Pinot's typed value-list
+    // aggregate — the type literal is Pinot's stored-type declaration, so
+    // honor it with a cast; element ORDER is engine-arrival order in both
+    // systems (unspecified — sort at the use site for determinism)
+    "arrayagg" -> (args => {
+      val dt = args(1) match {
+        case Literal(s, StringType) if s != null =>
+          graft.catalog.TableSpec.mapType(s.toString)
+        case other => throw new IllegalArgumentException(
+          s"arrayAgg dataType must be a string literal, got $other")
+      }
+      val distinct = args.length >= 3 && (args(2) match {
+        case Literal(b: Boolean, BooleanType) => b
+        case Literal(s, StringType) if s != null => s.toString.toBoolean
+        case other => throw new IllegalArgumentException(
+          s"arrayAgg distinct flag must be a literal, got $other")
+      })
+      val child = Cast(args(0), dt)
+      if (distinct) CollectSet(child).toAggregateExpression()
+      else CollectList(child).toAggregateExpression()
+    }),
+    // camel spellings of the ANSI bool aggregates (Pinot's registry is
+    // underscore-insensitive; Spark's is not)
+    "booland" -> fwd("bool_and"),
+    "boolor" -> fwd("bool_or"),
     // Pinot spells it without the underscore; 3-arg and 4-arg (start pos)
     // forms map directly, the occurrence/flags extensions do not exist in
     // Spark and error loudly rather than silently diverge

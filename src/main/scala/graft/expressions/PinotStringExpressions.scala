@@ -78,6 +78,32 @@ case class StrPosOrdinal(str: Expression, find: Expression, instance: Expression
     copy(str = newFirst, find = newSecond, instance = newThird)
 }
 
+/** `strrpos(input, find[, instance])` — 0-based LAST indexOf, −1 absent;
+  * the instance form counts occurrences from the END (commons
+  * `lastOrdinalIndexOf`; instance 1 ≡ plain `lastIndexOf`). */
+case class StrRPosOrdinal(str: Expression, find: Expression, instance: Expression)
+  extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def first: Expression = str
+  override def second: Expression = find
+  override def third: Expression = instance
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "strrpos"
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType, IntegerType)
+
+  override protected def nullSafeEval(s: Any, f: Any, n: Any): Any =
+    org.apache.commons.lang3.StringUtils.lastOrdinalIndexOf(
+      s.asInstanceOf[UTF8String].toString,
+      f.asInstanceOf[UTF8String].toString,
+      n.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): StrRPosOrdinal =
+    copy(str = newFirst, find = newSecond, instance = newThird)
+}
+
 /** `normalize(str[, form])` — Pinot StringFunctions wraps
   * `java.text.Normalizer` (NFC default; NFD/NFKC/NFKD accepted). */
 case class NormalizeStr(str: Expression, form: Expression)

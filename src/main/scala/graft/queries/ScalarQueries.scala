@@ -681,7 +681,59 @@ object ScalarQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  /** Pinot ArithmeticFunctions verb spellings (round 9): ADD/SUB/MULT/DIV/
+    * MOD are DOUBLE ops (div = float division, mod = IEEE fmod — porting
+    * traps vs Spark's integral `div` / typed `%`), roundDecimal,
+    * ifNotFinite guards (div-by-zero → default), Java Math.log edge
+    * semantics (ln(0) = -Inf, ln(<0) = NaN — Spark natives answer NULL),
+    * strrpos last/ordinal-from-end, jsonPath/jsonPathArray untyped forms —
+    * all via the REGISTRY spellings on a Pinot-mode session. */
+  private val pinotMath = Q(
+    "q_scalar_pinot_math",
+    (spark, dir) => {
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT p_partkey,
+          |  ADD(p_size, 1) AS a,
+          |  SUB(p_retailprice, 100) AS sb,
+          |  MULT(p_size, 2) AS m,
+          |  ROUNDDECIMAL(DIV(p_retailprice, 7), 3) AS dv,
+          |  MOD(p_retailprice, 7) AS md,
+          |  IFNOTFINITE(DIV(p_size, MOD(p_partkey, 2)), -1.0) AS guarded,
+          |  ROUNDDECIMAL(IFNOTFINITE(LN(CAST(p_size - 9 AS DOUBLE)), -999.0), 6) AS lnv,
+          |  STRRPOS(p_name, 'd') AS rp,
+          |  STRRPOS(p_name, 'd', 2) AS rp2,
+          |  JSONPATH('{"k":' || CAST(p_size AS STRING) || '}', '$.k') AS jp,
+          |  ARRAY_JOIN(JSONPATHARRAY(
+          |    '[' || CAST(p_size AS STRING) || ',' || CAST(p_size + 1 AS STRING) || ']',
+          |    '$'), ',') AS ja
+          |FROM part ORDER BY p_partkey LIMIT 60""".stripMargin)
+    },
+    Some(
+      s"""WITH pos AS (
+        |  SELECT p_partkey, p_name, p_size, p_retailprice,
+        |         list_filter(range(1, len(p_name) + 1),
+        |                     i -> substr(p_name, CAST(i AS INT), 1) = 'd') AS ds
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(p_size + 1 AS DOUBLE) AS a,
+        |  p_retailprice - 100 AS sb,
+        |  CAST(p_size * 2 AS DOUBLE) AS m,
+        |  ${graft.tools.DuckDbSql.sparkRound("p_retailprice / 7", 3)} AS dv,
+        |  fmod(p_retailprice, CAST(7 AS DOUBLE)) AS md,
+        |  CASE WHEN p_partkey % 2 = 1 THEN CAST(p_size AS DOUBLE) ELSE -1.0 END AS guarded,
+        |  ${graft.tools.DuckDbSql.sparkRound(
+             "CASE WHEN p_size > 9 THEN ln(CAST(p_size - 9 AS DOUBLE)) ELSE -999.0 END", 6)} AS lnv,
+        |  CAST(CASE WHEN len(ds) = 0 THEN -1 ELSE ds[-1] - 1 END AS INT) AS rp,
+        |  CAST(CASE WHEN len(ds) < 2 THEN -1 ELSE ds[-2] - 1 END AS INT) AS rp2,
+        |  CAST(p_size AS VARCHAR) AS jp,
+        |  CAST(p_size AS VARCHAR) || ',' || CAST(p_size + 1 AS VARCHAR) AS ja
+        |FROM pos ORDER BY p_partkey LIMIT 60""".stripMargin))
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
     explodeMv, urlFuncs, geoFuncs, geoPoly, epochBucketFuncs, clpFuncs,
-    mapFuncs, strGenFuncs, netFuncs, hashFamily, pinotStrings, epochFields)
+    mapFuncs, strGenFuncs, netFuncs, hashFamily, pinotStrings, epochFields,
+    pinotMath)
 }

@@ -145,4 +145,64 @@ class RegistryExtrasSpec extends GraftSuite {
       .createOrReplaceTempView("mvx")
     assert(one("SELECT DISTINCTCOUNTBITMAPMV(mv) AS c FROM mvx").getLong(0) === 3L)
   }
+
+  test("round-9 arithmetic verbs: ADD/SUB/MULT/DIV/MOD are DOUBLE ops; ROUNDDECIMAL; IFNOTFINITE") {
+    val r = one(
+      """SELECT ADD(1, 2) AS a, SUB(1, 2) AS s, MULT(3, 4) AS m,
+        |       DIV(7, 2) AS d, MOD(7.5, 2) AS md,
+        |       ROUNDDECIMAL(2.345, 2) AS rd, ROUNDDECIMAL(2.5) AS r0,
+        |       IFNOTFINITE(LN(0.0), -1.0) AS inf, IFNOTFINITE(DIV(4, 2), -1.0) AS fin,
+        |       LN(0.0) AS ln0, LOG10(-1.0) AS lneg, LN(EXP(1.0)) AS ln1
+        |""".stripMargin + "FROM hx LIMIT 1")
+    assert(r.getDouble(0) === 3.0 && r.getDouble(1) === -1.0 && r.getDouble(2) === 12.0)
+    assert(r.getDouble(3) === 3.5, "Pinot div is FLOAT division")
+    assert(r.getDouble(4) === 1.5)
+    assert(r.getDouble(5) === 2.35 && r.getDouble(6) === 3.0)
+    assert(r.getDouble(7) === -1.0 && r.getDouble(8) === 2.0)
+    // Java Math.log edges (Spark natives answer NULL outside the domain)
+    assert(r.getDouble(9) === Double.NegativeInfinity)
+    assert(r.getDouble(10).isNaN)
+    assert(r.getDouble(11) === 1.0)
+  }
+
+  test("round-9 STRRPOS: last indexOf, ordinal-from-end form (commons javadoc truths)") {
+    val r = one(
+      """SELECT STRRPOS('aabaabaa', 'aa') AS l1,
+        |       STRRPOS('aabaabaa', 'aa', 2) AS l2,
+        |       STRRPOS('aabaabaa', 'zz') AS miss FROM hx LIMIT 1""".stripMargin)
+    assert(r.getInt(0) === 6 && r.getInt(1) === 3 && r.getInt(2) === -1)
+  }
+
+  test("round-9 JSONPATH / JSONPATHARRAY family") {
+    val r = one(
+      """SELECT JSONPATH('{"a":{"b":5}}', '$.a.b') AS p,
+        |       JSONPATHARRAY('{"a":[1,2,3]}', '$.a') AS arr,
+        |       JSONPATHARRAYDEFAULTEMPTY('{"a":1}', '$.missing') AS dflt
+        |FROM hx LIMIT 1""".stripMargin)
+    assert(r.getString(0) === "5")
+    assert(r.getSeq[String](1) === Seq("1", "2", "3"))
+    assert(r.getSeq[String](2) === Seq.empty)
+  }
+
+  test("round-9 TEXT_CONTAINS: single-term native-index predicate; multi-term fails loudly") {
+    import pinot.implicits._
+    Seq((1, "the quick brown fox"), (2, "lazy dog"), (3, "quicksilver"))
+      .toDF("id", "txt").createOrReplaceTempView("tc")
+    val hits = pinot.sql(
+      "SELECT id FROM tc WHERE TEXT_CONTAINS(txt, 'quick')").collect().map(_.getInt(0))
+    assert(hits.toSeq === Seq(1), "term match is word-boundary: quicksilver excluded")
+    val err = intercept[Exception](
+      pinot.sql("SELECT TEXT_CONTAINS(txt, 'quick fox') FROM tc").collect())
+    assert(err.getMessage.contains("one term"))
+  }
+
+  test("round-9 ARRAYAGG typed forms + BOOLAND/BOOLOR camel spellings") {
+    val r = one(
+      """SELECT ARRAY_SORT(ARRAYAGG(k, 'INT')) AS ks,
+        |       ARRAY_SORT(ARRAYAGG(m, 'DOUBLE', true)) AS dm,
+        |       BOOLAND(k > 0) AS ba, BOOLOR(k > 5) AS bo FROM hx""".stripMargin)
+    assert(r.getSeq[Int](0) === Seq(1, 2, 3, 4, 5))
+    assert(r.getSeq[Double](1) === Seq(2.0, 5.0, 7.0, 10.0), "distinct form collapses the tied 10s")
+    assert(r.getBoolean(2) === true && r.getBoolean(3) === false)
+  }
 }
