@@ -632,86 +632,169 @@ object TextQueries {
     * float pairing), and top-10 is TakeOrderedAndProject — never a global
     * window. All arithmetic is IEEE double with one defined association,
     * replicated literally in the oracle (every literal CAST AS DOUBLE —
-    * DuckDB folds bare decimals exactly as DECIMAL otherwise). */
+    * DuckDB folds bare decimals exactly as DECIMAL otherwise).
+    *
+    * [[bm25Scored]]/[[bm25Ctes]] are the shared scoring stage — q_text_bm25
+    * ranks it directly; q_search_hybrid fuses it with a vector ranking. */
+  private def bm25Scored(spark: org.apache.spark.sql.SparkSession, dir: String,
+      qTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
+    val sized = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val totals = sized.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = sized
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist() // shared by the df_t aggregate and the scoring join
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = dfT.crossJoin(broadcast(totals))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    val contrib = tf.join(broadcast(idf), Seq("term"))
+      .select(col("doc_id"),
+        struct(col("term"),
+          (col("idf") * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+            .as("c")).as("tc"))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        expr("aggregate(transform(sort_array(collect_list(tc)), x -> x.c), 0.0D, (acc, x) -> acc + x)")
+          .as("s"))
+      .withColumn("score", round(col("s"), 6))
+  }
+
+  /** The BM25 CTE chain (`sized → totals → tf → dft → idf → perdoc →
+    * scored`) — the oracle twin of [[bm25Scored]], shared by both oracles. */
+  private def bm25Ctes(qTerms: Seq[String]): String = {
+    val inList = qTerms.map(t => s"'$t'").mkString(", ")
+    s"""sized AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), totals AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM sized
+       |), tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM sized)
+       |  WHERE term IN ($inList)
+       |  GROUP BY 1, 2, 3
+       |), dft AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+       |), idf AS (
+       |  SELECT term,
+       |         ln(CAST(1.0 AS DOUBLE) +
+       |            (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) AS idf,
+       |         avgdl
+       |  FROM dft, totals
+       |), perdoc AS (
+       |  SELECT tf.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_terms,
+       |         list_reduce(list(
+       |           idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) /
+       |             (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |               CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE) / idf.avgdl)))
+       |           ORDER BY tf.term),
+       |           (acc, x) -> acc + x) AS s
+       |  FROM tf JOIN idf USING (term) GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, n_terms, ${graft.tools.DuckDbSql.sparkRound("s", 6)} AS score
+       |  FROM perdoc
+       |)""".stripMargin
+  }
+
   private val textBm25 = Q(
     "q_text_bm25",
     (spark, dir) => {
-      val qTerms = Seq("spark", "table", "hash")
-      val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
-      val sized = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("dl"))
-      val totals = sized.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-      val tf = sized
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-        .persist() // shared by the df_t aggregate and the scoring join
-      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-      val idf = dfT.crossJoin(broadcast(totals))
-        .select(col("term"),
-          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
-          col("avgdl"))
-      val contrib = tf.join(broadcast(idf), Seq("term"))
-        .select(col("doc_id"),
-          struct(col("term"),
-            (col("idf") * (col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-              .as("c")).as("tc"))
-      val perDoc = contrib.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_terms"),
-          expr("aggregate(transform(sort_array(collect_list(tc)), x -> x.c), 0.0D, (acc, x) -> acc + x)")
-            .as("s"))
-        .withColumn("score", round(col("s"), 6))
+      val perDoc = bm25Scored(spark, dir, Seq("spark", "table", "hash"))
       val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(10)
       val w = Window.orderBy(col("score").desc, col("doc_id").asc)
       top.withColumn("rn", row_number().over(w))
         .select(col("rn"), col("doc_id"), col("n_terms"), col("score"))
         .orderBy(col("rn"))
     },
-    Some(s"""WITH sized AS (
-            |  SELECT doc_id, string_split(text, ' ') AS toks,
-            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-            |  FROM documents
-            |), totals AS (
-            |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-            |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-            |  FROM sized
-            |), tf AS (
-            |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
-            |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM sized)
-            |  WHERE term IN ('spark', 'table', 'hash')
-            |  GROUP BY 1, 2, 3
-            |), dft AS (
-            |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
-            |), idf AS (
-            |  SELECT term,
-            |         ln(CAST(1.0 AS DOUBLE) +
-            |            (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) AS idf,
-            |         avgdl
-            |  FROM dft, totals
-            |), perdoc AS (
-            |  SELECT tf.doc_id,
-            |         CAST(count(*) AS BIGINT) AS n_terms,
-            |         list_reduce(list(
-            |           idf.idf * (tf.tf * CAST(2.2 AS DOUBLE)) /
-            |             (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-            |               CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE) / idf.avgdl)))
-            |           ORDER BY tf.term),
-            |           (acc, x) -> acc + x) AS s
-            |  FROM tf JOIN idf USING (term) GROUP BY 1
-            |), scored AS (
-            |  SELECT doc_id, n_terms, ${graft.tools.DuckDbSql.sparkRound("s", 6)} AS score
-            |  FROM perdoc
-            |), ranked AS (
+    Some(s"""WITH ${bm25Ctes(Seq("spark", "table", "hash"))}, ranked AS (
             |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
             |  FROM scored
             |)
             |SELECT rn, doc_id, n_terms, score
             |FROM ranked WHERE rn <= 10 ORDER BY rn""".stripMargin))
+
+  /** X3e hybrid retrieval (round 9): Reciprocal Rank Fusion of the BM25
+    * term ranking and a brute-force cosine ranking against a query vector —
+    * the standard lexical+dense fusion (Cormack et al. RRF, k = 60) every
+    * RAG/retrieval pipeline runs. rrf(d) = Σ_lists 1/(60 + rank_d), missing
+    * from a list contributes 0; ranks are computed on ROUNDED scores with
+    * id tiebreaks in BOTH engines, so the fusion is bit-deterministic and
+    * fully oracle-checked (not a bound-boolean).
+    *
+    * Scale shape: each leg is its own proven top-k plan (BM25 = IN-list
+    * filtered scan + broadcast idf + TakeOrderedAndProject; vector =
+    * broadcast-query cosine + per-query window) — fusion then touches only
+    * 2×50 rank rows: a full outer join of two 50-row frames. At 100 TB the
+    * legs swap in their indexed forms (TextIndex candidates, AnnIndex
+    * probes) without touching the fusion. */
+  private val searchHybrid = Q(
+    "q_search_hybrid",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val vecTop = graft.ops.Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("nid").cast("long").as("id"), col("rn").cast("long").as("rv"))
+      val bmTop = bm25Scored(spark, dir, Seq("spark", "table", "hash"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        .withColumn("rb",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id").cast("long").as("id"), col("rb"))
+      val fused = bmTop.join(vecTop, Seq("id"), "full_outer")
+        .select(col("id"),
+          coalesce(col("rb"), lit(-1L)).as("rank_bm25"),
+          coalesce(col("rv"), lit(-1L)).as("rank_vec"),
+          round(
+            coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("rv").cast("double")), lit(0.0)),
+            6).as("rrf"))
+      val w = Window.orderBy(col("rrf").desc, col("id").asc)
+      fused.orderBy(col("rrf").desc, col("id").asc).limit(10)
+        .withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("id"), col("rank_bm25"), col("rank_vec"), col("rrf"))
+        .orderBy(col("rn"))
+    },
+    Some(s"""WITH ${bm25Ctes(Seq("spark", "table", "hash"))}, bmtop AS (
+            |  SELECT doc_id AS id, rb FROM (
+            |    SELECT doc_id,
+            |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rb
+            |    FROM scored) WHERE rb <= 50
+            |), vec AS (
+            |  SELECT e.vec_id AS id,
+            |         round(CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE), 4) AS sim
+            |  FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+            |  CROSS JOIN embeddings e WHERE e.vec_id <> 0
+            |), vtop AS (
+            |  SELECT id, rv FROM (
+            |    SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rv
+            |    FROM vec) WHERE rv <= 50
+            |), fused AS (
+            |  SELECT COALESCE(b.id, v.id) AS id,
+            |         CAST(COALESCE(b.rb, -1) AS BIGINT) AS rank_bm25,
+            |         CAST(COALESCE(v.rv, -1) AS BIGINT) AS rank_vec,
+            |         ${graft.tools.DuckDbSql.sparkRound(
+                        "COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + b.rb), CAST(0 AS DOUBLE)) + " +
+                        "COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + v.rv), CAST(0 AS DOUBLE))", 6)} AS rrf
+            |  FROM bmtop b FULL OUTER JOIN vtop v ON b.id = v.id
+            |), rranked AS (
+            |  SELECT *, row_number() OVER (ORDER BY rrf DESC, id ASC) AS rn
+            |  FROM fused
+            |)
+            |SELECT CAST(rn AS INT) AS rn, id, rank_bm25, rank_vec, rrf
+            |FROM rranked WHERE rn <= 10 ORDER BY rn""".stripMargin))
 
   /** WordPiece-style greedy subword tokenization (round 9 — ops/Subword):
     * vocab = top-200 substrings (≤6 chars) by EXACT corpus occurrence
@@ -822,5 +905,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(textRareNgram, textTokens, textQuality, textLangId, textFingerprint, textTfidf,
     textRepetition, textChunks, textClean, textBpePairs, textBpeEncode,
-    textLmScore, textLm2Score, textBm25, textWordpiece, textUnigram)
+    textLmScore, textLm2Score, textBm25, searchHybrid, textWordpiece, textUnigram)
 }
