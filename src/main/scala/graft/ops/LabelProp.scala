@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) — community
+  * detection over co-occurrence / link graphs, the curation-side complement
+  * of [[Components]]: components find CONNECTED pieces, LPA finds dense
+  * communities WITHIN a connected graph (topic clusters in a link graph,
+  * near-clique seller rings in a transaction graph).
+  *
+  * Determinism: the classic algorithm breaks ties randomly and updates
+  * asynchronously — neither survives a distributed setting honestly. This is
+  * the SYNCHRONOUS variant with a total tie order: every node
+  * simultaneously adopts the label carried by the most of its neighbors,
+  * ties to the SMALLEST label; a node keeps its label only if it has no
+  * neighbors (impossible after symmetrization). Every update is integer
+  * counting + an argmin over (−count, label) — exact, order-free, so runs
+  * are bit-identical under any partitioning and a DuckDB oracle replays
+  * every round verbatim (the [[PageRank]] doctrine). Synchronous LPA can
+  * 2-cycle on bipartite-ish structure rather than converge — callers pick a
+  * fixed iteration budget and read the census at that horizon (the same
+  * fixed-horizon contract as PageRank's power iteration).
+  *
+  * Scale shape per round: one edge⋈labels join (map-side after the edge
+  * frame is hash-partitioned once and checkpointed), one (dst,label) count
+  * shuffle whose row count is bounded by the edge count, one per-dst argmin
+  * — all linear in edges; labels eagerly localCheckpoint'd (Components
+  * lineage doctrine). Driver state: a loop counter.
+  */
+object LabelProp {
+
+  /** @param edges two-column (src, dst) edge frame, treated as UNDIRECTED
+    *              (symmetrized + dedup'd here); self-loops dropped
+    * @param iters fixed synchronous rounds
+    * @return (node: long, label: long) — label = min node id of the
+    *         adopted community seed at the chosen horizon */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"labelprop: iters >= 0, got $iters")
+    val spark = edges.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = col(edges.columns(0)).cast("long")
+    val b = col(edges.columns(1)).cast("long")
+    val und = edges.select(a.as("u"), b.as("v")).where(col("u") =!= col("v"))
+    val e = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+      .repartition(nPart, col("src"))
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val counts = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(functions.count(lit(1)).as("cnt"))
+      labels = counts
+        .groupBy(col("dst").as("node"))
+        // argmax count, ties to the smallest label: min over (−count, label)
+        .agg(min(struct((-col("cnt")).as("neg"), col("label"))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
+
+  /** Community census at the horizon: (label, size), one row per surviving
+    * community. */
+  def census(edges: DataFrame, iters: Int): DataFrame =
+    run(edges, iters)
+      .groupBy(col("label"))
+      .agg(functions.count(lit(1)).as("size"))
+}

@@ -124,5 +124,64 @@ object GraphQueries {
       |       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS total_tri
       |FROM pn ORDER BY tri DESC, part LIMIT 20""".stripMargin))
 
-  val all: Seq[Q] = Seq(pagerank, triangleCensus)
+  private val LpaIters = 4
+
+  /** Community census of the part co-purchase graph after 4 synchronous
+    * label-propagation rounds (ops/LabelProp: deterministic min-tie LPA —
+    * exact integer counting, so the DuckDB oracle replays EVERY round
+    * verbatim). The dense-community complement of q_dedup_clusters'
+    * connected components. */
+  private val lpaCensus = Q(
+    "q_graph_communities",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("src"),
+          col("y.l_partkey").cast("long").as("dst"))
+      val census = graft.ops.LabelProp.census(edges, LpaIters).persist()
+      val tot = census.agg(count(lit(1)).as("n_communities"),
+        sum(col("size")).as("n_nodes"))
+      census.crossJoin(broadcast(tot))
+        .orderBy(col("size").desc, col("label").asc)
+        .limit(20)
+    },
+    Some(lpaSql(LpaIters)))
+
+  /** Unrolled synchronous LPA in DuckDB: two CTEs per round (neighbor-label
+    * counts, then the per-node argmax with ties to the smallest label),
+    * mirroring ops/LabelProp.run step for step. */
+  private def lpaSql(iters: Int): String = {
+    val its = (1 to iters).map { k =>
+      s"""cnt$k AS (
+         |  SELECT e.dst AS node, p.label, count(*) AS cnt
+         |  FROM it${k - 1} p JOIN e ON e.src = p.node
+         |  GROUP BY e.dst, p.label
+         |), it$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM cnt$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS src,
+       |         CAST(y.l_partkey AS BIGINT) AS dst
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+       |), it0 AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM e
+       |),
+       |$its, census AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS size FROM it$iters GROUP BY label
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |         CAST(sum(size) AS BIGINT) AS n_nodes FROM census
+       |)
+       |SELECT c.label, c.size, t.n_communities, t.n_nodes
+       |FROM census c, tot t ORDER BY c.size DESC, c.label ASC LIMIT 20""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangleCensus, lpaCensus)
 }
