@@ -96,5 +96,87 @@ object EmbeddingQueries {
          |FROM erred GROUP BY label ORDER BY label""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(embedNorm, embedQuantize)
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmDim = 64
+
+  /** X2 semantic clustering (round 9): distributed Lloyd's k-means over the
+    * corpus embeddings — the step that feeds cluster-balanced sampling and
+    * IVF coarse-quantizer training. `ops/KMeans` is deterministic end to
+    * end (kernel-fold distances, ties to the lowest cell, decimal-grid
+    * centroid updates), so the DuckDB oracle replays EVERY Lloyd iteration
+    * and the comparison covers the whole trajectory: cluster populations,
+    * the first centroid component, and the within-cluster inertia under
+    * the final codebook. */
+  private val embedKmeans = Q(
+    "q_embed_kmeans",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      // init = the k lowest-id vectors (the IVF-style deterministic seed)
+      val init = e.filter(col("vec_id") < KmK)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toSeq
+      val cents = graft.ops.KMeans.train(e, "embedding", init, KmIters)
+      val cf = spark.createDataFrame(cents.map { case (c, a) => (c, a(0).toDouble) })
+        .toDF("cell", "c_first")
+      graft.ops.KMeans.assign(e, "embedding", cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("dist") * col("dist")), 4).as("inertia"))
+        .join(broadcast(cf), Seq("cell"))
+        .select(col("cell"), col("n_members"), col("c_first"), col("inertia"))
+        .orderBy(col("cell"))
+    },
+    Some(kmeansSql(KmK, KmIters, KmDim)))
+
+  /** Unrolled Lloyd iterations in DuckDB, mirroring ops/KMeans step for
+    * step: distance = sqrt of the sequential (x−y)² fold (list_reduce ≡
+    * the MinkowskiDistance kernel loop), assignment ties to the lowest
+    * cell, centroid update = sparkRound(avg, 6) narrowed through REAL
+    * (the float32 codebook), empty cells carried by LEFT JOIN + coalesce. */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    import graft.tools.DuckDbSql
+    def d2(embCol: String, ceCol: String): String = {
+      val diff = s"(CAST($embCol[kmi] AS DOUBLE) - $ceCol[kmi])"
+      s"sqrt(list_reduce(list_transform(range(1, ${dim + 1}), kmi -> $diff * $diff), (kma, kmb) -> kma + kmb))"
+    }
+    def assignCte(name: String, centsCte: String, keepD: Boolean): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cell${if (keepD) ", d" else ""} FROM (
+         |    SELECT vec_id, embedding, cell, d,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+         |    FROM (SELECT e.vec_id, e.embedding, c.cell,
+         |                 ${d2("e.embedding", "c.ce")} AS d
+         |          FROM embeddings e, $centsCte c)) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCte(s"a$r", s"c${r - 1}", keepD = false)},
+         |m$r AS MATERIALIZED (
+         |  SELECT cell, ui AS i,
+         |         CAST(CAST(${DuckDbSql.sparkRound(s"avg(CAST(embedding[ui] AS DOUBLE))", 6)} AS REAL) AS DOUBLE) AS m
+         |  FROM (SELECT cell, embedding, unnest(range(1, ${dim + 1})) AS ui FROM a$r)
+         |  GROUP BY cell, ui),
+         |c$r AS MATERIALIZED (
+         |  SELECT c.cell, coalesce(nw.ce, c.ce) AS ce
+         |  FROM c${r - 1} c LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY i) AS ce FROM m$r GROUP BY cell) nw
+         |  ON nw.cell = c.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |         list_transform(embedding, kmx -> CAST(kmx AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id < $k),
+       |$rounds,
+       |${assignCte("af", s"c$iters", keepD = true)},
+       |g AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |         ${DuckDbSql.sparkRound("sum(d * d)", 4)} AS inertia
+       |  FROM af GROUP BY cell)
+       |SELECT g.cell, g.n_members, c.ce[1] AS c_first, g.inertia
+       |FROM g JOIN c$iters c ON c.cell = g.cell
+       |ORDER BY g.cell""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(embedNorm, embedQuantize, embedKmeans)
 }

@@ -183,5 +183,82 @@ object GraphQueries {
        |FROM census c, tot t ORDER BY c.size DESC, c.label ASC LIMIT 20""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangleCensus, lpaCensus)
+  private val KcoreRounds = 6
+
+  /** k-core peeling trajectory of the part co-purchase graph (round 9) —
+    * the density-filter complement of the triangle census. k is ADAPTIVE:
+    * the degree at the exact 20th-percentile position of the ascending
+    * degree sequence (an integer order statistic — the value at a rank is
+    * determined by the sorted multiset, so tie order can't diverge the
+    * engines), which keeps the cascade non-trivial at every scale factor
+    * instead of pinning a constant near one SF's critical density. The
+    * output is the whole synchronous peel trajectory — (round,
+    * nodes_alive, edges_alive) for rounds 0..6 — which the DuckDB oracle
+    * replays round for round in exact integer arithmetic. */
+  private val kcoreTrajectory = Q(
+    "q_graph_kcore",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("src"),
+          col("y.l_partkey").cast("long").as("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .persist()
+      val n = deg.count()
+      val idx = (2L * (n - 1L)) / 10L
+      val k = deg.select(col("d")).orderBy(col("d"))
+        .offset(idx.toInt).limit(1).head().getLong(0)
+      deg.unpersist()
+      graft.ops.KCore.peelTrajectory(spark, edges, k.toInt, KcoreRounds)
+        .select(col("round"), lit(k).as("k"),
+          col("nodes_alive"), col("edges_alive"))
+        .orderBy(col("round"))
+    },
+    Some(kcoreSql(KcoreRounds)))
+
+  /** Unrolled synchronous peel in DuckDB: kv = the order-statistic k; per
+    * round one alive-node CTE (degree >= k) and one surviving-edge CTE.
+    * Every multiply-referenced CTE is MATERIALIZED — each e{r} is read by
+    * the next round's degree pass, both semi-join sides, and the
+    * trajectory union, and without materialization DuckDB's inlining makes
+    * the evaluation tree EXPONENTIAL in the round count (measured: the
+    * 6-round inlined form never finished at sf0.01; materialized it's
+    * sub-second). */
+  private def kcoreSql(rounds: Int): String = {
+    val its = (1 to rounds).map { r =>
+      s"""a${r - 1} AS MATERIALIZED (
+         |  SELECT src FROM (SELECT src, count(*) AS d FROM e${r - 1} GROUP BY src), kv
+         |  WHERE d >= kv.k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN a${r - 1} a ON a.src = e.src
+         |  JOIN a${r - 1} b ON b.src = e.dst)""".stripMargin
+    }.mkString(",\n")
+    val traj = (0 to rounds).map { r =>
+      s"""SELECT $r AS round, (SELECT k FROM kv) AS k,
+         |       CAST(count(DISTINCT src) AS BIGINT) AS nodes_alive,
+         |       CAST(count(*) // 2 AS BIGINT) AS edges_alive FROM e$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS src,
+       |         CAST(y.l_partkey AS BIGINT) AS dst
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+       |), kv AS MATERIALIZED (
+       |  SELECT CAST(d AS BIGINT) AS k FROM (
+       |    SELECT d, row_number() OVER (ORDER BY d) AS rn,
+       |           count(*) OVER () AS n
+       |    FROM (SELECT src, count(*) AS d FROM e0 GROUP BY src))
+       |  WHERE rn = (2 * (n - 1)) // 10 + 1
+       |),
+       |$its
+       |SELECT * FROM ($traj) ORDER BY round""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangleCensus, lpaCensus, kcoreTrajectory)
 }
