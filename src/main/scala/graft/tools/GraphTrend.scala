@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *    in an order), full census count.
   *
   * Usage: runMain graft.tools.GraphTrend <dir1> <dir2 ...>; best-of-2 per
-  * dir, per-step seconds on stderr.
+  * dir, per-step seconds on stderr. SPARK_GRAFT_TREND_OPS (comma list of
+  * pagerank,labelprop,triangles) selects a subset — re-measuring one op
+  * added after a committed full run must not re-pay the ~17-min 100×
+  * pagerank+triangles legs.
   */
 object GraphTrend {
 
@@ -55,33 +58,49 @@ object GraphTrend {
       val nRep = li.agg(max((col("l_orderkey").cast("long") / lit(baseOrd)).cast("long")))
         .head().getLong(0) + 1
       System.err.println(s"[graph] $dir replicas=$nRep")
+      val ops = sys.env.getOrElse("SPARK_GRAFT_TREND_OPS",
+        "pagerank,labelprop,triangles").split(",").map(_.trim).toSet
       val best = scala.collection.mutable.Map.empty[String, Double]
       val passes = sys.env.getOrElse("SPARK_GRAFT_TREND_PASSES", "2").toInt
       for (_ <- 1 to passes) {
         spark.catalog.clearCache()
 
-        var t0 = System.nanoTime()
-        // 1e8 supplier offset clears the remapped part range (rep·1e6 + id)
-        val bip = li.select(col("l_partkey").cast("long").as("p"),
-            (col("l_suppkey").cast("long") + lit(100000000L)).as("s"))
-          .distinct()
-        val edges = bip.select(col("p").as("src"), col("s").as("dst"))
-          .union(bip.select(col("s").as("src"), col("p").as("dst")))
-        val nRanked = graft.ops.PageRank.run(edges, iters = 8).count()
-        best("pagerank") = math.min((System.nanoTime() - t0) / 1e9,
-          best.getOrElse("pagerank", Double.MaxValue))
+        if (ops("pagerank")) {
+          val t0 = System.nanoTime()
+          // 1e8 supplier offset clears the remapped part range (rep·1e6+id)
+          val bip = li.select(col("l_partkey").cast("long").as("p"),
+              (col("l_suppkey").cast("long") + lit(100000000L)).as("s"))
+            .distinct()
+          val edges = bip.select(col("p").as("src"), col("s").as("dst"))
+            .union(bip.select(col("s").as("src"), col("p").as("dst")))
+          val nRanked = graft.ops.PageRank.run(edges, iters = 8).count()
+          best("pagerank") = math.min((System.nanoTime() - t0) / 1e9,
+            best.getOrElse("pagerank", Double.MaxValue))
+          System.err.println(s"[graph] $dir nodes_ranked=$nRanked")
+        }
 
-        t0 = System.nanoTime()
-        val basket = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").cast("long").as("src"),
-            col("y.l_partkey").cast("long").as("dst"))
-        val nTri = graft.ops.Triangles.count(basket)
-        best("triangles") = math.min((System.nanoTime() - t0) / 1e9,
-          best.getOrElse("triangles", Double.MaxValue))
+        if (ops("labelprop")) {
+          val t0 = System.nanoTime()
+          val lpaEdges = li.select(col("l_partkey").as("src"),
+            (col("l_suppkey") + lit(100000000L)).as("dst"))
+          val nComm = graft.ops.LabelProp.census(lpaEdges, iters = 4).count()
+          best("labelprop") = math.min((System.nanoTime() - t0) / 1e9,
+            best.getOrElse("labelprop", Double.MaxValue))
+          System.err.println(s"[graph] $dir communities=$nComm")
+        }
 
-        System.err.println(s"[graph] $dir nodes_ranked=$nRanked triangles=$nTri")
+        if (ops("triangles")) {
+          val t0 = System.nanoTime()
+          val basket = li.as("x").join(li.as("y"),
+              col("x.l_orderkey") === col("y.l_orderkey") &&
+                col("x.l_partkey") < col("y.l_partkey"))
+            .select(col("x.l_partkey").cast("long").as("src"),
+              col("y.l_partkey").cast("long").as("dst"))
+          val nTri = graft.ops.Triangles.count(basket)
+          best("triangles") = math.min((System.nanoTime() - t0) / 1e9,
+            best.getOrElse("triangles", Double.MaxValue))
+          System.err.println(s"[graph] $dir triangles=$nTri")
+        }
       }
       best.toSeq.sortBy(_._1).foreach { case (n, s) =>
         System.err.println(f"[scale] $dir $n $s%.2f s")
