@@ -552,6 +552,27 @@ object PinotFunctions {
     "arrayreverse" -> fwd("reverse"),
     "arrayslice" -> (args =>
       Slice(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),
+    // Pinot 1.2 ArrayFunctions spells every MV op with a TYPED suffix
+    // (arrayConcatInt/Long/Float/Double/String, …) — each is the same
+    // operation on a differently-typed values array, so they all alias the
+    // generic builder (Spark's array ops are generic over element type)
+    "arrayreverseint" -> fwd("reverse"),
+    "arrayreversestring" -> fwd("reverse"),
+    "arraysortint" -> fwd("sort_array"),
+    "arraysortstring" -> fwd("sort_array"),
+    "arraydistinctint" -> fwd("array_distinct"),
+    "arraydistinctstring" -> fwd("array_distinct"),
+    "arrayconcatint" -> fwd("concat"),
+    "arrayconcatlong" -> fwd("concat"),
+    "arrayconcatfloat" -> fwd("concat"),
+    "arrayconcatdouble" -> fwd("concat"),
+    "arrayconcatstring" -> fwd("concat"),
+    "arraysliceint" -> (args =>
+      Slice(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),
+    "arrayslicestring" -> (args =>
+      Slice(args(0), Add(args(1), Literal(1)), Subtract(args(2), args(1)))),
+    "arraysumint" -> (args => arraySum(args(0))),
+    "arraysumlong" -> (args => arraySum(args(0))),
     // arrayElementAt: 1-BASED — Pinot's ArrayFunctions.arrayElementAt*
     // return values[idx - 1] (the Presto element_at convention), unlike its
     // 0-based arrayIndexOf/arraySlice which delegate to Java's 0-based
@@ -561,6 +582,7 @@ object PinotFunctions {
     // return the WRONG element for a Pinot caller, so idx < 1 is nulled
     // explicitly rather than forwarded.
     "arrayelementatint" -> (args => elementAt1Based(args)),
+    "arrayelementatlong" -> (args => elementAt1Based(args)),
     "arrayelementatstring" -> (args => elementAt1Based(args)),
     "codepoint" -> (args => Ascii(args(0))),
     "arraycontainsint" -> (args => ArrayContains(args(0), args(1))),

@@ -138,6 +138,21 @@ object EmbeddingQueries {
     * (the float32 codebook), empty cells carried by LEFT JOIN + coalesce. */
   private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
     import graft.tools.DuckDbSql
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       |g AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |         ${DuckDbSql.sparkRound("sum(d * d)", 4)} AS inertia
+       |  FROM af GROUP BY cell)
+       |SELECT g.cell, g.n_members, c.ce[1] AS c_first, g.inertia
+       |FROM g JOIN c$iters c ON c.cell = g.cell
+       |ORDER BY g.cell""".stripMargin
+  }
+
+  /** The shared Lloyd-replay WITH-chain: c0 → (a·, m·, c·)×iters → af,
+    * where `af` is the final assignment (vec_id, embedding, cell, d) under
+    * the trained codebook `c{iters}`. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    import graft.tools.DuckDbSql
     def d2(embCol: String, ceCol: String): String = {
       val diff = s"(CAST($embCol[kmi] AS DOUBLE) - $ceCol[kmi])"
       s"sqrt(list_reduce(list_transform(range(1, ${dim + 1}), kmi -> $diff * $diff), (kma, kmb) -> kma + kmb))"
@@ -163,20 +178,52 @@ object EmbeddingQueries {
          |    SELECT cell, list(m ORDER BY i) AS ce FROM m$r GROUP BY cell) nw
          |  ON nw.cell = c.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH c0 AS MATERIALIZED (
+    s"""c0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |         list_transform(embedding, kmx -> CAST(kmx AS DOUBLE)) AS ce
        |  FROM embeddings WHERE vec_id < $k),
        |$rounds,
-       |${assignCte("af", s"c$iters", keepD = true)},
-       |g AS (
-       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
-       |         ${DuckDbSql.sparkRound("sum(d * d)", 4)} AS inertia
-       |  FROM af GROUP BY cell)
-       |SELECT g.cell, g.n_members, c.ce[1] AS c_first, g.inertia
-       |FROM g JOIN c$iters c ON c.cell = g.cell
-       |ORDER BY g.cell""".stripMargin
+       |${assignCte("af", s"c$iters", keepD = true)}""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(embedNorm, embedQuantize, embedKmeans)
+  /** X5b cluster-balanced sampling (round 9): exact-N-per-cluster draw
+    * over the k-means cells — the "semantic stratification" a curation
+    * pipeline uses to rebalance a scraped corpus (equal budget per
+    * semantic cluster instead of per source tag). Selection = seeded-hash
+    * rank within each cell (zero RNG state, the q_sample_stratified
+    * doctrine); Spark's WindowGroupLimit turns rank<=N into a
+    * per-partition top-N BEFORE the shuffle, so the exchanged rows are
+    * bounded by N×cells×partitions, not the corpus. */
+  private val sampleClusterBalanced = Q(
+    "q_sample_cluster_balanced",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.t(spark, dir, "embeddings")
+      val init = e.filter(col("vec_id") < KmK)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toSeq
+      val cents = graft.ops.KMeans.train(e, "embedding", init, KmIters)
+      val w = Window.partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))
+      graft.ops.KMeans.assign(e, "embedding", cents)
+        .withColumn("h", graft.functions.stable_hash64(col("vec_id").cast("string"), 17L))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("cell"), col("rk"), col("vec_id"))
+        .orderBy(col("cell"), col("rk"))
+    },
+    Some {
+      import graft.tools.DuckDbSql
+      val h = DuckDbSql.hash64("CAST(vec_id AS VARCHAR)", 17L)
+      s"""WITH ${kmeansCtes(KmK, KmIters, KmDim)},
+         |ranked AS (
+         |  SELECT cell, vec_id,
+         |         row_number() OVER (PARTITION BY cell ORDER BY ($h), vec_id) AS rk
+         |  FROM af)
+         |SELECT cell, CAST(rk AS INTEGER) AS rk, vec_id
+         |FROM ranked WHERE rk <= 10 ORDER BY cell, rk""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(embedNorm, embedQuantize, embedKmeans, sampleClusterBalanced)
 }

@@ -45,6 +45,27 @@ class RegistryExtrasSpec extends GraftSuite {
     assert(r.getSeq[String](1) === Seq("b"))
   }
 
+  test("typed-suffix array aliases (round 9): concat/reverse/sort/distinct/slice/sum/elementAt") {
+    val r = one(
+      """SELECT arrayConcatInt(ARRAY(1, 2), ARRAY(3)) AS c,
+        |       arrayConcatString(ARRAY('a'), ARRAY('b')) AS cs,
+        |       arrayReverseInt(ARRAY(1, 2, 3)) AS rv,
+        |       arraySortString(ARRAY('b', 'a')) AS st,
+        |       arrayDistinctInt(ARRAY(1, 1, 2)) AS di,
+        |       arraySliceInt(ARRAY(10, 20, 30, 40), 1, 3) AS sl,
+        |       arraySumInt(ARRAY(1, 2, 3)) AS su,
+        |       arrayElementAtLong(ARRAY(CAST(7 AS LONG), CAST(8 AS LONG)), 2) AS el""".stripMargin)
+    assert(r.getSeq[Int](0) === Seq(1, 2, 3))
+    assert(r.getSeq[String](1) === Seq("a", "b"))
+    assert(r.getSeq[Int](2) === Seq(3, 2, 1))
+    assert(r.getSeq[String](3) === Seq("a", "b"))
+    assert(r.getSeq[Int](4) === Seq(1, 2))
+    // Pinot arraySlice is 0-based [from, to) — delegates to Java subList
+    assert(r.getSeq[Int](5) === Seq(20, 30))
+    assert(r.getDouble(6) === 6.0)
+    assert(r.getLong(7) === 8L) // 1-based, the arrayElementAt* convention
+  }
+
   test("EXPRMIN/EXPRMAX legacy spellings and REGEXPREPLACE resolve") {
     val r = one(
       """SELECT EXPRMIN(m, tag) AS lo, EXPRMAX(m, k) AS hi,
