@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synchronous frontier BFS — unweighted single-source shortest paths,
+  * the reachability member of the graph family (PageRank = authority,
+  * Triangles/KCore = density, LabelProp/Components = partitioning). A
+  * fixed round count keeps the trajectory replayable in an unrolled
+  * DuckDB oracle; rounds past the source's eccentricity are no-ops.
+  *
+  * Scale shape: per round one frontier⋈edges join (shuffle bounded by the
+  * frontier's out-edges), one distinct, and one anti-join against the
+  * settled set — the textbook Pregel iteration as three bounded
+  * exchanges; no per-node driver work, frames localCheckpoint'd eagerly
+  * (the `Components` lineage doctrine).
+  *
+  * Input contract: `edges(src, dst)` symmetric + deduplicated (as KCore).
+  */
+object Bfs {
+
+  /** Levels 0..`rounds` from `source`: returns (node, level) for every
+    * node reached within `rounds` hops; unreached nodes are absent. */
+  def levels(spark: SparkSession, edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    import spark.implicits._
+    var dist = Seq((source, 0)).toDF("node", "level").localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    var r = 1
+    while (r <= rounds) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("level", lit(r))
+        .localCheckpoint(true)
+      dist = dist.union(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+      r += 1
+    }
+    dist
+  }
+}

@@ -260,5 +260,72 @@ object GraphQueries {
        |SELECT * FROM ($traj) ORDER BY round""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangleCensus, lpaCensus, kcoreTrajectory)
+  private val BfsRounds = 6
+
+  /** BFS level histogram of the customer↔supplier co-purchase graph from
+    * the lowest node id (round 9) — the reachability profile: how much of
+    * the graph sits n hops from a seed entity. Exact integer frontier
+    * expansion (ops/Bfs), so the DuckDB oracle replays every round; the
+    * unreached remainder is reported alongside. */
+  private val bfsLevels = Q(
+    "q_graph_bfs",
+    (spark, dir) => {
+      val orders = Tables.t(spark, dir, "orders")
+      val li = Tables.t(spark, dir, "lineitem")
+      val pairs = orders
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .localCheckpoint(true)
+      val source = edges.agg(min(col("src"))).head().getLong(0)
+      val lv = graft.ops.Bfs.levels(spark, edges, source, BfsRounds).persist()
+      val nTotal = edges.select(col("src")).distinct().count()
+      val nReached = lv.count()
+      lv.groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
+        .withColumn("n_unreached", lit(nTotal - nReached))
+        .orderBy(col("level"))
+    },
+    Some(bfsSql(BfsRounds)))
+
+  /** Unrolled frontier BFS in DuckDB: n{r} = distinct neighbors of the
+    * previous frontier not yet settled, l{r} = the settled set — all
+    * MATERIALIZED (each is referenced by the next frontier, the settled
+    * union, and the histogram; inlining would re-evaluate the whole
+    * prefix per round). */
+  private def bfsSql(rounds: Int): String = {
+    val its = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node, $r AS level
+         |  FROM e0 e JOIN n${r - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM l${r - 1})),
+         |l$r AS MATERIALIZED (
+         |  SELECT node, level FROM l${r - 1}
+         |  UNION ALL SELECT node, level FROM n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |         CAST(l_suppkey AS BIGINT) + 1000000 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |n0 AS MATERIALIZED (
+       |  SELECT min(src) AS node, 0 AS level FROM e0),
+       |l0 AS MATERIALIZED (SELECT node, level FROM n0),
+       |$its,
+       |hist AS MATERIALIZED (
+       |  SELECT level, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM l$rounds GROUP BY level)
+       |SELECT h.level, h.n_nodes,
+       |       CAST((SELECT count(DISTINCT src) FROM e0)
+       |            - (SELECT sum(n_nodes) FROM hist) AS BIGINT) AS n_unreached
+       |FROM hist h ORDER BY h.level""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangleCensus, lpaCensus, kcoreTrajectory,
+    bfsLevels)
 }

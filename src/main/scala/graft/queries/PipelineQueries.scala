@@ -692,7 +692,120 @@ object PipelineQueries {
            |       TRUE AS scores_separate
            |FROM documents""".stripMargin))
 
+  /** X5g end-to-end curation composite (round 9): the four-stage chain a
+    * corpus actually runs as ONE DataFrame program — (1) quality gate
+    * (chars / token count / stopword density, all integer comparisons);
+    * (2) boilerplate dedup on the 30-token prefix key, keeper = min
+    * doc_id; (3) temperature-rebalanced per-language budgets: a 20%
+    * global budget split ∝ √n_s (the α=0.5 mixture flattening), computed
+    * in EXACT integer arithmetic — √n is scaled to integer micro-units
+    * (floor(√n·10⁶), IEEE sqrt is identical in both engines) so the
+    * share division is a pure BIGINT floor-div, no float sum anywhere;
+    * (4) seeded-hash rank selection inside each language. Output = the
+    * per-stage accounting PLUS the XOR of the selected docs' hashes — the
+    * oracle confirms the selected SET identity, not just its size.
+    *
+    * Scale shape: stages 1–2 are one scan + one prefix-key shuffle; the
+    * budget frame is |langs| rows (broadcast); selection is the
+    * WindowGroupLimit rank pattern. Nothing holds more than a language's
+    * budget per group. */
+  private val pipeCurate = Q(
+    "q_pipe_curate",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.t(spark, dir, "documents")
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val toks = split(col("text"), " ")
+      val scored = d.select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).as("n_toks"),
+        size(filter(toks, t => t.isInCollection(stops))).as("n_stop"),
+        concat_ws(" ", slice(toks, 1, 30)).as("pkey"))
+      val q = scored.withColumn("pass",
+        col("n_chars") >= 200 && col("n_toks") >= 30 &&
+          col("n_stop") * 100 >= col("n_toks") * 3)
+      val perlangQ = q.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_input"),
+        count(when(col("pass"), 1)).as("n_quality"))
+      val wk = Window.partitionBy(col("pkey")).orderBy(col("doc_id"))
+      val uniq = q.filter(col("pass"))
+        .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+        .select(col("lang"), col("doc_id"))
+        .persist()
+      val wb = perlangQ
+        .join(uniq.groupBy(col("lang")).agg(count(lit(1)).as("n_unique")),
+          Seq("lang"), "left")
+        .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
+        .withColumn("sq", floor(sqrt(col("n_unique").cast("double")) * 1000000))
+      val tot = wb.agg(sum(col("sq")).as("s"), sum(col("n_unique")).as("n_tot"))
+      val bud = wb.join(broadcast(tot))
+        .withColumn("budget",
+          when(col("s") > 0, expr("((n_tot div 5) * sq) div s")).otherwise(0L))
+      val ws = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      val sel = uniq
+        .withColumn("h", stable_hash64(col("doc_id").cast("string"), 29L))
+        .withColumn("rk", row_number().over(ws))
+        .join(broadcast(bud.select(col("lang"), col("budget"))), Seq("lang"))
+        .filter(col("rk") <= col("budget"))
+      val perSel = sel.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_selected"), expr("bit_xor(h)").as("sel_xor"))
+      bud.join(perSel, Seq("lang"), "left")
+        .select(col("lang"), col("n_input"), col("n_quality"), col("n_unique"),
+          col("budget"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("sel_xor"), lit(0L)).as("sel_xor"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val h = DuckDbSql.hash64("CAST(doc_id AS VARCHAR)", 29L)
+      s"""WITH scored AS MATERIALIZED (
+         |  SELECT doc_id, lang, n_chars,
+         |         len(str_split(text, ' ')) AS n_toks,
+         |         len(list_filter(str_split(text, ' '),
+         |             t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop,
+         |         array_to_string(str_split(text, ' ')[1:30], ' ') AS pkey
+         |  FROM documents),
+         |q AS MATERIALIZED (
+         |  SELECT *, (n_chars >= 200 AND n_toks >= 30 AND n_stop * 100 >= n_toks * 3) AS pass
+         |  FROM scored),
+         |uniq AS MATERIALIZED (
+         |  SELECT lang, doc_id FROM (
+         |    SELECT lang, doc_id,
+         |           row_number() OVER (PARTITION BY pkey ORDER BY doc_id) AS rn
+         |    FROM q WHERE pass) WHERE rn = 1),
+         |wb AS MATERIALIZED (
+         |  SELECT pq.lang, pq.n_input, pq.n_quality,
+         |         coalesce(pu.n_unique, 0) AS n_unique,
+         |         CAST(floor(sqrt(CAST(coalesce(pu.n_unique, 0) AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+         |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_input,
+         |               CAST(count(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_quality
+         |        FROM q GROUP BY lang) pq
+         |  LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_unique
+         |             FROM uniq GROUP BY lang) pu ON pu.lang = pq.lang),
+         |tot AS MATERIALIZED (
+         |  SELECT CAST(sum(sq) AS BIGINT) AS s,
+         |         CAST(sum(n_unique) AS BIGINT) AS n_tot FROM wb),
+         |bud AS MATERIALIZED (
+         |  SELECT wb.*, CASE WHEN tot.s > 0
+         |    THEN ((tot.n_tot // 5) * wb.sq) // tot.s ELSE 0 END AS budget
+         |  FROM wb, tot),
+         |sel AS MATERIALIZED (
+         |  SELECT r.lang, r.h FROM (
+         |    SELECT lang, doc_id, ($h) AS h,
+         |           row_number() OVER (PARTITION BY lang ORDER BY ($h), doc_id) AS rk
+         |    FROM uniq) r JOIN bud b ON b.lang = r.lang AND r.rk <= b.budget)
+         |SELECT b.lang, b.n_input, b.n_quality, CAST(b.n_unique AS BIGINT) AS n_unique,
+         |       CAST(b.budget AS BIGINT) AS budget,
+         |       CAST(coalesce(ps.n_selected, 0) AS BIGINT) AS n_selected,
+         |       CAST(coalesce(ps.sel_xor, 0) AS BIGINT) AS sel_xor
+         |FROM bud b LEFT JOIN (
+         |  SELECT lang, count(*) AS n_selected, bit_xor(h) AS sel_xor
+         |  FROM sel GROUP BY lang) ps ON ps.lang = b.lang
+         |ORDER BY b.lang""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
     splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted,
-    sourceCap, profile, sampleStratified, sampleDsir, qualityClassifier)
+    sourceCap, profile, sampleStratified, sampleDsir, qualityClassifier,
+    pipeCurate)
 }
