@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over entity relationship graphs (SURVEY.md §2 extension
@@ -326,6 +327,60 @@ object GraphQueries {
        |FROM hist h ORDER BY h.level""".stripMargin
   }
 
+  /** 2-hop recommendation candidates (round 9) — the collaborative-filter
+    * shape: for each seed part, parts most co-co-purchased with it that it
+    * was never directly co-purchased with (rec strength = number of 2-paths,
+    * existing edges anti-joined away). Seeded at the 20 lowest part ids so
+    * the wedge expansion is bounded by the SEEDS' out-edges, not the
+    * corpus — the per-item online-recommendation access pattern; exact
+    * integer counting end to end. */
+  private val graphRecs = Q(
+    "q_graph_recs",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("src"),
+          col("y.l_partkey").cast("long").as("dst"))
+        .distinct()
+        .persist()
+      val hops = edges.filter(col("src") <= 20).as("e1")
+        .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("u"), col("e2.dst").as("w"))
+        .filter(col("u") =!= col("w"))
+      val recs = hops
+        .join(edges.withColumnRenamed("src", "u").withColumnRenamed("dst", "w"),
+          Seq("u", "w"), "left_anti")
+        .groupBy(col("u"), col("w")).agg(count(lit(1)).as("n_paths"))
+      val rw = Window.partitionBy(col("u"))
+        .orderBy(col("n_paths").desc, col("w").asc)
+      recs.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 5)
+        .select(col("u"), col("rk"), col("w"), col("n_paths"))
+        .orderBy(col("u"), col("rk"))
+    },
+    Some("""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS src,
+      |         CAST(y.l_partkey AS BIGINT) AS dst
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+      |hops AS MATERIALIZED (
+      |  SELECT e1.src AS u, e2.dst AS w
+      |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      |  WHERE e1.src <= 20 AND e1.src <> e2.dst),
+      |recs AS MATERIALIZED (
+      |  SELECT h.u, h.w, CAST(count(*) AS BIGINT) AS n_paths
+      |  FROM hops h ANTI JOIN e ON e.src = h.u AND e.dst = h.w
+      |  GROUP BY h.u, h.w),
+      |ranked AS (
+      |  SELECT u, w, n_paths,
+      |         row_number() OVER (PARTITION BY u ORDER BY n_paths DESC, w ASC) AS rk
+      |  FROM recs)
+      |SELECT u, CAST(rk AS INTEGER) AS rk, w, n_paths
+      |FROM ranked WHERE rk <= 5 ORDER BY u, rk""".stripMargin))
+
   val all: Seq[Q] = Seq(pagerank, triangleCensus, lpaCensus, kcoreTrajectory,
-    bfsLevels)
+    bfsLevels, graphRecs)
 }

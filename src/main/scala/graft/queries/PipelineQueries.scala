@@ -738,9 +738,14 @@ object PipelineQueries {
         .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
         .withColumn("sq", floor(sqrt(col("n_unique").cast("double")) * 1000000))
       val tot = wb.agg(sum(col("sq")).as("s"), sum(col("n_unique")).as("n_tot"))
+      // budget in DECIMAL(38,0): (n_tot/5)·sq peaks ≈ 2e10·3e11 ≈ 6e21 at
+      // 1e11 docs — past BIGINT, so the share product must not be a long
+      // multiply (ANSI throws); IntegralDivide over decimals returns LONG
       val bud = wb.join(broadcast(tot))
         .withColumn("budget",
-          when(col("s") > 0, expr("((n_tot div 5) * sq) div s")).otherwise(0L))
+          when(col("s") > 0, expr(
+            """((CAST(n_tot AS DECIMAL(38,0)) div 5) * CAST(sq AS DECIMAL(38,0)))
+              | div CAST(s AS DECIMAL(38,0))""".stripMargin)).otherwise(0L))
       val ws = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
       val sel = uniq
         .withColumn("h", stable_hash64(col("doc_id").cast("string"), 29L))
@@ -787,7 +792,8 @@ object PipelineQueries {
          |         CAST(sum(n_unique) AS BIGINT) AS n_tot FROM wb),
          |bud AS MATERIALIZED (
          |  SELECT wb.*, CASE WHEN tot.s > 0
-         |    THEN ((tot.n_tot // 5) * wb.sq) // tot.s ELSE 0 END AS budget
+         |    THEN (CAST(tot.n_tot // 5 AS HUGEINT) * CAST(wb.sq AS HUGEINT))
+         |         // CAST(tot.s AS HUGEINT) ELSE 0 END AS budget
          |  FROM wb, tot),
          |sel AS MATERIALIZED (
          |  SELECT r.lang, r.h FROM (

@@ -129,7 +129,44 @@ object SortSetQueries {
             SELECT o_custkey FROM orders
             ORDER BY c_custkey"""))
 
+  /** U2b/U3b (round 9): the bag-semantics set operations — INTERSECT ALL
+    * keeps min(m, n) copies per value, EXCEPT ALL keeps m − n. The probe
+    * column (orderpriority) repeats across orders, so multiplicities are
+    * non-trivial; aggregated per value to keep the output canonical and
+    * the multiplicity arithmetic visible. */
+  private val setAll = Q(
+    "q_set_all",
+    (spark, dir) => {
+      val o = Tables.t(spark, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      val ia = a.intersectAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_intersect_all"))
+      val ea = a.exceptAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_except_all"))
+      ia.join(ea, Seq("o_orderpriority"), "full")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+           |b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+           |ia AS (
+           |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_intersect_all
+           |  FROM (SELECT o_orderpriority FROM a INTERSECT ALL SELECT o_orderpriority FROM b)
+           |  GROUP BY o_orderpriority),
+           |ea AS (
+           |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_except_all
+           |  FROM (SELECT o_orderpriority FROM a EXCEPT ALL SELECT o_orderpriority FROM b)
+           |  GROUP BY o_orderpriority)
+           |SELECT coalesce(ia.o_orderpriority, ea.o_orderpriority) AS o_orderpriority,
+           |       coalesce(ia.n_intersect_all, 0) AS n_intersect_all,
+           |       coalesce(ea.n_except_all, 0) AS n_except_all
+           |FROM ia FULL JOIN ea ON ia.o_orderpriority = ea.o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(
     topkRevenue, sortMulti, sortNulls, limitOffset,
-    unionAll, unionDistinct, intersectQ, exceptQ)
+    unionAll, unionDistinct, intersectQ, exceptQ, setAll)
 }
