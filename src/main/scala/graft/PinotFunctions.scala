@@ -204,6 +204,19 @@ object PinotFunctions {
     }),
     "todatetime" -> (args => DateFormatClass(MillisToTimestamp(args(0)), args(1))),
     "fromdatetime" -> (args => UnixMillis(new ParseToTimestamp(args(0), args(1)))),
+    // Pinot timestampAdd/timestampDiff (aliases dateAdd/dateDiff): unit is
+    // a STRING LITERAL, but Spark's PARSER owns all four names as special
+    // grammar (AstBuilder.visitTimestampadd) and hard-rejects quoted units
+    // — so a ported broker query can never reach the registry under the
+    // original spelling. [[rewriteTimestampArith]] (applied by the
+    // endpoints to every statement, the rewriteGapfill doctrine) renames
+    // string-unit calls to these parser-neutral names; Spark's native
+    // identifier-unit forms and the 2-arg datediff/date_add keep parsing
+    // through their own paths untouched.
+    "pinot_timestamp_add" -> (args =>
+      graft.expressions.PinotTimestampAdd(tsUnit(args(0)), args(1), args(2))),
+    "pinot_timestamp_diff" -> (args =>
+      graft.expressions.PinotTimestampDiff(tsUnit(args(0)), args(1), args(2))),
     // Pinot now() returns LONG epoch millis (not a timestamp);
     // ago('PT1H') = now() minus an ISO-8601 period, also millis
     "now" -> (_ => UnixMillis(CurrentTimestamp())),
@@ -879,6 +892,15 @@ object PinotFunctions {
     "correlateby" -> (args => graft.expressions.FunnelArgMarker("correlate_by", args)),
     "settings" -> (args => graft.expressions.FunnelArgMarker("settings", args)))
 
+  /** timestampAdd/timestampDiff unit: a string literal, validated loudly
+    * at registry-build time (TimestampArithKernels.unitId throws on an
+    * unknown unit). */
+  private def tsUnit(e: Expression): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"timestampAdd/timestampDiff unit must be a string literal, got $other")
+  }
+
   /** Pinot DateTimeFunctions field extractor builder (epoch millis + UTC
     * default zone; see the registry comment). */
   private def epochField(field: String): Seq[Expression] => Expression = args =>
@@ -1060,6 +1082,69 @@ object PinotFunctions {
     }
     sb.toString
   }
+
+  /** Canonicalize Pinot's string-unit datetime arithmetic into
+    * parser-neutral names: Spark's grammar owns TIMESTAMPADD / TIMESTAMPDIFF
+    * / DATEADD / DATEDIFF (AstBuilder.visitTimestampadd) and REJECTS quoted
+    * units, so `timestampAdd('MONTH', 1, ts)` — the Pinot broker spelling —
+    * cannot parse at all. This quote-aware scan renames exactly the calls
+    * whose FIRST argument is a string literal to `pinot_timestamp_add` /
+    * `pinot_timestamp_diff` (registry entries); identifier-unit Spark forms
+    * and 2-arg datediff/dateadd are left untouched. Applied by the
+    * endpoints to every statement alongside [[rewriteGapfill]] (use
+    * [[rewriteBroker]] when issuing broker SQL through `session.sql`). */
+  def rewriteTimestampArith(sql: String): String = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("timestampadd") && !lower.contains("timestampdiff") &&
+        !lower.contains("dateadd") && !lower.contains("datediff")) return sql
+    val names = Seq(
+      "timestampadd" -> "pinot_timestamp_add",
+      "timestampdiff" -> "pinot_timestamp_diff",
+      "dateadd" -> "pinot_timestamp_add",
+      "datediff" -> "pinot_timestamp_diff")
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+          else inQuote = false
+        }
+        i += 1
+      } else if (c == '\'') {
+        inQuote = true; sb.append(c); i += 1
+      } else {
+        val hit = names.find { case (n, _) =>
+          lower.startsWith(n, i) &&
+            (i == 0 || !isWord(sql.charAt(i - 1))) &&
+            (i + n.length >= sql.length || !isWord(sql.charAt(i + n.length)))
+        }.filter { case (n, _) =>
+          // string-literal first argument right after the open paren?
+          var j = i + n.length
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+          if (j >= sql.length || sql.charAt(j) != '(') false
+          else {
+            var k = j + 1
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            k < sql.length && sql.charAt(k) == '\''
+          }
+        }
+        hit match {
+          case Some((n, repl)) => sb.append(repl); i += n.length
+          case None => sb.append(c); i += 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** The full broker-SQL canonicalization pipeline the endpoints apply to
+    * every incoming statement. */
+  def rewriteBroker(sql: String): String = rewriteTimestampArith(rewriteGapfill(sql))
 
   /** Pinot GAPFILL — the broker's gap-filling table surface ("Gapfilling
     * functions", deployed Pinot 1.2 per

@@ -381,6 +381,75 @@ object GraphQueries {
       |SELECT u, CAST(rk AS INTEGER) AS rk, w, n_paths
       |FROM ranked WHERE rk <= 5 ORDER BY u, rk""".stripMargin))
 
+  /** Neighborhood Jaccard similarity (round 9) — "parts bought with the
+    * same things": for each seed part, the 5 most neighborhood-similar
+    * parts by |N(u)∩N(w)| / |N(u)∪N(w)| over the co-purchase graph.
+    * Intersections are wedge counts on the DISTINCT edge frame, degrees
+    * one aggregation — all exact integers; the final ratio is ONE double
+    * division of identical integers in both engines, so even the ranking
+    * (jac desc, w asc) is bit-deterministic. Seed-bounded like
+    * q_graph_recs (and shares its persisted edge frame in-session). */
+  private val graphJaccard = Q(
+    "q_graph_jaccard",
+    (spark, dir) => {
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").cast("long").as("src"),
+          col("y.l_partkey").cast("long").as("dst"))
+        .distinct()
+        .persist()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val inter = edges.filter(col("src") <= 20).as("e1")
+        .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("u"), col("e2.dst").as("w"))
+        .filter(col("u") =!= col("w"))
+        .groupBy(col("u"), col("w")).agg(count(lit(1)).as("inter"))
+      val scored = inter
+        .join(deg.select(col("src").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("src").as("w"), col("d").as("dw")), Seq("w"))
+        .withColumn("jac", col("inter").cast("double") /
+          (col("du") + col("dw") - col("inter")).cast("double"))
+      val rw = Window.partitionBy(col("u"))
+        .orderBy(col("jac").desc, col("w").asc)
+      scored.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 5)
+        .select(col("u"), col("rk"), col("w"), col("inter"),
+          round(col("jac"), 6).as("jaccard"))
+        .orderBy(col("u"), col("rk"))
+    },
+    Some {
+      import graft.tools.DuckDbSql
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS src,
+         |         CAST(y.l_partkey AS BIGINT) AS dst
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+         |inter AS MATERIALIZED (
+         |  SELECT e1.src AS u, e2.dst AS w, CAST(count(*) AS BIGINT) AS inter
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |  WHERE e1.src <= 20 AND e1.src <> e2.dst
+         |  GROUP BY e1.src, e2.dst),
+         |scored AS MATERIALIZED (
+         |  SELECT i.u, i.w, i.inter,
+         |         CAST(i.inter AS DOUBLE)
+         |           / CAST(du.d + dw.d - i.inter AS DOUBLE) AS jac
+         |  FROM inter i
+         |  JOIN deg du ON du.src = i.u
+         |  JOIN deg dw ON dw.src = i.w),
+         |ranked AS (
+         |  SELECT u, w, inter, jac,
+         |         row_number() OVER (PARTITION BY u ORDER BY jac DESC, w ASC) AS rk
+         |  FROM scored)
+         |SELECT u, CAST(rk AS INTEGER) AS rk, w, inter,
+         |       ${DuckDbSql.sparkRound("jac", 6)} AS jaccard
+         |FROM ranked WHERE rk <= 5 ORDER BY u, rk""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(pagerank, triangleCensus, lpaCensus, kcoreTrajectory,
-    bfsLevels, graphRecs)
+    bfsLevels, graphRecs, graphJaccard)
 }

@@ -732,8 +732,58 @@ object ScalarQueries {
         |  CAST(p_size AS VARCHAR) || ',' || CAST(p_size + 1 AS VARCHAR) AS ja
         |FROM pos ORDER BY p_partkey LIMIT 60""".stripMargin))
 
+  /** C3 extension (round 9): Pinot timestampAdd/timestampDiff (+dateAdd/
+    * dateDiff aliases) — calendar arithmetic over epoch millis in the UTC
+    * chronology with a string-literal unit, end-of-month clamping on add
+    * and FULL-units-elapsed diff (truncated toward zero — not DuckDB's
+    * boundary counting, hence the to_months adjustment in the oracle). */
+  private val tsArith = Q(
+    "q_scalar_ts_arith",
+    (spark, dir) => {
+      val s = spark.newSession()
+      graft.PinotFunctions.register(s)
+      Tables.registerViews(s, dir)
+      val refMs = java.time.Instant.parse("2002-12-31T00:00:00Z").toEpochMilli
+      s.sql(graft.PinotFunctions.rewriteBroker(
+        s"""SELECT o_orderkey,
+           |  timestampAdd('MONTH', 1, m) AS add_month_ms,
+           |  dateAdd('DAY', 10, m) AS add_day_ms,
+           |  timestampDiff('DAY', m, CAST($refMs AS LONG)) AS diff_day,
+           |  dateDiff('MONTH', m, CAST($refMs AS LONG)) AS diff_month,
+           |  timestampDiff('QUARTER', m, CAST($refMs AS LONG)) AS diff_quarter
+           |FROM (SELECT o_orderkey,
+           |        unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS m
+           |      FROM orders)
+           |ORDER BY o_orderkey LIMIT 50""".stripMargin))
+    },
+    Some {
+      val refMs = java.time.Instant.parse("2002-12-31T00:00:00Z").toEpochMilli
+      // full months from ts to ref = boundary count minus one when the
+      // clamped add overshoots (java.time MONTHS.between semantics)
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderdate AS ts,
+         |         CAST('2002-12-31 00:00:00' AS TIMESTAMP) AS ref
+         |  FROM orders),
+         |fm AS (
+         |  SELECT o_orderkey, ts, ref,
+         |         date_diff('month', ts, ref) AS m0
+         |  FROM base),
+         |adj AS (
+         |  SELECT o_orderkey, ts, ref,
+         |         m0 - CASE WHEN ts + to_months(CAST(m0 AS INT)) > ref
+         |              THEN 1 ELSE 0 END AS full_m
+         |  FROM fm)
+         |SELECT o_orderkey,
+         |  CAST(epoch_ms(ts + to_months(1)) AS BIGINT) AS add_month_ms,
+         |  CAST(epoch_ms(ts + to_days(10)) AS BIGINT) AS add_day_ms,
+         |  CAST(($refMs - epoch_ms(ts)) // 86400000 AS BIGINT) AS diff_day,
+         |  CAST(full_m AS BIGINT) AS diff_month,
+         |  CAST(full_m // 3 AS BIGINT) AS diff_quarter
+         |FROM adj ORDER BY o_orderkey LIMIT 50""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(strFuncs, mathFuncs, dateFuncs, hashFuncs, arrayFuncs,
     explodeMv, urlFuncs, geoFuncs, geoPoly, epochBucketFuncs, clpFuncs,
     mapFuncs, strGenFuncs, netFuncs, hashFamily, pinotStrings, epochFields,
-    pinotMath)
+    pinotMath, tsArith)
 }

@@ -199,8 +199,10 @@ object HttpSqlEndpoint {
       requestOptions: Map[String, String] = Map.empty): ObjectNode =
     try {
       val (sql0, setOptions) = extractSetOptions(rawSql)
-      // broker GAPFILL spelling → the resolvable table-function form
-      val sql = graft.PinotFunctions.rewriteGapfill(sql0)
+      // broker canonicalizations: GAPFILL table-function spelling +
+      // string-unit timestampAdd/timestampDiff (Spark's parser owns those
+      // names and rejects quoted units)
+      val sql = graft.PinotFunctions.rewriteBroker(sql0)
       val queryOptions = requestOptions ++ setOptions // SET wins, as in Pinot
       sql match {
         case ExplainRe(inner) => return explainAnswer(spark, inner)

@@ -506,4 +506,36 @@ class HttpSqlEndpointSpec extends GraftSuite {
       assert(wire === truth)
     } finally srv.stop(0)
   }
+
+  test("timestampAdd/dateDiff string-unit broker spellings run VERBATIM over the wire (round-9)") {
+    val pinot = spark.newSession()
+    PinotFunctions.register(pinot)
+    Tables.registerViews(pinot, sfDir)
+    val srv = server.HttpSqlEndpoint.start(pinot, port = 0, maxRows = 1000)
+    try {
+      val b = s"http://localhost:${srv.getAddress.getPort}"
+      // Spark's own parser REJECTS quoted units for these names — this is
+      // exactly the ported-console shape rewriteBroker exists for
+      val base = java.time.Instant.parse("2024-01-31T10:00:00Z").toEpochMilli
+      val sql =
+        s"""SELECT timestampAdd('MONTH', 1, CAST($base AS LONG)) AS nxt,
+           |       dateDiff('DAY', CAST($base AS LONG),
+           |                CAST(${base + 10L * 86400000L} AS LONG)) AS dd
+           |FROM region LIMIT 1""".stripMargin
+      val body = mapper.createObjectNode()
+      body.put("sql", sql)
+      val req = HttpRequest.newBuilder(URI.create(s"$b/query/sql"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+        .header("Content-Type", "application/json").build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, resp.body())
+      val json = mapper.readTree(resp.body())
+      assert(json.get("exceptions").size() === 0, json.toString)
+      val row = json.get("resultTable").get("rows").get(0)
+      assert(row.get(0).asLong() ===
+        java.time.Instant.parse("2024-02-29T10:00:00Z").toEpochMilli)
+      assert(row.get(1).asLong() === 10L)
+    } finally srv.stop(0)
+  }
 }

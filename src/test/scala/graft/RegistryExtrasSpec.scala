@@ -66,6 +66,40 @@ class RegistryExtrasSpec extends GraftSuite {
     assert(r.getLong(7) === 8L) // 1-based, the arrayElementAt* convention
   }
 
+  test("round-9 timestampAdd/timestampDiff: UTC calendar arithmetic, clamping, native spellings intact") {
+    def ms(s: String) = java.time.Instant.parse(s).toEpochMilli
+    // the broker spelling goes through rewriteBroker (Spark's parser owns
+    // these names and rejects quoted units — endpoint applies the same)
+    def one(sql: String): Row =
+      pinot.sql(PinotFunctions.rewriteBroker(sql)).collect().head
+    val r = one(
+      s"""SELECT
+         |  timestampAdd('MONTH', 1, CAST(${ms("2024-01-31T10:00:00Z")} AS LONG)) AS clamp,
+         |  dateAdd('HOUR', 3, CAST(${ms("2024-06-01T22:30:00Z")} AS LONG)) AS addh,
+         |  timestampDiff('MONTH', CAST(${ms("2024-01-31T00:00:00Z")} AS LONG),
+         |                         CAST(${ms("2024-02-29T00:00:00Z")} AS LONG)) AS m1,
+         |  timestampDiff('MONTH', CAST(${ms("2024-01-31T00:00:00Z")} AS LONG),
+         |                         CAST(${ms("2024-02-28T00:00:00Z")} AS LONG)) AS m0,
+         |  dateDiff('SECOND', CAST(${ms("2024-01-01T00:00:00Z")} AS LONG),
+         |                     CAST(${ms("2024-01-01T00:00:01.500Z")} AS LONG)) AS s1,
+         |  timestampDiff('QUARTER', CAST(${ms("2024-12-01T00:00:00Z")} AS LONG),
+         |                           CAST(${ms("2024-01-01T00:00:00Z")} AS LONG)) AS qneg,
+         |  timestampAdd('DAY', 5, TIMESTAMP '2024-01-01 00:00:00') AS tsadd,
+         |  timestampadd(DAY, 2, TIMESTAMP '2024-01-01 00:00:00') AS nativeadd,
+         |  datediff(DATE '2024-01-10', DATE '2024-01-01') AS native2""".stripMargin)
+    assert(r.getLong(0) === ms("2024-02-29T10:00:00Z"), "end-of-month clamp on leap Feb")
+    assert(r.getLong(1) === ms("2024-06-02T01:30:00Z"))
+    assert(r.getLong(2) === 1L, "Jan 31 -> Feb 29 is one FULL month (clamped add lands exactly)")
+    assert(r.getLong(3) === 0L, "Jan 31 -> Feb 28 is zero full months, not a boundary count")
+    assert(r.getLong(4) === 1L, "fractional seconds truncate")
+    assert(r.getLong(5) === -3L, "negative diffs truncate toward zero")
+    assert(r.getTimestamp(6).toInstant === java.time.Instant.parse("2024-01-06T00:00:00Z"))
+    assert(r.getTimestamp(7).toInstant === java.time.Instant.parse("2024-01-03T00:00:00Z"),
+      "Spark's identifier-unit timestampadd must still parse (special grammar, not the registry)")
+    assert(r.getInt(8) === 9, "Spark's 2-arg datediff must survive the 3-arg registration")
+    intercept[Exception](one("SELECT timestampAdd('FORTNIGHT', 1, CAST(0 AS LONG)) AS bad"))
+  }
+
   test("EXPRMIN/EXPRMAX legacy spellings and REGEXPREPLACE resolve") {
     val r = one(
       """SELECT EXPRMIN(m, tag) AS lo, EXPRMAX(m, k) AS hi,
