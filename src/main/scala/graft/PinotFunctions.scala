@@ -1123,14 +1123,25 @@ object PinotFunctions {
             (i == 0 || !isWord(sql.charAt(i - 1))) &&
             (i + n.length >= sql.length || !isWord(sql.charAt(i + n.length)))
         }.filter { case (n, _) =>
-          // string-literal first argument right after the open paren?
+          // rename ONLY when the first argument is a string literal whose
+          // content is a datetime UNIT name: datediff('2024-01-10', d2) is
+          // a previously valid Spark spelling (string dates implicit-cast)
+          // and must keep its native semantics
           var j = i + n.length
           while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
           if (j >= sql.length || sql.charAt(j) != '(') false
           else {
             var k = j + 1
             while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
-            k < sql.length && sql.charAt(k) == '\''
+            if (k >= sql.length || sql.charAt(k) != '\'') false
+            else {
+              val close = sql.indexOf('\'', k + 1)
+              close > k &&
+                (try {
+                  graft.expressions.TimestampArithKernels
+                    .unitId(sql.substring(k + 1, close)); true
+                } catch { case _: IllegalArgumentException => false })
+            }
           }
         }
         hit match {

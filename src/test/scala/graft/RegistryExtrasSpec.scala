@@ -97,6 +97,10 @@ class RegistryExtrasSpec extends GraftSuite {
     assert(r.getTimestamp(7).toInstant === java.time.Instant.parse("2024-01-03T00:00:00Z"),
       "Spark's identifier-unit timestampadd must still parse (special grammar, not the registry)")
     assert(r.getInt(8) === 9, "Spark's 2-arg datediff must survive the 3-arg registration")
+    // string-DATE args are NOT units: the rewriter must leave this native
+    // Spark spelling alone (implicit string->date cast, answer in days)
+    val sd = one("SELECT datediff('2024-01-10', '2024-01-01') AS d")
+    assert(sd.getInt(0) === 9)
     intercept[Exception](one("SELECT timestampAdd('FORTNIGHT', 1, CAST(0 AS LONG)) AS bad"))
   }
 
