@@ -145,4 +145,83 @@ object ExactPercentile {
         array_sort(collect_list(struct(col("_qi"), col("_val")))),
         s => s.getField("_val")).as(out))
   }
+
+  /** Exact 0-based order statistic of a LONG column: the value at position
+    * `rank` of the ascending sorted multiset. The distributed replacement
+    * for `orderBy(col).offset(rank).limit(1)` — that plan merges `rank`
+    * rows through a single CollectLimit buffer (data-proportional driver
+    * memory: ~200M longs at 1e9 rows and a 20th-percentile rank) and
+    * silently truncates past `Int.MaxValue`; this one is the same two-pass
+    * bucketed rank arithmetic as [[groupPercentiles]] (tie-proof: a rank's
+    * value is determined by the sorted multiset, never by tie order), with
+    * every shuffle over the DISTINCT-value frame and a ONE-row driver
+    * fetch. `rank` is a Long — no 2^31 cliff.
+    *
+    *   1. Boundary literals from an `approxQuantile` pass over a 1% sample
+    *      (boundaries shape bucket balance only — ranks are exact below).
+    *   2. One shuffle of per-(bucket, value) counts (map-side combine).
+    *   3. Per-bucket totals → bucket rank offsets (≤`buckets` rows);
+    *      within-bucket running count assigns each distinct value its
+    *      covered rank range [cum − c, cum); the single covering row is
+    *      filtered out and fetched.
+    */
+  def valueAtRank(
+      df: DataFrame,
+      valueCol: String,
+      rank: Long,
+      buckets: Int = 32): Long = {
+    val (picked, cnt) = rankPlan(df, valueCol, rank, buckets)
+    val rows = picked.collect()
+    cnt.unpersist()
+    require(rows.length == 1,
+      s"valueAtRank: rank $rank not covered (rank must be < count of " +
+        "non-null values)")
+    rows(0).getLong(0)
+  }
+
+  /** The (1-row picked frame, persisted intermediate) pair [[valueAtRank]]
+    * executes — exposed so specs can assert the executed PLAN (no
+    * TakeOrdered / offset-limit over the value frame, the
+    * data-proportional-driver-merge class). Callers must unpersist the
+    * second element after consuming the first. */
+  private[graft] def rankPlan(
+      df: DataFrame,
+      valueCol: String,
+      rank: Long,
+      buckets: Int): (DataFrame, DataFrame) = {
+    require(rank >= 0L, s"valueAtRank: rank >= 0, got $rank")
+    val vals = df
+      .select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bs = vals.sample(withReplacement = false, 0.01, seed = 0xE7)
+      .select(col("_v").cast("double").as("_v"))
+      .stat.approxQuantile("_v", probes, 0.01)
+      .filterNot(_.isNaN).distinct.sorted
+    val bkt = bs.zipWithIndex.reverse.foldLeft(lit(bs.length)) {
+      case (acc, (b, i)) => when(col("_v") < b, lit(i)).otherwise(acc)
+    }
+
+    // single-group instance of groupPercentiles' rank frames: cnt is the
+    // distinct-value frame, bt ≤ `buckets` rows (broadcast offsets; its
+    // global ≤`buckets`-row window is the documented tiny-frame class)
+    val cnt = vals
+      .withColumn("_b", bkt)
+      .groupBy(col("_b"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .persist()
+    val wB = Window.orderBy(col("_b"))
+    val bt = cnt.groupBy(col("_b")).agg(sum("_c").as("_bc"))
+      .withColumn("_off", sum("_bc").over(wB) - col("_bc"))
+    val wL = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = cnt
+      .withColumn("_lcum", sum("_c").over(wL))
+      .join(broadcast(bt.select(col("_b"), col("_off"))), Seq("_b"))
+      .withColumn("_cum", col("_off") + col("_lcum"))
+      .filter(col("_cum") - col("_c") <= rank && lit(rank) < col("_cum"))
+      .select(col("_v"))
+    (picked, cnt)
+  }
 }

@@ -33,29 +33,33 @@ object KCore {
   def peelTrajectory(
       spark: SparkSession,
       edges: DataFrame,
-      k: Int,
+      k: Long,
       rounds: Int): DataFrame = {
     var e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(true)
     val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    def snap(r: Int): Unit = {
-      val row = e.agg(count(lit(1)).as("er"),
-        count_distinct(col("src")).as("n")).head()
-      traj += ((r, row.getLong(1), row.getLong(0) / 2))
-    }
-    snap(0)
-    var r = 1
+    var r = 0
     while (r <= rounds) {
-      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src").as("node"))
-      val kept = e
-        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-      val old = e
-      e = kept.localCheckpoint(true)
-      old.unpersist()
-      snap(r)
+      // ONE pass over the edge frame per round (round 10): the degree
+      // aggregate feeds BOTH the trajectory snapshot (nodes_alive = its
+      // row count, edges_alive = Σd / 2 — identical to the former
+      // count_distinct(src) / count(*)/2 direct pass) and the alive
+      // filter; deg is |nodes| rows, persisted for its two tiny readers.
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
+      val row = deg.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("d")), lit(0L)).as("er")).head()
+      traj += ((r, row.getLong(0), row.getLong(1) / 2))
+      if (r < rounds) {
+        val alive = deg.filter(col("d") >= k).select(col("src").as("node"))
+        val kept = e
+          .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+        val old = e
+        e = kept.localCheckpoint(true)
+        old.unpersist()
+      }
+      deg.unpersist()
       r += 1
     }
     import spark.implicits._

@@ -34,18 +34,27 @@ object LabelProp {
   /** @param edges two-column (src, dst) edge frame, treated as UNDIRECTED
     *              (symmetrized + dedup'd here); self-loops dropped
     * @param iters fixed synchronous rounds
+    * @param assumeSymmetric input is ALREADY symmetric, deduplicated and
+    *              self-loop-free (e.g. a shared persisted adjacency frame) —
+    *              skips the symmetrize+distinct shuffle
     * @return (node: long, label: long) — label = min node id of the
     *         adopted community seed at the chosen horizon */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int,
+      assumeSymmetric: Boolean = false): DataFrame = {
     require(iters >= 0, s"labelprop: iters >= 0, got $iters")
     val spark = edges.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val a = col(edges.columns(0)).cast("long")
     val b = col(edges.columns(1)).cast("long")
-    val und = edges.select(a.as("u"), b.as("v")).where(col("u") =!= col("v"))
-    val e = und.select(col("u").as("src"), col("v").as("dst"))
-      .union(und.select(col("v").as("src"), col("u").as("dst")))
-      .distinct()
+    val sym =
+      if (assumeSymmetric) edges.select(a.as("src"), b.as("dst"))
+      else {
+        val und = edges.select(a.as("u"), b.as("v")).where(col("u") =!= col("v"))
+        und.select(col("u").as("src"), col("v").as("dst"))
+          .union(und.select(col("v").as("src"), col("u").as("dst")))
+          .distinct()
+      }
+    val e = sym
       .repartition(nPart, col("src"))
       .localCheckpoint(true)
     var labels = e.select(col("src").as("node")).distinct()
@@ -69,8 +78,9 @@ object LabelProp {
 
   /** Community census at the horizon: (label, size), one row per surviving
     * community. */
-  def census(edges: DataFrame, iters: Int): DataFrame =
-    run(edges, iters)
+  def census(edges: DataFrame, iters: Int,
+      assumeSymmetric: Boolean = false): DataFrame =
+    run(edges, iters, assumeSymmetric)
       .groupBy(col("label"))
       .agg(functions.count(lit(1)).as("size"))
 }

@@ -168,7 +168,14 @@ object LogReg {
     val f = udf { x: Seq[Int] =>
       val wv = bw.value
       var z = bb
-      x.foreach(bkt => z += wv(bkt))
+      x.foreach { bkt =>
+        // fail loudly at the boundary: featCol hashed with a different dim
+        // than the model would otherwise surface as an opaque AIOOBE
+        require(bkt >= 0 && bkt < wv.length,
+          s"feature bucket $bkt outside model dim ${wv.length} — " +
+            "featCol must be hashed with the model's dim")
+        z += wv(bkt)
+      }
       sigmoid(z)
     }
     df.withColumn("score", f(col(featCol)))

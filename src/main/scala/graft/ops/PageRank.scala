@@ -43,17 +43,20 @@ object PageRank {
     *              convergence at damping 0.85)
     * @param dampNum/dampDen damping factor as an exact rational (85/100)
     * @param scale integer units per 1.0 of rank
+    * @param assumeDistinct input is ALREADY an edge SET (e.g. a shared
+    *              persisted frame built with `.distinct()`) — skips the
+    *              dedup shuffle
     * @return (node: long, r: long) — r in `scale` units */
   def run(edges: DataFrame, iters: Int, dampNum: Int = 85, dampDen: Int = 100,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum,
       s"pagerank: need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     val spark = edges.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val e = edges
+    val e0 = edges
       .select(col(edges.columns(0)).cast("long").as("src"),
         col(edges.columns(1)).cast("long").as("dst"))
-      .distinct()
+    val e = if (assumeDistinct) e0 else e0.distinct()
     // out-degree rides WITH the edge row (src, dst, outdeg): contributions
     // are then map-side pure — the only per-iteration shuffles are the
     // sum-by-dst and the node left join

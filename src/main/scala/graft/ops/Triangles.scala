@@ -43,10 +43,30 @@ object Triangles {
 
   /** Each triangle once as (x, y, z) with x < y < z (id order — canonical,
     * orientation-free output shape). Input: any (src, dst) edge frame. */
-  def triangles(edges: DataFrame): DataFrame = {
-    val e = canonical(edges)
-    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .groupBy("n").agg(functions.count(lit(1)).as("deg"))
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesCanonical(canonical(edges))
+
+  /** As [[triangles]] for an input that is ALREADY the canonical undirected
+    * edge set — (a < b) per row, deduplicated, self-loop-free; e.g. the
+    * `src < dst` half of a symmetric distinct frame. Skips the
+    * canonicalization shuffle (callers sharing one persisted symmetric
+    * frame across graph operators derive this side with a map-only
+    * filter). First two columns are the endpoints.
+    *
+    * @param degrees optional precomputed `(node, deg)` full-degree frame
+    *                (deg = neighbor count in the undirected graph) — lets
+    *                callers reuse a shared persisted degree aggregate
+    *                instead of re-deriving it from the edge union */
+  def trianglesCanonical(edges: DataFrame,
+      degrees: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).cast("long").as("a"),
+      col(edges.columns(1)).cast("long").as("b"))
+    val deg = degrees
+      .map(d => d.select(col(d.columns(0)).cast("long").as("n"),
+        col(d.columns(1)).cast("long").as("deg")))
+      .getOrElse(
+        e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+          .groupBy("n").agg(functions.count(lit(1)).as("deg")))
     // orient low-rank -> high-rank, rank = (deg, id); carry the dst rank so
     // the wedge self-join needs no further degree lookup
     val oriented = e

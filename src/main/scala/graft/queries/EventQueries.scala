@@ -846,7 +846,7 @@ object EventQueries {
             |  FROM ev
             |)
             |SELECT CASE WHEN lc_t IS NOT NULL AND lc_t >= tus - 259200000000
-            |            THEN lc_k % 10 ELSE -1 END AS campaign,
+            |            THEN ((lc_k % 10) + 10) % 10 ELSE -1 END AS campaign,
             |       count(*) AS n_purchases,
             |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
             |FROM carried WHERE event_type = 'purchase'

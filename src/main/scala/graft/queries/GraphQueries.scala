@@ -14,6 +14,61 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
+  /** The canonical SYMMETRIC, deduplicated part co-purchase adjacency —
+    * parts linked when they appear in the same order, both directions
+    * present, no self-loops. All five part-graph queries (triangles,
+    * communities, kcore, recs, jaccard) build THIS EXACT plan and persist
+    * it, so the session CacheManager shares one materialization across
+    * them in bench/verify order: the first consumer pays the lineitem
+    * self-join + distinct once, the other four read cached blocks. (The
+    * round-9 persist-sharing experiment measured reuse winning whenever
+    * ≥2 downstream consumers exist — recs 5.6→2.2 s — and single-consumer
+    * persists losing; with five consumers the shared frame is the
+    * family-level version of that win.) Derived shapes are map-only:
+    * the canonical (a<b) half is `filter(src < dst)`. */
+  private def partEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") =!= col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("long").as("src"),
+        col("y.l_partkey").cast("long").as("dst"))
+      .distinct()
+      .persist()
+  }
+
+  /** Full-degree frame `(src, d)` of [[partEdges]] — one aggregation
+    * over the shared cached frame, itself persisted and plan-identical
+    * across its three consumers (triangles' orientation ranks, kcore's
+    * adaptive-k order statistic, jaccard's du/dw joins). */
+  private def partDegrees(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    partEdges(spark, dir)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("d"))
+      .persist()
+
+  /** The symmetric customer↔supplier co-purchase adjacency (suppliers
+    * offset by 1e6 into a disjoint id range) — shared the same way by
+    * q_graph_pagerank and q_graph_bfs (two consumers; both ops checkpoint
+    * their own working copies internally, this only shares the
+    * orders⋈lineitem source build). */
+  private def csEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val orders = Tables.t(spark, dir, "orders")
+    val li = Tables.t(spark, dir, "lineitem")
+    val pairs = orders
+      .join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (col("l_suppkey").cast("long") + lit(1000000L)).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .persist()
+  }
+
   private val Iters = 8
 
   /** The co-purchase authority graph: customer ↔ supplier edges from
@@ -23,16 +78,10 @@ object GraphQueries {
   private val pagerank = Q(
     "q_graph_pagerank",
     (spark, dir) => {
-      val orders = Tables.t(spark, dir, "orders")
-      val li = Tables.t(spark, dir, "lineitem")
-      val pairs = orders
-        .join(li, orders("o_orderkey") === li("l_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
-          (col("l_suppkey").cast("long") + lit(1000000L)).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-      graft.ops.PageRank.run(edges, iters = Iters)
+      val edges = csEdges(spark, dir)
+      // the shared frame is distinct by construction (union of two
+      // disjoint-id-range distinct projections) — skip the dedup shuffle
+      graft.ops.PageRank.run(edges, iters = Iters, assumeDistinct = true)
         .select(col("node"),
           when(col("node") >= 1000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"),
@@ -89,14 +138,12 @@ object GraphQueries {
   private val triangleCensus = Q(
     "q_graph_triangles",
     (spark, dir) => {
-      val li = Tables.t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("src"),
-          col("y.l_partkey").cast("long").as("dst"))
-      val tris = graft.ops.Triangles.triangles(edges).persist()
+      // canonical (a<b) half of the shared symmetric frame — map-only cut,
+      // no extra canonicalization shuffle; orientation ranks come from the
+      // shared degree frame
+      val edges = partEdges(spark, dir).filter(col("src") < col("dst"))
+      val tris = graft.ops.Triangles
+        .trianglesCanonical(edges, Some(partDegrees(spark, dir))).persist()
       val perNode = tris
         .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("tri"))
@@ -135,14 +182,9 @@ object GraphQueries {
   private val lpaCensus = Q(
     "q_graph_communities",
     (spark, dir) => {
-      val li = Tables.t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("src"),
-          col("y.l_partkey").cast("long").as("dst"))
-      val census = graft.ops.LabelProp.census(edges, LpaIters).persist()
+      val edges = partEdges(spark, dir)
+      val census = graft.ops.LabelProp
+        .census(edges, LpaIters, assumeSymmetric = true).persist()
       val tot = census.agg(count(lit(1)).as("n_communities"),
         sum(col("size")).as("n_nodes"))
       census.crossJoin(broadcast(tot))
@@ -192,30 +234,23 @@ object GraphQueries {
     * degree sequence (an integer order statistic — the value at a rank is
     * determined by the sorted multiset, so tie order can't diverge the
     * engines), which keeps the cascade non-trivial at every scale factor
-    * instead of pinning a constant near one SF's critical density. The
-    * output is the whole synchronous peel trajectory — (round,
-    * nodes_alive, edges_alive) for rounds 0..6 — which the DuckDB oracle
-    * replays round for round in exact integer arithmetic. */
+    * instead of pinning a constant near one SF's critical density; the
+    * rank is fetched DISTRIBUTED (ExactPercentile.valueAtRank — bucketed
+    * two-pass rank arithmetic, one-row driver fetch, Long rank), never an
+    * `orderBy.offset.limit` whose CollectLimit merge buffer would grow
+    * with the node count. The output is the whole synchronous peel
+    * trajectory — (round, nodes_alive, edges_alive) for rounds 0..6 —
+    * which the DuckDB oracle replays round for round in exact integer
+    * arithmetic. */
   private val kcoreTrajectory = Q(
     "q_graph_kcore",
     (spark, dir) => {
-      val li = Tables.t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") =!= col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("src"),
-          col("y.l_partkey").cast("long").as("dst"))
-        .distinct()
-        .localCheckpoint(true)
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .persist()
+      val edges = partEdges(spark, dir)
+      val deg = partDegrees(spark, dir)
       val n = deg.count()
       val idx = (2L * (n - 1L)) / 10L
-      val k = deg.select(col("d")).orderBy(col("d"))
-        .offset(idx.toInt).limit(1).head().getLong(0)
-      deg.unpersist()
-      graft.ops.KCore.peelTrajectory(spark, edges, k.toInt, KcoreRounds)
+      val k = graft.ops.ExactPercentile.valueAtRank(deg, "d", idx)
+      graft.ops.KCore.peelTrajectory(spark, edges, k, KcoreRounds)
         .select(col("round"), lit(k).as("k"),
           col("nodes_alive"), col("edges_alive"))
         .orderBy(col("round"))
@@ -271,16 +306,7 @@ object GraphQueries {
   private val bfsLevels = Q(
     "q_graph_bfs",
     (spark, dir) => {
-      val orders = Tables.t(spark, dir, "orders")
-      val li = Tables.t(spark, dir, "lineitem")
-      val pairs = orders
-        .join(li, orders("o_orderkey") === li("l_orderkey"))
-        .select(col("o_custkey").cast("long").as("c"),
-          (col("l_suppkey").cast("long") + lit(1000000L)).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-        .localCheckpoint(true)
+      val edges = csEdges(spark, dir)
       val source = edges.agg(min(col("src"))).head().getLong(0)
       val lv = graft.ops.Bfs.levels(spark, edges, source, BfsRounds).persist()
       val nTotal = edges.select(col("src")).distinct().count()
@@ -337,15 +363,7 @@ object GraphQueries {
   private val graphRecs = Q(
     "q_graph_recs",
     (spark, dir) => {
-      val li = Tables.t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") =!= col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("src"),
-          col("y.l_partkey").cast("long").as("dst"))
-        .distinct()
-        .persist()
+      val edges = partEdges(spark, dir)
       val hops = edges.filter(col("src") <= 20).as("e1")
         .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("u"), col("e2.dst").as("w"))
@@ -392,16 +410,8 @@ object GraphQueries {
   private val graphJaccard = Q(
     "q_graph_jaccard",
     (spark, dir) => {
-      val li = Tables.t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") =!= col("y.l_partkey"))
-        .select(col("x.l_partkey").cast("long").as("src"),
-          col("y.l_partkey").cast("long").as("dst"))
-        .distinct()
-        .persist()
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val edges = partEdges(spark, dir)
+      val deg = partDegrees(spark, dir)
       val inter = edges.filter(col("src") <= 20).as("e1")
         .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("u"), col("e2.dst").as("w"))

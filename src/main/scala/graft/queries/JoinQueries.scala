@@ -254,16 +254,19 @@ object JoinQueries {
             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
   /** Fuzzy (edit-distance) string self-join over part names —
-    * [[graft.ops.FuzzyJoin]], the PassJoin topology: d+1 pigeonhole
-    * segments per string on the index side, bounded substring enumeration
-    * on the probe side, shuffled equi-join on (length, slot, segment),
-    * exact `levenshtein` confirm. Candidate generation is provably
-    * COMPLETE (at least one segment of a within-distance pair survives
-    * with zero edits), so the oracle is plain brute force — distinct-name
-    * cross pairs filtered by DuckDB's own levenshtein. At corpus scale the
-    * name dictionary is the distinct frame (never row-level), fan-out per
-    * string is a constant (~(2d+1)^2*(d+1)), and no partition grows with
-    * data size — the standard typo-class reconciliation shape. */
+    * [[graft.ops.FuzzyJoin]], SymSpell symmetric-deletion candidates:
+    * every string emits its deletion variants up to depth d (delete ≤d
+    * characters), pairs whose variants collide are candidates, exact
+    * `levenshtein` confirm (see FuzzyJoin.scala for why this replaced the
+    * PassJoin segment topology: on low-entropy dictionaries candidate-key
+    * SELECTIVITY, not fan-out, decides survival — measured 458.7→48.7 s at
+    * 160k names). Deletion-variant generation is provably COMPLETE for
+    * Damerau/Levenshtein distance ≤ d, so the oracle is plain brute
+    * force — distinct-name cross pairs filtered by DuckDB's own
+    * levenshtein. At corpus scale the name dictionary is the distinct
+    * frame (never row-level), fan-out per string is C(len, ≤d) map-side
+    * rows, and no partition grows with data size — the standard
+    * typo-class reconciliation shape. */
   private val joinFuzzy = Q(
     "q_join_fuzzy",
     (spark, dir) => {

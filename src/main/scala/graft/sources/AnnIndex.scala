@@ -255,12 +255,17 @@ object AnnIndex {
 
   private def graphFpPath(dir: String) = s"${hnswPath(dir)}/_GRAPH_FP"
 
-  /** Identity of the CURRENT graph set (recursive hnsw/ listing with file
-    * length AND modification time). [[layoutSignature]] alone cannot see a
-    * `buildHnsw` re-run with different m/efConstruction — the assignments
-    * layout (and thus `_GRAPH_FP`) is unchanged while every graph file is
-    * rewritten — so planning-time caches over HNSW answers must key on this
-    * too. Empty string when no graphs exist. */
+  /** Identity of the CURRENT graph set: recursive hnsw/ listing with file
+    * length AND modification time, PLUS the `_PARAMS` stamp content the
+    * builders write (m/efConstruction) — a rebuild with different build
+    * parameters can leave every file the same size within one mtime
+    * granule, so length+mtime alone could collide; the params content
+    * cannot. 64-bit (two murmur seeds) so an accidental 32-bit collision
+    * between distinct listings doesn't serve a stale planning-time memo.
+    * [[layoutSignature]] alone cannot see a `buildHnsw` re-run — the
+    * assignments layout (and thus `_GRAPH_FP`) is unchanged while every
+    * graph file is rewritten — so planning-time caches over HNSW answers
+    * must key on this. Empty string when no graphs exist. */
   def graphSignature(spark: SparkSession, dir: String): String = {
     val fs = fsOf(spark, dir)
     val root = new org.apache.hadoop.fs.Path(hnswPath(dir))
@@ -273,8 +278,28 @@ object AnnIndex {
       if (!rel.endsWith("_SUCCESS"))
         parts += s"$rel:${s.getLen}:${s.getModificationTime}"
     }
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(parts.sorted.mkString("|")) & 0xffffffffL)
+    val pFile = new org.apache.hadoop.fs.Path(graphParamsPath(dir))
+    if (fs.exists(pFile)) {
+      val in = fs.open(pFile)
+      try parts += "params=" +
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val key = parts.sorted.mkString("|")
+    f"${scala.util.hashing.MurmurHash3.stringHash(key, 0x9E3779B9) & 0xffffffffL}%08x" +
+      f"${scala.util.hashing.MurmurHash3.stringHash(key, 0x85EBCA6B) & 0xffffffffL}%08x"
+  }
+
+  private def graphParamsPath(dir: String) = s"${hnswPath(dir)}/_PARAMS"
+
+  /** Record the build parameters alongside the graphs (leading underscore =
+    * invisible to the parquet reader). Part of [[graphSignature]]. */
+  private def stampGraphParams(spark: SparkSession, dir: String, m: Int,
+      efConstruction: Int): Unit = {
+    val out = fsOf(spark, dir).create(
+      new org.apache.hadoop.fs.Path(graphParamsPath(dir)), true)
+    try out.write(s"m=$m,ef=$efConstruction".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Build one deterministic HNSW graph PER CELL over the live assignments
@@ -288,6 +313,7 @@ object AnnIndex {
     graphRows(spark, dir, m, efConstruction,
         spark.read.parquet(assignDir(spark, dir)))
       .write.mode("overwrite").partitionBy("cell").parquet(hnswPath(dir))
+    stampGraphParams(spark, dir, m, efConstruction)
     stampGraphFp(spark, dir)
   }
 
@@ -303,6 +329,7 @@ object AnnIndex {
           .filter(col("cell").isin(cells.toIndexedSeq: _*)))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(hnswPath(dir))
+    stampGraphParams(spark, dir, m, efConstruction)
     stampGraphFp(spark, dir)
   }
 

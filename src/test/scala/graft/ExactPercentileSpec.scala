@@ -101,4 +101,61 @@ class ExactPercentileSpec extends GraftSuite {
       assert(java.lang.Double.doubleToLongBits(gotP(k)) ===
              java.lang.Double.doubleToLongBits(w), s"l_extendedprice p90 $k")
   }
+
+  // ---- valueAtRank: the distributed order statistic (q_graph_kcore's k) ----
+
+  private def localRank(vals: Seq[Long], rank: Long): Long =
+    vals.sorted.apply(rank.toInt)
+
+  test("valueAtRank matches the local sorted multiset at every boundary rank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xAC10)
+    // heavy ties (degree-sequence shape: small value domain, many repeats)
+    val vals = Seq.fill(5000)(rnd.nextInt(60).toLong + 1)
+    val df = vals.toDF("d")
+    for (rank <- Seq(0L, 1L, 999L, 2499L, 2500L, 4998L, 4999L))
+      assert(ExactPercentile.valueAtRank(df, "d", rank) ===
+        localRank(vals, rank), s"rank $rank")
+  }
+
+  test("valueAtRank is tie-proof: invariant under row order and partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xAC11)
+    val vals = Seq.fill(3000)(rnd.nextInt(20).toLong)
+    val rank = (2L * (vals.length - 1)) / 10L // the q_graph_kcore rank form
+    val a = ExactPercentile.valueAtRank(vals.toDF("d"), "d", rank)
+    val b = ExactPercentile.valueAtRank(
+      scala.util.Random.shuffle(vals).toDF("d").repartition(13), "d", rank)
+    assert(a === b)
+    assert(a === localRank(vals, rank))
+  }
+
+  test("valueAtRank rejects out-of-range ranks loudly") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("d")
+    intercept[IllegalArgumentException] {
+      ExactPercentile.valueAtRank(df, "d", 3L)
+    }
+    intercept[IllegalArgumentException] {
+      ExactPercentile.valueAtRank(df, "d", -1L)
+    }
+  }
+
+  test("valueAtRank plans NO TakeOrdered/offset-limit over the value frame") {
+    // the q_graph_kcore round-9 weakness: orderBy.offset(rank).limit(1)
+    // plans a CollectLimit whose merged buffer grows linearly with rank
+    // (data-proportional driver memory). The bucketed rank plan must
+    // contain no TakeOrdered and no offset — its only collect is the
+    // ≤1-row picked frame.
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i % 97).toLong).toDF("d")
+    val (picked, cnt) = ExactPercentile.rankPlan(df, "d", 800L, 32)
+    try {
+      val plan = picked.queryExecution.executedPlan.toString
+      assert(!plan.contains("TakeOrdered"), s"TakeOrdered in plan:\n$plan")
+      assert(!plan.toLowerCase.contains("offset"), s"offset in plan:\n$plan")
+      assert(picked.collect().map(_.getLong(0)).toSeq ===
+        Seq(localRank((1 to 4000).map(i => (i % 97).toLong), 800L)))
+    } finally cnt.unpersist()
+  }
 }
