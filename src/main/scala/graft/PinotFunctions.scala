@@ -1424,4 +1424,25 @@ object PinotFunctions {
         spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
     }
   }
+
+  /** A fresh Pinot-vocabulary session whose PARSER applies [[rewriteBroker]]
+    * (round 10): `session.sql("... timestampAdd(ts, 'MONTH', 1) ...")` and
+    * the GAPFILL broker spelling work DIRECTLY through `session.sql`, not
+    * just via the HTTP/JDBC endpoints — Spark's parser owns the
+    * timestampadd/timestampdiff/dateadd/datediff names (AstBuilder
+    * .visitTimestampadd) and hard-rejects string-literal units before any
+    * registry entry can answer, so the only uniform hook is a text rewrite
+    * BEFORE the parse. The injected parser is installed once on the
+    * context's extensions and gated by the session conf
+    * `graft.pinot.parserRewrite`, so the parent session and plain
+    * `newSession()`s parse untouched; the endpoints' explicit
+    * [[rewriteBroker]] stays (rewrites are idempotent — a renamed call
+    * contains no trigger name). */
+  def newPinotSession(parent: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    org.apache.spark.sql.graft.GraftBridge.installRewritingParser(parent, rewriteBroker)
+    val s = parent.newSession()
+    s.conf.set("graft.pinot.parserRewrite", "true")
+    register(s)
+    s
+  }
 }

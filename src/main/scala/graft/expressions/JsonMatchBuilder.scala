@@ -12,6 +12,17 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   *  - [[graft.sources.JsonIndex]] derives candidate postings lookups from
   *    the same parse and re-applies [[predicate]] exactly, so the
   *    index-accelerated path can never diverge from the scan path.
+  *
+  * Round 10 — array-wildcard paths (`'"$.arr[*].key" >= 10'`, Pinot's JSON
+  * index matches array ELEMENTS): one `[*]` per path, EXISTS semantics —
+  * the predicate is true iff ANY element (or element sub-field) satisfies
+  * the comparison. `IS NULL` on a wildcard path is the complement: NO
+  * element carries the field (a missing / empty / non-array value
+  * qualifies). Built from `json_array_length` + `exists` over an index
+  * `sequence` with per-element `get_json_object` — both extraction steps
+  * are the exact functions the scalar path and the index build run, so
+  * the three stay consistent. The empty-array `sequence(0,-1)` descending
+  * trap (round 3) is guarded with an explicit `n >= 1` branch.
   */
 object JsonMatchBuilder {
 
@@ -38,29 +49,62 @@ object JsonMatchBuilder {
       s"""JSON_MATCH: expected '"$$.path" <op> value', got: $other""")
   }
 
+  /** The comparison expression for one extracted value (shared by the
+    * scalar path and each wildcard element). */
+  private def compare(extracted: Expression, op: String,
+      value: Option[Either[String, Double]]): Expression = op match {
+    case "IS NOT NULL" => IsNotNull(extracted)
+    case "IS NULL" => IsNull(extracted)
+    case cmp =>
+      val (left: Expression, right: Expression) = value.get match {
+        case scala.Left(s) => (extracted, Literal(s))
+        case scala.Right(d) => (Cast(extracted, DoubleType, None, EvalMode.TRY), Literal(d))
+      }
+      cmp match {
+        case "=" => EqualTo(left, right)
+        case "!=" | "<>" => Not(EqualTo(left, right))
+        case ">" => GreaterThan(left, right)
+        case ">=" => GreaterThanOrEqual(left, right)
+        case "<" => LessThan(left, right)
+        case "<=" => LessThanOrEqual(left, right)
+      }
+  }
+
+  /** EXISTS-over-elements predicate for a `[*]` path (see object doc). */
+  private def arrayPredicate(input: Expression, p: Parsed): Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    val parts = p.path.split("""\[\*\]""", -1)
+    require(parts.length == 2,
+      s"JSON_MATCH: exactly one [*] per path is supported: ${p.path}")
+    val (prefix, suffix) = (parts(0), parts(1))
+    require(prefix.startsWith("$"),
+      s"JSON_MATCH: path must start at '$$': ${p.path}")
+    val arr = if (prefix == "$") input else GetJsonObject(input, Literal(prefix))
+    val n = UnresolvedFunction("json_array_length", Seq(arr), isDistinct = false)
+    val i = UnresolvedNamedLambdaVariable(Seq("i"))
+    val elemPath = Concat(Seq(Literal("$["), Cast(i, StringType), Literal("]" + suffix)))
+    val elem = GetJsonObject(arr, elemPath)
+    // IS NULL goes through the IS NOT NULL exists, negated below — "no
+    // element carries it", not "some element lacks it"
+    val perElem = compare(elem, if (p.op == "IS NULL") "IS NOT NULL" else p.op, p.value)
+    val idxs = UnresolvedFunction("sequence",
+      Seq(Literal(0), Subtract(n, Literal(1))), isDistinct = false)
+    val ex = UnresolvedFunction("exists",
+      Seq(idxs, LambdaFunction(perElem, Seq(i))), isDistinct = false)
+    // coalesce: three-valued exists (null elements, TRY-cast misses) must
+    // land on boolean false; n null (missing / non-array) or 0 → false
+    val any = If(And(IsNotNull(n), GreaterThanOrEqual(n, Literal(1))),
+      Coalesce(Seq(ex, Literal(false))), Literal(false))
+    if (p.op == "IS NULL") Not(any) else any
+  }
+
   /** The exact full-scan predicate for `filter` over JSON column `input`. */
   def predicate(input: Expression, filter: String): Expression = {
     val p = parse(filter)
-    val extracted = GetJsonObject(input, Literal(p.path))
-    p.op match {
-      case "IS NOT NULL" => IsNotNull(extracted)
-      case "IS NULL" => IsNull(extracted)
-      case cmp =>
-        val (left: Expression, right: Expression) = p.value.get match {
-          case scala.Left(s) => (extracted, Literal(s))
-          // TRY cast: a non-numeric string at the JSON path yields NULL →
-          // predicate false (Pinot's broker treats it as non-matching),
-          // instead of an ANSI runtime throw
-          case scala.Right(d) => (Cast(extracted, DoubleType, None, EvalMode.TRY), Literal(d))
-        }
-        cmp match {
-          case "=" => EqualTo(left, right)
-          case "!=" | "<>" => Not(EqualTo(left, right))
-          case ">" => GreaterThan(left, right)
-          case ">=" => GreaterThanOrEqual(left, right)
-          case "<" => LessThan(left, right)
-          case "<=" => LessThanOrEqual(left, right)
-        }
-    }
+    if (p.path.contains("[*]")) return arrayPredicate(input, p)
+    // TRY cast inside compare: a non-numeric string at the JSON path
+    // yields NULL → predicate false (Pinot's broker treats it as
+    // non-matching), instead of an ANSI runtime throw
+    compare(GetJsonObject(input, Literal(p.path)), p.op, p.value)
   }
 }

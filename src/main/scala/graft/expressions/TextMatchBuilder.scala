@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions._
   * (reference broker parses it even with no text index configured —
   * `kinesisTableConfigFile.json:12-27`): terms (word-boundary,
   * case-insensitive), "phrases", trailing-* prefixes, round-8 `NOT x` /
-  * `-x` negation and `te?t` / `te*t` mid-token wildcards,
+  * `-x` negation and `te?t` / `te*t` mid-token wildcards, round-10
+  * `term~N` fuzzy terms (plain-Levenshtein, see [[Fuzzy]]) and `term^N`
+  * boosts (parsed and dropped — boolean predicates have no scores),
   * single-operator AND/OR chains. Used by two callers:
   *
   *  - [[graft.PinotFunctions]] registers the full-scan predicate form;
@@ -30,6 +32,18 @@ object TextMatchBuilder {
     * `?` = one word char, `*` = any run of word chars. (A pure trailing
     * `*` with no `?` stays the dedicated [[Prefix]] shape.) */
   final case class Wildcard(pattern: String) extends Clause
+  /** `roam~1` / `roam~` (= ~2, the Lucene default) — matches documents
+    * holding any TOKEN within `maxEdits` PLAIN-Levenshtein edits of the
+    * term (round 10). Documented delta vs Lucene's FuzzyQuery: Lucene
+    * counts a transposition as ONE Damerau edit, plain Levenshtein as two
+    * — so `form~1` does not match "from" here (it does in Lucene); every
+    * match this produces, Lucene also produces. `~0` folds to [[Term]] at
+    * parse. Phrase slop (`"a b"~2`) and wildcard+fuzzy combinations stay
+    * LOUD errors. */
+  final case class Fuzzy(s: String, maxEdits: Int) extends Clause
+
+  private val boostRe = """\^\d+(?:\.\d+)?$""".r
+  private val fuzzyRe = """(.+)~(\d*)$""".r
 
   /** Boolean query tree (round 8): full Lucene-style grammar with
     * parentheses, mixed AND/OR at standard precedence (AND binds tighter),
@@ -40,9 +54,29 @@ object TextMatchBuilder {
   final case class OrNode(kids: Seq[Node]) extends Node
   final case class NotNode(kid: Node) extends Node
 
-  private def positive(t: String): Clause = {
-    if (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)
-      Phrase(t.substring(1, t.length - 1))
+  private def positive(t0: String): Clause = {
+    // term^2 / "phrase"^1.5 boost: Lucene boost only reorders SCORES, and
+    // boolean TEXT_MATCH has no scores — parse and drop (round 10)
+    val t = boostRe.findFirstMatchIn(t0)
+      .map(m => t0.substring(0, m.start)).getOrElse(t0)
+    if (t.startsWith("\"")) {
+      if (t.endsWith("\"") && t.length >= 2) Phrase(t.substring(1, t.length - 1))
+      else if (fuzzyRe.matches(t)) throw new IllegalArgumentException(
+        s"TEXT_MATCH: phrase slop ('\"...\"~N') is not supported: $t0")
+      else throw new IllegalArgumentException(
+        s"TEXT_MATCH: malformed phrase token: $t0")
+    }
+    else if (fuzzyRe.matches(t)) {
+      val fuzzyRe(stem, digits) = t
+      require(!stem.contains("\""),
+        s"TEXT_MATCH: phrase slop ('\"...\"~N') is not supported: $t0")
+      require(!stem.exists(c => c == '*' || c == '?'),
+        s"TEXT_MATCH: wildcards cannot combine with fuzzy '~': $t0")
+      val n = if (digits.isEmpty) 2 else digits.toInt
+      require(n <= 2,
+        s"TEXT_MATCH: fuzzy '~$n' exceeds the Lucene maximum of 2: $t0")
+      if (n == 0) Term(stem) else Fuzzy(stem, n)
+    }
     else if (t.endsWith("*") && !t.dropRight(1).exists(c => c == '*' || c == '?'))
       Prefix(t.dropRight(1))
     else if (t.exists(c => c == '*' || c == '?')) Wildcard(t)
@@ -59,13 +93,25 @@ object TextMatchBuilder {
       require(j >= 0, s"TEXT_MATCH: unterminated phrase in: $q")
       j
     }
+    // a quoted phrase keeps any trailing suffix chars (boost `^2`, slop
+    // `~N`) in ITS token so positive() can strip/reject them
+    def tail(from: Int): Int = {
+      var k = from
+      while (k < q.length && !q.charAt(k).isWhitespace &&
+        q.charAt(k) != '(' && q.charAt(k) != ')') k += 1
+      k
+    }
     while (i < q.length) {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '(' || c == ')') { out += c.toString; i += 1 }
-      else if (c == '"') { val j = quoted(i); out += q.substring(i, j + 1); i = j + 1 }
+      else if (c == '"') {
+        val j = quoted(i); val k = tail(j + 1)
+        out += q.substring(i, k); i = k
+      }
       else if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '"') {
-        val j = quoted(i + 1); out += q.substring(i, j + 1); i = j + 1
+        val j = quoted(i + 1); val k = tail(j + 1)
+        out += q.substring(i, k); i = k
       } else {
         var j = i
         while (j < q.length && !q.charAt(j).isWhitespace &&
@@ -142,6 +188,20 @@ object TextMatchBuilder {
     case Prefix(stem) => RLike(input, Literal("(?i)\\b\\Q" + stem + "\\E"))
     case Term(s) => RLike(input, Literal("(?i)\\b\\Q" + s + "\\E\\b"))
     case Wildcard(p) => RLike(input, Literal(wildcardRegex(p)))
+    case Fuzzy(s, n) =>
+      // any maximal word-run of the text within n edits of the term:
+      // split on non-word runs (post-lower, so \w ≡ [a-z0-9_]), exists
+      // with a thresholded levenshtein (early-exit kernel: returns -1
+      // past the threshold). Empty split artifacts (leading delimiter)
+      // are excluded — lev("", s) = len(s) would false-match short terms.
+      val tok = org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("t"))
+      val toks = StringSplit(Lower(input), Literal("[^a-z0-9_]+"), Literal(-1))
+      val hit = And(
+        GreaterThan(Length(tok), Literal(0)),
+        GreaterThanOrEqual(
+          Levenshtein(tok, Literal(s.toLowerCase), Some(Literal(n))), Literal(0)))
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "exists", Seq(toks, LambdaFunction(hit, Seq(tok))), isDistinct = false)
   }
 
   private def nodeExpr(input: Expression, n: Node): Expression = n match {

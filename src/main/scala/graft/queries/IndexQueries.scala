@@ -117,8 +117,11 @@ object IndexQueries {
           // round 8: negation + mid-token wildcards in one chain — the
           // index prunes on the derivable positives (spark exact,
           // wind/st prefix ranges), the NOT clause rides the re-applied
-          // exact predicate
-          "spark AND wind?w AND st*am AND NOT merge")
+          // exact predicate. Round 10: a boost (parsed, score-dropped)
+          // and a fuzzy term — the index resolves `sprk~1` through the
+          // term-dictionary deletion-variant kernel, the oracle re-derives
+          // it with DuckDB's own levenshtein over the token split
+          "spark^2 AND wind?w AND st*am AND NOT merge AND sprk~1")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
@@ -129,6 +132,10 @@ object IndexQueries {
             |  AND regexp_matches(text, '(?i)\bwind\ww\b')
             |  AND regexp_matches(text, '(?i)\bst\w*am\b')
             |  AND NOT regexp_matches(text, '(?i)\bmerge\b')
+            |  AND EXISTS (
+            |    SELECT 1
+            |    FROM unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS u(tok)
+            |    WHERE length(tok) > 0 AND levenshtein(tok, 'sprk') <= 1)
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
   private def valueIndexCopy(spark: SparkSession, dir: String): String =
@@ -230,6 +237,56 @@ object IndexQueries {
             |GROUP BY event_type
             |ORDER BY event_type""".stripMargin))
 
+  /** Per-user MV-JSON documents: each user's events as a sorted JSON array
+    * under one top-level key — the array-typed JSON shape Pinot's JSON
+    * index flattens per element. Field order inside each element and
+    * element order (by event_id) are deterministic, and doubles render
+    * through Spark's own JSON writer (shortest round-trip repr), so the
+    * wildcard predicate's try_cast recovers the exact source double. Doc
+    * size is bounded by per-user activity, never corpus-wide. */
+  private def userDocs(spark: SparkSession, dir: String) =
+    Tables.t(spark, dir, "events")
+      .groupBy(col("user_id").as("uid"))
+      .agg(to_json(struct(array_sort(collect_list(struct(
+        col("event_id").as("e"),
+        col("event_type").as("t"),
+        col("value").as("v")))).as("events"))).as("doc"))
+
+  private def jsonArrayIndexCopy(spark: SparkSession, dir: String): String =
+    buildOnce("json_array_index", dir, "events.parquet") { out =>
+      graft.sources.JsonIndex.build(userDocs(spark, dir), out, "uid", "doc", nFiles = 8)
+    }
+
+  /** JSON_MATCH over array-wildcard paths (round 10): `$.events[*].t`
+    * equality answered THROUGH the JSON index's element postings
+    * (candidate semi-join + exact wildcard predicate re-applied), chained
+    * with a `$.events[*].v` numeric range that the postings cannot answer
+    * — the transparent full-scan-fallback branch — so one declared query
+    * exercises both routes. The oracle is the INDEPENDENT relational form
+    * of the same EXISTS semantics over the underlying rows (JSON text
+    * construction is engine-specific; the predicate's meaning — "user has
+    * any event with ..." — is not), which makes it a stronger check than
+    * replaying the JSON kernel. */
+  private val jsonArrayLookup = Q(
+    "q_idx_json_array",
+    (spark, dir) => {
+      val idx = jsonArrayIndexCopy(spark, dir)
+      val docs = userDocs(spark, dir)
+      val purchasers = graft.sources.JsonIndex.jsonMatch(
+        docs, "uid", "doc", idx, """"$.events[*].t" = 'purchase'""")
+      val big = graft.sources.JsonIndex.jsonMatch(
+        purchasers, "uid", "doc", idx, """"$.events[*].v" >= 250.0""")
+      big.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("uid")).as("uid_sum"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_users,
+            |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+            |FROM (
+            |  SELECT user_id FROM events GROUP BY user_id
+            |  HAVING bool_or(event_type = 'purchase')
+            |     AND bool_or(value >= 250.0))""".stripMargin))
+
   val all: Seq[Q] = Seq(segpruneRange, segprunePartition, textMatchLookup,
-    valueRangeLookup, segpruneMulti, segpruneZorder)
+    valueRangeLookup, segpruneMulti, segpruneZorder, jsonArrayLookup)
 }

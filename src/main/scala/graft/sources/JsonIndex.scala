@@ -72,7 +72,47 @@ object JsonIndex {
       .filter(col("d").isNotNull)
       .select(concat(col("k"), lit(NumSep), col("d").cast("string")).as("term"), col("id"))
     val pres = kv.select(concat(col("k"), lit(PresSep)).as("term"), col("id")).distinct()
-    SortedLayout.write(raw.union(num).union(pres), dir, "term", nFiles)
+
+    // Round 10 — array-element postings for `$.k[*]` / `$.k[*].sub` paths
+    // (Pinot's JSON index matches array elements). Elements are extracted
+    // with the SAME per-index get_json_object the wildcard predicate
+    // evaluates, so postings and predicate cannot diverge; the descending
+    // sequence(0,-1) trap is guarded with n >= 1.
+    val elems = kv
+      .filter(col("v").startsWith("["))
+      .withColumn("n", expr("json_array_length(v)"))
+      .filter(col("n").isNotNull && col("n") >= 1)
+      .select(col("id"), col("k"), explode(expr(
+        "transform(sequence(0, n - 1), i -> get_json_object(v, concat('$[', CAST(i AS STRING), ']')))")).as("e"))
+      .filter(col("e").isNotNull)
+    val scalarKey = concat(col("k"), lit("[*]"))
+    val eRaw = elems.select(concat(scalarKey, lit(RawSep), col("e")).as("term"), col("id"))
+    val eNum = elems
+      .withColumn("d", expr("try_cast(e AS double)"))
+      .filter(col("d").isNotNull)
+      .select(concat(scalarKey, lit(NumSep), col("d").cast("string")).as("term"), col("id"))
+    val ePres = elems.select(concat(scalarKey, lit(PresSep)).as("term"), col("id")).distinct()
+    // one object level below [*]: `$.k[*].sub` — sub-keys enumerated like
+    // top-level keys (map_keys for the set, get_json_object for the value)
+    val sub = elems
+      .filter(col("e").startsWith("{"))
+      .select(col("id"), col("k"), col("e"),
+        explode(map_keys(from_json(col("e"), MapType(StringType, StringType)))).as("sk"))
+      .filter(col("sk").rlike("^[A-Za-z0-9_]+$"))
+      .distinct()
+      .withColumn("sv", expr("get_json_object(e, concat('$.', sk))"))
+      .filter(col("sv").isNotNull)
+      .withColumn("skey", concat(col("k"), lit("[*]."), col("sk")))
+    val sRaw = sub.select(concat(col("skey"), lit(RawSep), col("sv")).as("term"), col("id"))
+    val sNum = sub
+      .withColumn("d", expr("try_cast(sv AS double)"))
+      .filter(col("d").isNotNull)
+      .select(concat(col("skey"), lit(NumSep), col("d").cast("string")).as("term"), col("id"))
+    val sPres = sub.select(concat(col("skey"), lit(PresSep)).as("term"), col("id")).distinct()
+
+    SortedLayout.write(
+      Seq(raw, num, pres, eRaw, eNum, ePres, sRaw, sNum, sPres).reduce(_ union _),
+      dir, "term", nFiles)
   }
 
   private def cmp(s: String): Comparable[Any] = s.asInstanceOf[Comparable[Any]]
@@ -87,13 +127,20 @@ object JsonIndex {
 
   /** Candidate doc-ids for `filter`, or None when only a full scan can
     * answer it. Always a superset of the true match set. */
+  private val scalarPath = """^\$\.([A-Za-z0-9_]+)$""".r
+  private val wildcardPath = """^\$\.([A-Za-z0-9_]+)\[\*\](?:\.([A-Za-z0-9_]+))?$""".r
+
   def candidateIds(spark: SparkSession, dir: String, filter: String): Option[DataFrame] = {
     val p = JsonMatchBuilder.parse(filter)
-    // only top-level \w+ keys have postings (build-side contract); nested
-    // paths and exotic keys fall back to the full scan
-    if (!p.path.startsWith("$.") || !p.path.drop(2).matches("[A-Za-z0-9_]+"))
-      return None
-    val key = p.path.drop(2)
+    // top-level \w+ keys and their one-level [*] forms have postings
+    // (build-side contract); deeper paths and exotic keys fall back to the
+    // full scan
+    val key = p.path match {
+      case scalarPath(k) => k
+      case wildcardPath(k, null) => k + "[*]"
+      case wildcardPath(k, sk) => k + "[*]." + sk
+      case _ => return None
+    }
     (p.op, p.value) match {
       case ("IS NOT NULL", _) => Some(lookup(spark, dir, key + PresSep))
       case ("=", Some(Left(s))) => Some(lookup(spark, dir, key + RawSep + s))

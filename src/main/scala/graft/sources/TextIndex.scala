@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.expressions.TextMatchBuilder
-import graft.expressions.TextMatchBuilder.{AndNode, Clause, Leaf, Node, NotNode, OrNode, Phrase, Prefix, Term, Wildcard}
+import graft.expressions.TextMatchBuilder.{AndNode, Clause, Fuzzy, Leaf, Node, NotNode, OrNode, Phrase, Prefix, Term, Wildcard}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftBridge
@@ -105,7 +105,35 @@ object TextIndex {
         // lookup → None → the full-scan fallback.
         val stem = pat.takeWhile(ch => ch != '*' && ch != '?')
         if (stem.isEmpty) None else candidateWords(Prefix(stem))
+      case Fuzzy(_, _) =>
+        // an edit-distance neighborhood is not a (term, prefix) lookup —
+        // handled structurally in candidateIds via the term DICTIONARY
+        // (fuzzyCandidates); this path is never taken for Fuzzy leaves
+        None
     }
+  }
+
+  /** Candidate doc-ids for a fuzzy clause (round 10): match the postings'
+    * DISTINCT TERM DICTIONARY against the probe with the
+    * [[graft.ops.FuzzyJoin]] symmetric-deletion kernel (candidate
+    * generation provably COMPLETE for levenshtein ≤ maxEdits — the same
+    * theorem the declared fuzzy-join query rests on), then pull the ids of
+    * every matched term. Superset proof: a doc matching the exact
+    * predicate holds a token t with lev(t, term) ≤ n; every token is in
+    * the dictionary; completeness puts t in the matched set; its postings
+    * contribute the doc. Cost shape: the dictionary is |distinct terms|
+    * rows (a fraction of the corpus), the probe side is ONE row, variant
+    * fan-out is the bounded SymSpell neighborhood — never a scan of the
+    * text column. */
+  private def fuzzyCandidates(spark: SparkSession, dir: String,
+      f: Fuzzy): DataFrame = {
+    import spark.implicits._
+    val postings = spark.read.parquet(dir)
+    val dict = postings.select(col("term")).distinct()
+    val probe = Seq(f.s.toLowerCase).toDF("q")
+    val matched = graft.ops.FuzzyJoin.join(dict, "term", probe, "q", f.maxEdits)
+      .select(col("a").as("term"))
+    postings.join(matched, Seq("term"), "left_semi").select("id").distinct()
   }
 
   private def cmp(s: String): Comparable[Any] = s.asInstanceOf[Comparable[Any]]
@@ -136,6 +164,7 @@ object TextIndex {
     */
   def candidateIds(spark: SparkSession, dir: String, query: String): Option[DataFrame] = {
     def cand(n: Node): Option[DataFrame] = n match {
+      case Leaf(f @ Fuzzy(_, _)) => Some(fuzzyCandidates(spark, dir, f))
       case Leaf(c) =>
         candidateWords(c).map { case (exact, prefix) =>
           val lookups = exact.map(lookupExact(spark, dir, _)) ++

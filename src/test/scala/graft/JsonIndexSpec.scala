@@ -87,4 +87,43 @@ class JsonIndexSpec extends GraftSuite {
         s"filter [$f]")
     }
   }
+
+  test("round 10: array-wildcard paths — element postings ≡ scan; EXISTS semantics") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, """{"items": [{"q": 5, "tag": "a"}, {"q": 50, "tag": "b"}], "k": 1}"""),
+      (2L, """{"items": [{"q": 7}], "k": 2}"""),
+      (3L, """{"items": [], "k": 3}"""), // empty array: never matches, IS NULL true
+      (4L, """{"items": [3, 50, "x"], "k": 4}"""), // scalar elements
+      (5L, """{"k": 5}"""), // no array at all
+      (6L, """{"items": [{"tag": "a"}, {"q": null}]}"""), // JSON null ≠ presence
+      (7L, """{"items": "notanarray"}""")).toDF("id", "js")
+    val dir = Files.createTempDirectory("graft-jsonindex-arr").toString
+    JsonIndex.build(planted, dir, "id", "js", nFiles = 2)
+
+    def parity(f: String): Set[Long] = {
+      val scan = fullScan(planted, "js", "id", f)
+      assert(indexed(planted, "js", "id", dir, f) === scan, s"filter [$f]")
+      scan
+    }
+    // object-element sub-field equality, answered from postings
+    assert(JsonIndex.candidateIds(spark, dir, "\"$.items[*].q\" = 50").isDefined)
+    assert(parity("\"$.items[*].q\" = 50") === Set(1L))
+    assert(parity("\"$.items[*].tag\" = 'a'") === Set(1L, 6L))
+    // scalar elements: numeric and string forms
+    assert(parity("\"$.items[*]\" = 50") === Set(4L))
+    assert(parity("\"$.items[*]\" = 'x'") === Set(4L))
+    // presence: JSON-null and absent fields do NOT count
+    assert(parity("\"$.items[*].q\" IS NOT NULL") === Set(1L, 2L))
+    // IS NULL = NO element carries it (empty/missing/non-array all qualify)
+    assert(parity("\"$.items[*].q\" IS NULL") === Set(3L, 4L, 5L, 6L, 7L))
+    // ranges and != full-scan (EXISTS semantics: SOME element satisfies)
+    assert(JsonIndex.candidateIds(spark, dir, "\"$.items[*].q\" >= 10").isEmpty)
+    assert(parity("\"$.items[*].q\" >= 10") === Set(1L))
+    assert(parity("\"$.items[*].q\" != 7") === Set(1L))
+    // two wildcards stay a loud error
+    intercept[IllegalArgumentException] {
+      fullScan(planted, "js", "id", "\"$.a[*].b[*]\" = 1")
+    }
+  }
 }

@@ -211,4 +211,56 @@ class TextIndexSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(single === Set(1L, 2L, 3L)) // substring of rebatch too
   }
+
+  test("round 10: fuzzy terms and boosts — index path ≡ full scan on the corpus") {
+    val queries = Seq(
+      "sprk~1", // deletion neighbor of 'spark'
+      "sprk~", // bare ~ = the Lucene default of 2 edits
+      "spark~1 AND NOT merge",
+      "spark^2 AND wind?w", // boost parsed and dropped
+      "\"batch batch\"^2",
+      "sparc~1 OR merge",
+      "spark AND sprk~1")
+    queries.foreach { q =>
+      val expected = fullScan(docs, q)
+      val got = indexed(docs, q)
+      assert(got === expected, s"query [$q]: index ${got.size} vs scan ${expected.size}")
+      assert(expected.nonEmpty, s"query [$q] matched nothing — test has no teeth")
+    }
+    // ~0 folds to the exact term at parse
+    assert(fullScan(docs, "spark~0") === fullScan(docs, "spark"))
+    // boost must not change the match set
+    assert(fullScan(docs, "spark^2") === fullScan(docs, "spark"))
+    // fuzzy IS index-derivable (term-dictionary deletion-variant route)
+    // and the candidates are a superset of the true matches
+    val Some(cand) = TextIndex.candidateIds(spark, indexDir, "sprk~1")
+    val candidates = cand.collect().map(_.getLong(0)).toSet
+    assert(fullScan(docs, "sprk~1").subsetOf(candidates))
+    // unsupported combinations stay LOUD errors
+    intercept[IllegalArgumentException](TextMatchBuilder.parseTree("\"a b\"~2"))
+    intercept[IllegalArgumentException](TextMatchBuilder.parseTree("spa*k~1"))
+    intercept[IllegalArgumentException](TextMatchBuilder.parseTree("spark~3"))
+  }
+
+  test("round 10: fuzzy is plain Levenshtein over whole tokens (documented Lucene delta)") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "the from line"), // transposition of 'form': 2 plain edits
+      (2L, "the form line"), // exact
+      (3L, "reform matters"), // 2 prepended chars
+      (4L, "fort knox"), // 1 substitution
+      (5L, "formidable scope")).toDF("doc_id", "text") // 'form' only as a token PREFIX — no whole-token match
+    val dir = Files.createTempDirectory("graft-textindex-fuzzy").toString
+    TextIndex.build(planted, dir, "doc_id", "text", nFiles = 2)
+    def both(q: String): Set[Long] = {
+      val scan = fullScan(planted, q)
+      val idx = TextIndex.textMatch(planted, "doc_id", "text", dir, q)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idx === scan, s"query [$q] index/scan diverge")
+      scan
+    }
+    assert(both("form~1") === Set(2L, 4L),
+      "plain Levenshtein: a transposition costs 2, and fuzzy is whole-token")
+    assert(both("form~2") === Set(1L, 2L, 3L, 4L))
+  }
 }
