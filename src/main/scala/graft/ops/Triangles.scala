@@ -56,9 +56,25 @@ object Triangles {
     * @param degrees optional precomputed `(node, deg)` full-degree frame
     *                (deg = neighbor count in the undirected graph) — lets
     *                callers reuse a shared persisted degree aggregate
-    *                instead of re-deriving it from the edge union */
+    *                instead of re-deriving it from the edge union
+    * @param batches wedge-batching fan (round 10, the 1000× headroom knob):
+    *                with `batches > 1` the wedge generation is split into
+    *                `batches` src-hash slices executed SEQUENTIALLY (each
+    *                slice eagerly checkpointed), so the in-flight wedge
+    *                shuffle is bounded by one slice (~total/batches —
+    *                wedges are generated only AT their triangle's min-rank
+    *                vertex, so a src partition partitions the wedge set
+    *                exactly; each triangle still appears once). At the
+    *                measured 100× graph the single-shot wedge exchange is
+    *                ~4.1B rows ≈ 53 GB lz4 — "fits, but only just"; at
+    *                1000× it would not, and batching trades wall clock
+    *                (batches × closing-join passes over the oriented
+    *                frame, which stays persisted) for a flat peak-shuffle
+    *                ceiling. Default 1 = the single-exchange plan. */
   def trianglesCanonical(edges: DataFrame,
-      degrees: Option[DataFrame] = None): DataFrame = {
+      degrees: Option[DataFrame] = None,
+      batches: Int = 1): DataFrame = {
+    require(batches >= 1, s"triangles: batches >= 1, got $batches")
     val e = edges.select(col(edges.columns(0)).cast("long").as("a"),
       col(edges.columns(1)).cast("long").as("b"))
     val deg = degrees
@@ -83,20 +99,31 @@ object Triangles {
       .persist()
     // wedges at the min-rank vertex: (src; v, w) with rank(v) < rank(w);
     // closing edge in rank order is exactly (v, w)
-    val w1 = oriented.select(col("src"), col("dst").as("v"),
-      col("ddeg").as("vdeg"))
-    val w2 = oriented.select(col("src"), col("dst").as("w"),
-      col("ddeg").as("wdeg"))
-    val wedges = w1.join(w2, Seq("src"))
-      .where(struct(col("vdeg"), col("v")) < struct(col("wdeg"), col("w")))
-      .select(col("src"), col("v"), col("w"))
-    val closed = wedges.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-    closed.select(
-      least(col("src"), col("v"), col("w")).as("x"),
-      greatest(least(col("src"), col("v")), least(
-        greatest(col("src"), col("v")), col("w"))).as("y"),
-      greatest(col("src"), col("v"), col("w")).as("z"))
+    def closedOf(slice: DataFrame): DataFrame = {
+      val w1 = slice.select(col("src"), col("dst").as("v"),
+        col("ddeg").as("vdeg"))
+      val w2 = slice.select(col("src"), col("dst").as("w"),
+        col("ddeg").as("wdeg"))
+      val wedges = w1.join(w2, Seq("src"))
+        .where(struct(col("vdeg"), col("v")) < struct(col("wdeg"), col("w")))
+        .select(col("src"), col("v"), col("w"))
+      val closed = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      closed.select(
+        least(col("src"), col("v"), col("w")).as("x"),
+        greatest(least(col("src"), col("v")), least(
+          greatest(col("src"), col("v")), col("w"))).as("y"),
+        greatest(col("src"), col("v"), col("w")).as("z"))
+    }
+    if (batches == 1) closedOf(oriented)
+    else {
+      // xxhash64 ≠ the shuffle partitioner's hash, so slices don't align
+      // with (and thus never starve) individual shuffle partitions
+      (0 until batches).map { b =>
+        closedOf(oriented.where(pmod(xxhash64(col("src")), lit(batches.toLong)) === b))
+          .localCheckpoint(true) // eager: one slice's wedges in flight at a time
+      }.reduce(_ union _)
+    }
   }
 
   /** Per-node triangle participation: (node, tri). Nodes in no triangle are

@@ -16,11 +16,26 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.GraphTrend <dir1> <dir2 ...>; best-of-2 per
   * dir, per-step seconds on stderr. SPARK_GRAFT_TREND_OPS (comma list of
-  * pagerank,labelprop,triangles) selects a subset — re-measuring one op
-  * added after a committed full run must not re-pay the ~17-min 100×
-  * pagerank+triangles legs.
+  * pagerank,labelprop,triangles,triangles_batched) selects a subset —
+  * re-measuring one op added after a committed full run must not re-pay
+  * the ~17-min 100× pagerank+triangles legs. `triangles_batched` runs the
+  * round-10 wedge-batched census (SPARK_GRAFT_TRI_BATCHES, default 8) and
+  * reports the peak single-stage shuffle next to the unbatched one.
   */
 object GraphTrend {
+
+  /** Largest single-stage shuffle WRITE observed since the last reset —
+    * the "peak in-flight exchange" a batched plan is supposed to bound
+    * (round 10, wedge batching evidence). */
+  private final class PeakShuffle extends org.apache.spark.scheduler.SparkListener {
+    @volatile var peak = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      if (w > peak) peak = w
+    }
+    def reset(): Unit = peak = 0L
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,6 +51,8 @@ object GraphTrend {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val peakShuffle = new PeakShuffle
+    spark.sparkContext.addSparkListener(peakShuffle)
 
     // ScaleFixtures offsets l_orderkey by r·baseOrd per replica but reuses
     // part/supp ids — a distinct() would collapse the replicas back to the
@@ -89,17 +106,36 @@ object GraphTrend {
           System.err.println(s"[graph] $dir communities=$nComm")
         }
 
+        def basket = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").cast("long").as("src"),
+            col("y.l_partkey").cast("long").as("dst"))
+
         if (ops("triangles")) {
+          peakShuffle.reset()
           val t0 = System.nanoTime()
-          val basket = li.as("x").join(li.as("y"),
-              col("x.l_orderkey") === col("y.l_orderkey") &&
-                col("x.l_partkey") < col("y.l_partkey"))
-            .select(col("x.l_partkey").cast("long").as("src"),
-              col("y.l_partkey").cast("long").as("dst"))
           val nTri = graft.ops.Triangles.count(basket)
           best("triangles") = math.min((System.nanoTime() - t0) / 1e9,
             best.getOrElse("triangles", Double.MaxValue))
-          System.err.println(s"[graph] $dir triangles=$nTri")
+          System.err.println(s"[graph] $dir triangles=$nTri " +
+            f"peak_stage_shuffle_mb=${peakShuffle.peak / 1e6}%.0f")
+        }
+
+        if (ops("triangles_batched")) {
+          // wedge batching (round 10): same census, sequential src-hash
+          // slices — the peak single-stage shuffle must drop ~batches×
+          // while the count stays identical
+          val b = sys.env.getOrElse("SPARK_GRAFT_TRI_BATCHES", "8").toInt
+          peakShuffle.reset()
+          val t0 = System.nanoTime()
+          val canon = graft.ops.Triangles.canonical(basket)
+          val nTri = graft.ops.Triangles
+            .trianglesCanonical(canon, batches = b).count()
+          best("triangles_batched") = math.min((System.nanoTime() - t0) / 1e9,
+            best.getOrElse("triangles_batched", Double.MaxValue))
+          System.err.println(s"[graph] $dir triangles_batched=$nTri batches=$b " +
+            f"peak_stage_shuffle_mb=${peakShuffle.peak / 1e6}%.0f")
         }
       }
       best.toSeq.sortBy(_._1).foreach { case (n, s) =>

@@ -62,4 +62,30 @@ class TrianglesSpec extends GraftSuite {
     // and adding one leaf-leaf edge yields exactly one triangle
     assert(Triangles.count((star :+ (1L, 2L)).toDF("src", "dst")) === 1L)
   }
+
+  test("round 10: wedge batching is exact — batched slices ≡ single exchange") {
+    // wedges are generated only at each triangle's min-rank vertex, so a
+    // src-hash slice partitions the wedge set: the batched union must be
+    // the IDENTICAL triangle set (no loss, no duplicates) at any fan
+    val rnd = new scala.util.Random(0x1010)
+    val edges = Seq.fill(400)((rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      .filter(e => e._1 != e._2)
+    val canon = Triangles.canonical(edges.toDF("src", "dst"))
+    def setOf(batches: Int): Seq[(Long, Long, Long)] =
+      Triangles.trianglesCanonical(canon, batches = batches).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val single = setOf(1)
+    assert(single.nonEmpty, "fixture has no triangles — test has no teeth")
+    assert(single.distinct === single)
+    Seq(2, 3, 7).foreach { b =>
+      assert(setOf(b) === single, s"batches=$b diverges")
+    }
+    // degrees-supplied route composes with batching
+    import org.apache.spark.sql.functions._
+    val deg = canon.select(col("a").as("n")).union(canon.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = Triangles.trianglesCanonical(canon, Some(deg), batches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(withDeg === single)
+  }
 }
