@@ -257,25 +257,25 @@ object IndexQueries {
       graft.sources.JsonIndex.build(userDocs(spark, dir), out, "uid", "doc", nFiles = 8)
     }
 
-  /** JSON_MATCH over array-wildcard paths (round 10): `$.events[*].t`
-    * equality answered THROUGH the JSON index's element postings
-    * (candidate semi-join + exact wildcard predicate re-applied), chained
-    * with a `$.events[*].v` numeric range that the postings cannot answer
-    * — the transparent full-scan-fallback branch — so one declared query
-    * exercises both routes. The oracle is the INDEPENDENT relational form
-    * of the same EXISTS semantics over the underlying rows (JSON text
-    * construction is engine-specific; the predicate's meaning — "user has
-    * any event with ..." — is not), which makes it a stronger check than
-    * replaying the JSON kernel. */
+  /** JSON_MATCH over array-wildcard paths (round 10): ONE compound broker
+    * filter — `$.events[*].t` equality AND a `$.events[*].v` numeric
+    * range — through the JSON index. The candidate lattice prunes on the
+    * derivable equality child (element postings semi-join) while the
+    * range child rides the re-applied exact predicate (postings cannot
+    * answer numeric order), so one declared query exercises the compound
+    * parse, the index route, and the fallback arm together. The oracle is
+    * the INDEPENDENT relational form of the same EXISTS semantics over
+    * the underlying rows (JSON text construction is engine-specific; the
+    * predicate's meaning — "user has any event with ..." — is not), which
+    * makes it a stronger check than replaying the JSON kernel. */
   private val jsonArrayLookup = Q(
     "q_idx_json_array",
     (spark, dir) => {
       val idx = jsonArrayIndexCopy(spark, dir)
       val docs = userDocs(spark, dir)
-      val purchasers = graft.sources.JsonIndex.jsonMatch(
-        docs, "uid", "doc", idx, """"$.events[*].t" = 'purchase'""")
       val big = graft.sources.JsonIndex.jsonMatch(
-        purchasers, "uid", "doc", idx, """"$.events[*].v" >= 250.0""")
+        docs, "uid", "doc", idx,
+        """"$.events[*].t" = 'purchase' AND "$.events[*].v" >= 250.0""")
       big.agg(
         count(lit(1)).as("n_users"),
         sum(col("uid")).as("uid_sum"))

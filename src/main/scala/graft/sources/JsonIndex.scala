@@ -22,12 +22,14 @@ import org.apache.spark.sql.types.{MapType, StringType}
   *    source JSON all land on one term;
   *  - `key `            — key-presence (`"$.k" IS NOT NULL`).
   *
-  * [[jsonMatch]] answers =, numeric =, and IS NOT NULL from the index
-  * (candidate semi-join + the EXACT full-scan predicate re-applied — the
-  * same [[JsonMatchBuilder]] expression the non-indexed path runs), and
-  * transparently falls back to the full scan for every other op
-  * (!=/ranges/IS NULL need complements or numeric order the string-sorted
-  * postings cannot answer) and for nested paths. Like [[TextIndex]] and
+  * [[jsonMatch]] answers =, numeric =, IN lists, and IS NOT NULL from the
+  * index (candidate semi-join + the EXACT full-scan predicate re-applied —
+  * the same [[JsonMatchBuilder]] expression the non-indexed path runs),
+  * recursing the round-10 compound AND/OR/NOT filter tree with the
+  * TextIndex candidate lattice, and transparently falls back to the full
+  * scan for every other op (!=/ranges/IS NULL/NOT IN need complements or
+  * numeric order the string-sorted postings cannot answer) and for nested
+  * paths. Like [[TextIndex]] and
   * [[BloomLayout]], the index is purely an accelerator: recall comes from
   * the posting construction, precision always from the re-applied
   * predicate.
@@ -130,8 +132,15 @@ object JsonIndex {
   private val scalarPath = """^\$\.([A-Za-z0-9_]+)$""".r
   private val wildcardPath = """^\$\.([A-Za-z0-9_]+)\[\*\](?:\.([A-Za-z0-9_]+))?$""".r
 
-  def candidateIds(spark: SparkSession, dir: String, filter: String): Option[DataFrame] = {
-    val p = JsonMatchBuilder.parse(filter)
+  private def valueTerm(spark: SparkSession, key: String,
+      v: Either[String, Double]): String = v match {
+    case Left(s) => key + RawSep + s
+    case Right(d) => key + NumSep + canonicalDouble(spark, d)
+  }
+
+  /** Candidates for ONE comparison, or None when only a scan answers it. */
+  private def leafCandidates(spark: SparkSession, dir: String,
+      p: JsonMatchBuilder.Parsed): Option[DataFrame] = {
     // top-level \w+ keys and their one-level [*] forms have postings
     // (build-side contract); deeper paths and exotic keys fall back to the
     // full scan
@@ -143,11 +152,36 @@ object JsonIndex {
     }
     (p.op, p.value) match {
       case ("IS NOT NULL", _) => Some(lookup(spark, dir, key + PresSep))
-      case ("=", Some(Left(s))) => Some(lookup(spark, dir, key + RawSep + s))
-      case ("=", Some(Right(d))) =>
-        Some(lookup(spark, dir, key + NumSep + canonicalDouble(spark, d)))
-      case _ => None // complements / ranges / IS NULL: full scan
+      case ("=", Some(v)) => Some(lookup(spark, dir, valueTerm(spark, key, v)))
+      case ("IN", _) =>
+        // union of equality lookups — every listed value is derivable,
+        // so the union is exactly the candidate superset
+        Some(p.values.map(v => lookup(spark, dir, valueTerm(spark, key, v)))
+          .reduce(_ union _).distinct())
+      case _ => None // complements / ranges / IS NULL / NOT IN: full scan
     }
+  }
+
+  /** Candidate doc-ids for `filter` — the full round-10 boolean tree, the
+    * TextIndex candidate lattice applied to JSON postings:
+    * AND = intersection of any DERIVABLE subset (skipping underivable
+    * children keeps a superset), OR = all-or-fallback union, NOT = never
+    * derivable. None when only a full scan can answer. */
+  def candidateIds(spark: SparkSession, dir: String, filter: String): Option[DataFrame] = {
+    import JsonMatchBuilder.{AndNode, Leaf, Node, NotNode, OrNode}
+    def cand(n: Node): Option[DataFrame] = n match {
+      case Leaf(p) => leafCandidates(spark, dir, p)
+      case NotNode(_) => None
+      case AndNode(ks) =>
+        val frames = ks.flatMap(cand)
+        if (frames.isEmpty) None
+        else Some(frames.reduce((a, b) => a.join(b, "id")).distinct())
+      case OrNode(ks) =>
+        val opts = ks.map(cand)
+        if (opts.exists(_.isEmpty)) None
+        else Some(opts.flatten.reduce(_ union _).distinct())
+    }
+    cand(JsonMatchBuilder.parseTree(filter))
   }
 
   /** Index-accelerated JSON_MATCH: semi-join candidates then apply the

@@ -126,4 +126,68 @@ class JsonIndexSpec extends GraftSuite {
       fullScan(planted, "js", "id", "\"$.a[*].b[*]\" = 1")
     }
   }
+
+  test("round 10: compound AND/OR/NOT filters and IN lists — index lattice ≡ scan") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, """{"k": 1, "tag": "alpha", "items": [{"q": 5}]}"""),
+      (2L, """{"k": 2, "tag": "beta", "items": [{"q": 50}]}"""),
+      (3L, """{"k": 3, "tag": "alpha"}"""),
+      (4L, """{"k": 2, "tag": "gamma", "items": [7, 8]}"""),
+      (5L, """{"k": 9}""")).toDF("id", "js")
+    val dir = Files.createTempDirectory("graft-jsonindex-compound").toString
+    JsonIndex.build(planted, dir, "id", "js", nFiles = 2)
+
+    def parity(f: String): Set[Long] = {
+      val scan = fullScan(planted, "js", "id", f)
+      assert(indexed(planted, "js", "id", dir, f) === scan, s"filter [$f]")
+      scan
+    }
+    // AND of two derivable equalities: intersection prunes
+    assert(JsonIndex.candidateIds(spark, dir,
+      "\"$.k\" = 2 AND \"$.tag\" = 'beta'").isDefined)
+    assert(parity("\"$.k\" = 2 AND \"$.tag\" = 'beta'") === Set(2L))
+    // AND with an underivable child: the derivable one still prunes
+    assert(JsonIndex.candidateIds(spark, dir,
+      "\"$.tag\" = 'alpha' AND \"$.k\" < 2").isDefined)
+    assert(parity("\"$.tag\" = 'alpha' AND \"$.k\" < 2") === Set(1L))
+    // OR: all children derivable → union; one underivable → fallback
+    assert(JsonIndex.candidateIds(spark, dir,
+      "\"$.tag\" = 'beta' OR \"$.tag\" = 'gamma'").isDefined)
+    assert(parity("\"$.tag\" = 'beta' OR \"$.tag\" = 'gamma'") === Set(2L, 4L))
+    assert(JsonIndex.candidateIds(spark, dir,
+      "\"$.tag\" = 'beta' OR \"$.k\" > 5").isEmpty)
+    assert(parity("\"$.tag\" = 'beta' OR \"$.k\" > 5") === Set(2L, 5L))
+    // AND binds tighter than OR; parens override
+    assert(parity("\"$.tag\" = 'alpha' AND \"$.k\" = 1 OR \"$.k\" = 9") === Set(1L, 5L))
+    assert(parity("\"$.tag\" = 'alpha' AND (\"$.k\" = 1 OR \"$.k\" = 9)") === Set(1L))
+    // NOT: never derivable, exact via scan; composes under AND
+    assert(JsonIndex.candidateIds(spark, dir, "NOT \"$.tag\" = 'alpha'").isEmpty)
+    assert(parity("\"$.k\" = 2 AND NOT \"$.tag\" = 'beta'") === Set(4L))
+    // IN: union of equality postings (both string and numeric members)
+    assert(JsonIndex.candidateIds(spark, dir,
+      "\"$.tag\" IN ('beta', 'gamma')").isDefined)
+    assert(parity("\"$.tag\" IN ('beta', 'gamma')") === Set(2L, 4L))
+    assert(parity("\"$.k\" IN (1, 9)") === Set(1L, 5L))
+    // NOT IN: scan-only, null path (doc 5 has no tag) stays non-matching
+    assert(JsonIndex.candidateIds(spark, dir,
+      "\"$.tag\" NOT IN ('alpha')").isEmpty)
+    assert(parity("\"$.tag\" NOT IN ('alpha')") === Set(2L, 4L))
+    // compound over wildcard paths: derivable element equality prunes
+    // next to a range rider
+    assert(parity("\"$.items[*].q\" = 50 OR \"$.items[*]\" = 7") === Set(2L, 4L))
+    assert(parity("\"$.items[*].q\" IN (5, 50) AND \"$.k\" >= 2") === Set(2L))
+    // quoted commas/parens inside IN strings survive the tokenizer
+    assert(parity("\"$.tag\" IN ('al,pha(', 'beta')") === Set(2L))
+    // loud errors: adjacent comparisons, dangling operator, empty list
+    intercept[IllegalArgumentException] {
+      fullScan(planted, "js", "id", "\"$.k\" = 1 \"$.tag\" = 'alpha'")
+    }
+    intercept[IllegalArgumentException] {
+      fullScan(planted, "js", "id", "\"$.k\" = 1 AND")
+    }
+    intercept[IllegalArgumentException] {
+      fullScan(planted, "js", "id", "\"$.tag\" IN ()")
+    }
+  }
 }
