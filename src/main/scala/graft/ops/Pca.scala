@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed principal-direction extraction over an embedding column —
+  * the curation diagnostic training pipelines run on corpus embeddings
+  * (dominant-variance axis: topical drift detection, whitening input,
+  * outlier projection; the spectral cousin of [[KMeans]]).
+  *
+  * The distributed shape is the GRAM TRICK: PCA on n×d data needs only
+  * the d×d Gram/second-moment matrix G = Σ q qᵀ, accumulated in ONE
+  * map-side pass (per-row upper-triangle pair products, hash-aggregated
+  * with map-side combine to ≤ d(d+1)/2 keys) — never an n×n anything,
+  * never a row collect. Driver state is G (d² integers = codebook-sized,
+  * the [[KMeans]] collect contract) and the power iteration runs ON THE
+  * DRIVER over that d×d matrix — its cost is independent of n.
+  *
+  * Determinism doctrine ([[PageRank]] applied to spectra): embeddings are
+  * QUANTIZED to an integer grid (`q = floor(x·qScale + 0.5)` — computed
+  * in IEEE double identically by any engine), so G is an exact integer
+  * sum (order-free under any partitioning), each power-iteration step is
+  * an exact integer matrix-vector product rescaled by TRUNCATING division
+  * (`x' = y·xScale // max|y|` — DuckDB `//` truncates toward zero on
+  * negatives, probe-verified `-7 // 2 = -3`, exactly BigInt `/`), and the
+  * sign is canonicalized (first nonzero component positive). Every iterate is therefore bit-identical across
+  * engines and an unrolled DuckDB oracle replays the WHOLE trajectory in
+  * HUGEINT. Quantization costs ~1/qScale relative precision — a curation
+  * diagnostic, not a numeric library; the payoff is reproducibility under
+  * any row order, partitioning, or engine.
+  */
+object Pca {
+
+  /** Integer-quantized coordinates: one array column of LONGs.
+    * floor(x·s + 0.5) = round-half-toward-+inf, exact and identical in
+    * IEEE double on both engines (float32 → double widening is exact). */
+  def quantized(vecCol: Column, qScale: Int): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(qScale.toDouble)
+      + lit(0.5d)).cast("long"))
+
+  /** Upper-triangle Gram matrix of the quantized vectors: (i, j, g) with
+    * 0 ≤ i ≤ j < dim, g = Σ_rows q_i·q_j as DECIMAL(38,0) (overflow-free
+    * at any row count — the PageRank sum doctrine). One map-side pass;
+    * the shuffle carries ≤ d(d+1)/2 keys per map partition. */
+  def gram(vecs: DataFrame, vecCol: String, dim: Int, qScale: Int): DataFrame = {
+    val q = quantized(col(vecCol), qScale)
+    vecs
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(q, (i + 1).cast("int")) *
+              element_at(q, (j + 1).cast("int"))).as("p")))))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p").cast("decimal(38,0)")).as("g"))
+  }
+
+  /** Dominant eigendirection of the Gram matrix by `iters` exact-integer
+    * power iterations: x₀ = (xScale, …, xScale); per step y = G·x,
+    * x' = y·xScale // max|y| (truncating division, = BigInt `/` = DuckDB
+    * `//` — every component lands in [−xScale, xScale]); final sign
+    * canonicalized so the first nonzero component is positive. Returns
+    * the `dim` integer components. */
+  def dominantDirection(vecs: DataFrame, vecCol: String, dim: Int,
+      qScale: Int, iters: Int, xScale: Long): Array[BigInt] = {
+    require(dim >= 1 && iters >= 1 && xScale >= 1,
+      s"pca: dim/iters/xScale must be positive ($dim/$iters/$xScale)")
+    val g = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) g(i)(j) = BigInt(0)
+    gram(vecs, vecCol, dim, qScale).collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    var x = Array.fill(dim)(BigInt(xScale))
+    var it = 0
+    while (it < iters) {
+      val y = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + g(i)(j) * x(j)))
+      val m = y.map(_.abs).max
+      require(m.signum > 0,
+        "pca: zero iterate — input vectors are all zero after quantization")
+      x = y.map(v => (v * BigInt(xScale)) / m) // BigInt / truncates = DuckDB //
+      it += 1
+    }
+    val firstNz = x.indexWhere(_.signum != 0)
+    require(firstNz >= 0, "pca: zero eigendirection")
+    if (x(firstNz).signum < 0) x.map(-_) else x
+  }
+
+  /** Exact integer projection of every row onto `direction`: (idCol,
+    * proj) — map-side fold of q·x over the 64-element zip, no shuffle.
+    * Caller guarantees `direction` came from the same (dim, qScale). */
+  def project(vecs: DataFrame, idCol: String, vecCol: String,
+      qScale: Int, direction: Array[BigInt]): DataFrame = {
+    val dir = typedlit(direction.map(_.toLong).toSeq)
+    val q = quantized(col(vecCol), qScale)
+    vecs
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === direction.length)
+      .select(col(idCol),
+        aggregate(zip_with(q, dir, (a, b) => a * b),
+          lit(0L).cast("decimal(38,0)"),
+          (acc, p) => acc + p.cast("decimal(38,0)")).cast("long").as("proj"))
+  }
+}

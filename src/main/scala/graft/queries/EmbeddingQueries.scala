@@ -225,5 +225,88 @@ object EmbeddingQueries {
          |FROM ranked WHERE rk <= 10 ORDER BY cell, rk""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(embedNorm, embedQuantize, embedKmeans, sampleClusterBalanced)
+  private val PcaDim = 64
+  private val PcaQScale = 10000
+  private val PcaIters = 8
+  private val PcaXScale = 1000000L
+
+  /** X2g distributed PCA (round 10) — dominant-variance direction of the
+    * embedding corpus via the GRAM TRICK (one map-side pass accumulates
+    * the d×d integer second-moment matrix; driver state and the power
+    * iteration are d²-sized, independent of n — the spectral cousin of
+    * q_embed_kmeans's codebook contract). Everything after quantization
+    * is exact integer arithmetic (ops/Pca: floor-div rescale per
+    * iteration, first-nonzero-positive sign), so the DuckDB oracle
+    * replays the ENTIRE trajectory — Gram, all 8 power iterations, sign
+    * canonicalization, projections — in HUGEINT and the top-10
+    * most-extreme projections compare hash-exact. */
+  private val embedPca = Q(
+    "q_embed_pca",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val x = graft.ops.Pca.dominantDirection(
+        e, "embedding", PcaDim, PcaQScale, PcaIters, PcaXScale)
+      graft.ops.Pca.project(e, "vec_id", "embedding", PcaQScale, x)
+        .orderBy(abs(col("proj")).desc, col("vec_id"))
+        .limit(10)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(abs(col("proj")).desc, col("vec_id"))))
+        .select(col("rk"), col("vec_id"), col("proj"),
+          lit(x(0).toLong).as("ev0"), lit(x(1).toLong).as("ev1"),
+          lit(x(2).toLong).as("ev2"), lit(x(3).toLong).as("ev3"))
+        .orderBy(col("rk"))
+    },
+    Some(pcaSql(PcaDim, PcaQScale, PcaIters, PcaXScale)))
+
+  /** Unrolled exact-integer PCA in DuckDB: quantized coordinates, the
+    * full Gram matrix by self-join, one MATERIALIZED (y, x) CTE pair per
+    * power iteration (y = G·x in HUGEINT, x' = y·xScale // max|y| —
+    * DuckDB `//` TRUNCATES toward zero, probe-verified -7//2 = -3, which
+    * is exactly the kernel's BigInt `/`), first-nonzero-positive
+    * sign, exact projections. Every float literal is CAST to DOUBLE (the
+    * round-6 decimal-literal folding rule). */
+  private def pcaSql(dim: Int, qScale: Int, iters: Int, xScale: Long): String = {
+    val its = (1 to iters).map { k =>
+      s"""y$k AS MATERIALIZED (
+         |  SELECT g.i AS i, SUM(g.g * x.v) AS y
+         |  FROM g JOIN x${k - 1} x ON x.i = g.j GROUP BY g.i),
+         |x$k AS MATERIALIZED (
+         |  SELECT i, y * $xScale // (SELECT MAX(abs(y)) FROM y$k) AS v
+         |  FROM y$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, gs.i AS i,
+       |         CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * CAST($qScale AS DOUBLE)
+       |                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+       |  FROM embeddings, generate_series(1, $dim) gs(i)
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |g AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.q AS HUGEINT) * b.q) AS g
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+       |  GROUP BY a.i, b.i),
+       |x0 AS MATERIALIZED (
+       |  SELECT i, CAST($xScale AS HUGEINT) AS v FROM generate_series(1, $dim) t(i)),
+       |$its,
+       |xs AS MATERIALIZED (
+       |  SELECT i, CASE WHEN (SELECT v FROM x$iters WHERE v <> 0 ORDER BY i LIMIT 1) < 0
+       |                 THEN -v ELSE v END AS v
+       |  FROM x$iters),
+       |proj AS MATERIALIZED (
+       |  SELECT q.vec_id, CAST(SUM(CAST(q.q AS HUGEINT) * x.v) AS BIGINT) AS proj
+       |  FROM q JOIN xs x ON x.i = q.i GROUP BY q.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, proj,
+       |         row_number() OVER (ORDER BY abs(proj) DESC, vec_id) AS rk
+       |  FROM proj)
+       |SELECT CAST(rk AS INTEGER) AS rk, vec_id, proj,
+       |       (SELECT CAST(v AS BIGINT) FROM xs WHERE i = 1) AS ev0,
+       |       (SELECT CAST(v AS BIGINT) FROM xs WHERE i = 2) AS ev1,
+       |       (SELECT CAST(v AS BIGINT) FROM xs WHERE i = 3) AS ev2,
+       |       (SELECT CAST(v AS BIGINT) FROM xs WHERE i = 4) AS ev3
+       |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(embedNorm, embedQuantize, embedKmeans,
+    sampleClusterBalanced, embedPca)
 }
