@@ -43,16 +43,24 @@ object Pca {
     * at any row count — the PageRank sum doctrine). One map-side pass;
     * the shuffle carries ≤ d(d+1)/2 keys per map partition. */
   def gram(vecs: DataFrame, vecCol: String, dim: Int, qScale: Int): DataFrame = {
-    val q = quantized(col(vecCol), qScale)
+    // TWO plain posexplode generates instead of a nested-lambda pair
+    // builder: q is projected ONCE per row below the first Generate
+    // (inlining the transform would re-quantize the vector per pair —
+    // the interpreted-HOF recompute class from the round-5 PQ fix, first
+    // cut measured 40 s at sf0.1), and the pair fan-out runs through
+    // GenerateExec's array fast path with zero lambda machinery (nested
+    // transform/flatten/struct lambdas measured 4-6.5 s vs ~1 s for this
+    // shape on 2k×64 vectors). Row j0 is the 0-based position WITHIN the
+    // tail slice starting at i, so (i, i + j0) enumerates exactly the
+    // upper triangle, diagonal included.
     vecs
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-        transform(sequence(i, lit(dim - 1)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(q, (i + 1).cast("int")) *
-              element_at(q, (j + 1).cast("int"))).as("p")))))).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(sum(col("c.p").cast("decimal(38,0)")).as("g"))
+      .select(quantized(col(vecCol), qScale).as("q"))
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"),
+        posexplode(slice(col("q"), col("i") + 1, lit(dim))).as(Seq("j0", "qj")))
+      .groupBy(col("i"), (col("i") + col("j0")).as("j"))
+      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("g"))
   }
 
   /** Dominant eigendirection of the Gram matrix by `iters` exact-integer
