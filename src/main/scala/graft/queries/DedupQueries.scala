@@ -601,8 +601,96 @@ object DedupQueries {
          |ORDER BY d.source""".stripMargin
     })
 
+  private val SemTau = 0.35
+  private val SemSeed = 29L
+
+  /** X1-SemDeDup (round 10, Abbas et al. 2023): embedding dedup bounded by
+    * the TRAINED k-means cells — the published scale path (clusters cap the
+    * quadratic; 50k clusters over LAION in the paper), distinct from
+    * q_dedup_semantic's SRP buckets in both the blocking structure (learned
+    * cells vs random hyperplanes) and the keeper rule (the pair member
+    * farther from its cell centroid survives — the paper's exemplar choice
+    * — vs connected-component min-id survivors). Reuses the q_embed_kmeans
+    * codebook (same seeds/rounds), so the oracle replays the whole Lloyd
+    * trajectory and then the within-cell pair/removal decisions bit-exactly:
+    * cosine and centroid distance are the same sequential float64 folds in
+    * both engines. Output = per-cell accounting plus the kept-set XOR
+    * identity (the q_pipe_curate doctrine — set equality, not just counts).
+    * τ = 0.35 because the synthetic embeddings are near-isotropic (pairwise
+    * cosine ∈ [-0.55, 0.55]); the threshold is a parameter, the DECISIONS
+    * are what the oracle checks. */
+  private val dedupSemDedup = Q(
+    "q_dedup_semdedup",
+    (spark, dir) => {
+      val salted = graft.ops.Dedup.saltSplit(
+          EmbeddingQueries.kmeansAssigned(spark, dir),
+          Seq("cell"), "vec_id", 256)
+        .persist() // both sides of the in-cell self-join + member census
+      val pairs = graft.ops.SemDeDup.cellPairs(
+          salted, "vec_id", "embedding", "dist", "cell", SemTau)
+        .persist() // pair census + removal derivation
+      val removed = graft.ops.SemDeDup.removedOf(pairs)
+      val kept = salted.join(
+        removed, salted("vec_id") === removed("rid"), "left_anti")
+      val kaH = kept
+        .withColumn("h", stable_hash64(col("vec_id").cast("string"), SemSeed))
+        .groupBy(col("cell")).agg(
+          count(lit(1)).as("n_kept"),
+          expr("bit_xor(h)").as("kept_xor"))
+      val ma = salted.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      val pa = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
+      ma.join(pa, Seq("cell"), "left")
+        .join(kaH, Seq("cell"))
+        .select(
+          col("cell"), col("n_members"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          (col("n_members") - col("n_kept")).as("n_removed"),
+          col("n_kept"), col("kept_xor"))
+        .orderBy(col("cell"))
+    },
+    Some {
+      val h = DuckDbSql.hash64("CAST(vec_id AS VARCHAR)", SemSeed)
+      s"""WITH ${EmbeddingQueries.kmeansReplayCtes},
+         |counted AS (
+         |  SELECT vec_id, embedding, cell, d,
+         |         count(*) OVER (PARTITION BY cell) AS bk_n
+         |  FROM af),
+         |salted AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cell, d,
+         |         vec_id % CAST(ceil(bk_n / 256.0) AS BIGINT) AS sub
+         |  FROM counted),
+         |sempairs AS MATERIALIZED (
+         |  SELECT a.cell AS cell, a.vec_id AS ia, b.vec_id AS ib,
+         |         a.d AS da, b.d AS db
+         |  FROM salted a JOIN salted b
+         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |  WHERE ${SimilarityOracles.cos("a.embedding", "b.embedding")}
+         |        >= CAST($SemTau AS DOUBLE)),
+         |removed AS (
+         |  SELECT DISTINCT CASE WHEN da >= db THEN ib ELSE ia END AS rid
+         |  FROM sempairs),
+         |kept AS (
+         |  SELECT s.cell, s.vec_id FROM salted s
+         |  ANTI JOIN removed r ON s.vec_id = r.rid),
+         |ka AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_kept,
+         |         bit_xor($h) AS kept_xor
+         |  FROM kept GROUP BY cell),
+         |ma AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM salted GROUP BY cell),
+         |pa AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM sempairs GROUP BY cell)
+         |SELECT ma.cell, ma.n_members,
+         |       CAST(coalesce(pa.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       ma.n_members - ka.n_kept AS n_removed, ka.n_kept, ka.kept_xor
+         |FROM ma JOIN ka ON ka.cell = ma.cell
+         |LEFT JOIN pa ON pa.cell = ma.cell
+         |ORDER BY ma.cell""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring,
-    dedupSemantic, dedupIncremental, dedupSpans, dedupSpansRemove, dedupCdc)
+    dedupSemantic, dedupIncremental, dedupSpans, dedupSpansRemove, dedupCdc,
+    dedupSemDedup)
 }

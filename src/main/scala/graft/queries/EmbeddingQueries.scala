@@ -100,6 +100,28 @@ object EmbeddingQueries {
   private val KmIters = 3
   private val KmDim = 64
 
+  /** Train the declared-query codebook (k lowest-id seeds, KmIters Lloyd
+    * rounds) and assign the corpus: `(vec_id, embedding, cell, dist)`.
+    * Shared by q_embed_kmeans, q_sample_cluster_balanced and
+    * q_dedup_semdedup — the matching oracle replay is [[kmeansReplayCtes]]
+    * (its `af` CTE is exactly this frame). */
+  private[queries] def kmeansAssigned(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.t(spark, dir, "embeddings")
+    val init = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .toSeq
+    val cents = graft.ops.KMeans.train(e, "embedding", init, KmIters)
+    graft.ops.KMeans.assign(e, "embedding", cents)
+  }
+
+  /** The declared-parameter Lloyd replay chain (c0 → rounds → af) for
+    * oracles outside this file. */
+  private[queries] def kmeansReplayCtes: String = kmeansCtes(KmK, KmIters, KmDim)
+
   /** X2 semantic clustering (round 9): distributed Lloyd's k-means over the
     * corpus embeddings — the step that feeds cluster-balanced sampling and
     * IVF coarse-quantizer training. `ops/KMeans` is deterministic end to

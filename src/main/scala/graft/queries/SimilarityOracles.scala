@@ -30,7 +30,7 @@ object SimilarityOracles {
   }
 
   /** cosine(aCol, bCol) — VectorOps.cosine replica (float cols). */
-  private def cos(aCol: String, bCol: String): String = {
+  private[queries] def cos(aCol: String, bCol: String): String = {
     val d = dot(el(aCol), el(bCol))
     val na = dot(el(aCol), el(aCol))
     val nb = dot(el(bCol), el(bCol))

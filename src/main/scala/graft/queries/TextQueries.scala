@@ -903,7 +903,87 @@ object TextQueries {
            |  WHERE len(w) > 0 GROUP BY 1
            |)""".stripMargin))
 
+  /** X3-collocations (round 10): PMI collocation mining — the corpus-
+    * statistics pass that surfaces multi-word expressions ("new york",
+    * "machine learning") for tokenizer seeding and phrase-aware dedup.
+    * PMI(a,b) = log p(ab)/(p(a)p(b)) with p(ab) = n_ab/N_bigrams and
+    * p(w) = n_w/N_tokens; because log is MONOTONE, the ranking never needs
+    * a float log at all — the score ships as the EXACT integer
+    * floor((n_ab · N_u² · 10⁶) / (N_b · n_a · n_b)) in DECIMAL(38,0)
+    * arithmetic (the q_pipe_curate doctrine: n_ab·N_u²·10⁶ passes BIGINT
+    * range near ~3e9 tokens — ANSI would throw; IntegralDivide returns
+    * LONG and the quotient is bounded by N_u·10⁶). Plan shape: one
+    * generate pass builds bigrams map-side (zip_with of adjacent slices,
+    * the q_agg_mv idiom), two count shuffles (unigrams, bigrams), two
+    * joins against the unigram counts (broadcast-able at bounded vocab),
+    * top-20 via TakeOrderedAndProject. */
+  private val textCollocations = Q(
+    "q_text_collocations",
+    (spark, dir) => {
+      val d = Tables.t(spark, dir, "documents")
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val bg = d.select(explode(zip_with(
+          slice(toks, lit(1), greatest(nTok - lit(1), lit(0))),
+          slice(toks, lit(2), greatest(nTok - lit(1), lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val uni = d.select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      val bgc = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+      val totals = uni.agg(sum(col("n_w")).as("tu"))
+        .crossJoin(bgc.agg(sum(col("n_ab")).as("tb")))
+      val scored = bgc
+        .join(uni.select(col("w").as("w1"), col("n_w").as("na")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("n_w").as("nb")), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .filter(col("n_ab") >= 5)
+        .withColumn("pmi_s", expr(
+          """(CAST(n_ab AS DECIMAL(38,0)) * CAST(tu AS DECIMAL(38,0))
+            |   * CAST(tu AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0)))
+            | div
+            |(CAST(tb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0))
+            |   * CAST(nb AS DECIMAL(38,0)))""".stripMargin))
+      scored
+        .orderBy(col("pmi_s").desc, col("w1"), col("w2"))
+        .limit(20)
+        .withColumn("rk", row_number().over(Window.orderBy(
+          col("pmi_s").desc, col("w1"), col("w2"))))
+        .select(col("rk"), concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+          col("n_ab"), col("na"), col("nb"), col("pmi_s"))
+        .orderBy(col("rk"))
+    },
+    Some(
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |uc AS MATERIALIZED (
+        |  SELECT w, count(*) AS n_w
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |bc AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS n_ab FROM (
+        |    SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |    FROM (SELECT toks,
+        |                 unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+        |          FROM t))
+        |  GROUP BY w1, w2),
+        |tot AS (SELECT (SELECT CAST(sum(n_w) AS HUGEINT) FROM uc) AS tu,
+        |               (SELECT CAST(sum(n_ab) AS HUGEINT) FROM bc) AS tb),
+        |scored AS (
+        |  SELECT bc.w1, bc.w2, bc.n_ab, a.n_w AS na, z.n_w AS nb,
+        |         CAST((CAST(bc.n_ab AS HUGEINT) * tu * tu * 1000000)
+        |              // (tb * a.n_w * z.n_w) AS BIGINT) AS pmi_s
+        |  FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc z ON z.w = bc.w2, tot
+        |  WHERE bc.n_ab >= 5),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY pmi_s DESC, w1, w2) AS rk
+        |  FROM scored)
+        |SELECT CAST(rk AS INTEGER) AS rk, w1 || ' ' || w2 AS bigram,
+        |       CAST(n_ab AS BIGINT) AS n_ab, CAST(na AS BIGINT) AS na,
+        |       CAST(nb AS BIGINT) AS nb, pmi_s
+        |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin))
+
   val all: Seq[Q] = Seq(textRareNgram, textTokens, textQuality, textLangId, textFingerprint, textTfidf,
     textRepetition, textChunks, textClean, textBpePairs, textBpeEncode,
-    textLmScore, textLm2Score, textBm25, searchHybrid, textWordpiece, textUnigram)
+    textLmScore, textLm2Score, textBm25, searchHybrid, textWordpiece, textUnigram,
+    textCollocations)
 }

@@ -57,6 +57,11 @@ PLAN_ERAS = {
     # scale failure; the deletion plan costs ~0.4s more at the 64-name
     # fixture and ~10x less at a 160k dictionary.
     "q_join_fuzzy": "e2e4aa7",
+    # The round-10 fuzzy clause (`sprk~1`, commit 72ba520) added a per-doc
+    # token split + thresholded levenshtein exists to the full-scan path —
+    # a deliberate QUERY-CONTENT extension (PLANS.md round-10), not a plan
+    # regression; pre-fuzzy bests (0.79s) are unreachable by construction.
+    "q_idx_text_match": "72ba520",
 }
 
 
