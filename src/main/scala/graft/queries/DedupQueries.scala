@@ -688,9 +688,107 @@ object DedupQueries {
          |ORDER BY ma.cell""".stripMargin
     })
 
+  /** X1-SemDeDup-incremental (round 10): the PRODUCTION shape of semantic
+    * dedup — today's batch (vec_id % 10 = 0 stands in for the increment)
+    * against the standing corpus, with the codebook TRAINED ON THE CORPUS
+    * ONLY (seeds = its k lowest ids): a daily run re-derives only the new
+    * batch's assignments; corpus assignments and the codebook are the
+    * persisted artifacts (the q_dedup_incremental / AnnIndex doctrine).
+    * Candidate work is |new_cell|×|corpus_cell| per cell — bounded by the
+    * cell-count knob at scale (the SemDeDup paper's 50k clusters), never
+    * new×corpus. Report: per codebook cell, corpus/new populations,
+    * qualifying pairs, how many new vectors are semantic near-dups of the
+    * corpus (what a pipeline would drop before training), and the XOR
+    * identity of the dropped set. */
+  private val dedupSemDedupIncr = Q(
+    "q_dedup_semdedup_incr",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val corpus = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val newB = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val init = corpus.orderBy(col("vec_id"))
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .limit(EmbeddingQueries.kmK)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toSeq
+      val cents = graft.ops.KMeans.train(
+        corpus, "embedding", init, EmbeddingQueries.kmIters)
+      val corpusA = graft.ops.KMeans.assign(corpus, "embedding", cents)
+        .persist() // census + pair join
+      val newA = graft.ops.KMeans.assign(newB, "embedding", cents)
+      val pairs = newA.as("n")
+        .join(corpusA.as("c"), col("n.cell") === col("c.cell"))
+        .filter(cosine_sim(col("n.embedding"), col("c.embedding")) >= SemTau)
+        .select(col("n.cell").as("cell"), col("n.vec_id").as("new_id"))
+        .persist() // pair census + distinct-dup derivation
+      val cellsDf = spark.createDataFrame(cents.map(c => Tuple1(c._1)))
+        .toDF("cell")
+      val nc = corpusA.groupBy(col("cell")).agg(count(lit(1)).as("n_corpus"))
+      val nn = newA.groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+      val np = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
+      val dups = pairs.select(col("cell"), col("new_id")).distinct()
+      val dx = dups
+        .withColumn("h", stable_hash64(col("new_id").cast("string"), SemSeed))
+        .groupBy(col("cell")).agg(
+          count(lit(1)).as("n_dup_new"),
+          expr("bit_xor(h)").as("dup_xor"))
+      cellsDf
+        .join(nc, Seq("cell"), "left").join(nn, Seq("cell"), "left")
+        .join(np, Seq("cell"), "left").join(dx, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup_new"), lit(0L)).as("n_dup_new"),
+          coalesce(col("dup_xor"), lit(0L)).as("dup_xor"))
+        .orderBy(col("cell"))
+    },
+    Some {
+      val k = EmbeddingQueries.kmK
+      val iters = EmbeddingQueries.kmIters
+      val h = DuckDbSql.hash64("CAST(new_id AS VARCHAR)", SemSeed)
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+         |newb AS MATERIALIZED (
+         |  SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+         |${EmbeddingQueries.kmeansCtesFrom(k, iters, EmbeddingQueries.kmDim,
+             "corpus", s"ORDER BY vec_id LIMIT $k")},
+         |${EmbeddingQueries.kmeansAssignCte("afn", "newb", s"c$iters",
+             keepD = false)},
+         |incpairs AS MATERIALIZED (
+         |  SELECT n.cell AS cell, n.vec_id AS new_id
+         |  FROM afn n JOIN af c ON c.cell = n.cell
+         |  WHERE ${SimilarityOracles.cos("n.embedding", "c.embedding")}
+         |        >= CAST($SemTau AS DOUBLE)),
+         |cells AS (SELECT DISTINCT cell FROM c$iters),
+         |nc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_corpus
+         |       FROM af GROUP BY cell),
+         |nn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new
+         |       FROM afn GROUP BY cell),
+         |np AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM incpairs GROUP BY cell),
+         |dx AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_new,
+         |              bit_xor($h) AS dup_xor
+         |       FROM (SELECT DISTINCT cell, new_id FROM incpairs)
+         |       GROUP BY cell)
+         |SELECT cells.cell,
+         |       coalesce(nc.n_corpus, 0) AS n_corpus,
+         |       coalesce(nn.n_new, 0) AS n_new,
+         |       coalesce(np.n_pairs, 0) AS n_pairs,
+         |       coalesce(dx.n_dup_new, 0) AS n_dup_new,
+         |       coalesce(dx.dup_xor, 0) AS dup_xor
+         |FROM cells
+         |LEFT JOIN nc ON nc.cell = cells.cell
+         |LEFT JOIN nn ON nn.cell = cells.cell
+         |LEFT JOIN np ON np.cell = cells.cell
+         |LEFT JOIN dx ON dx.cell = cells.cell
+         |ORDER BY cells.cell""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring,
     dedupSemantic, dedupIncremental, dedupSpans, dedupSpansRemove, dedupCdc,
-    dedupSemDedup)
+    dedupSemDedup, dedupSemDedupIncr)
 }

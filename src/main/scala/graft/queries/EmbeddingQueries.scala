@@ -122,6 +122,10 @@ object EmbeddingQueries {
     * oracles outside this file. */
   private[queries] def kmeansReplayCtes: String = kmeansCtes(KmK, KmIters, KmDim)
 
+  private[queries] def kmK: Int = KmK
+  private[queries] def kmIters: Int = KmIters
+  private[queries] def kmDim: Int = KmDim
+
   /** X2 semantic clustering (round 9): distributed Lloyd's k-means over the
     * corpus embeddings — the step that feeds cluster-balanced sampling and
     * IVF coarse-quantizer training. `ops/KMeans` is deterministic end to
@@ -173,20 +177,35 @@ object EmbeddingQueries {
   /** The shared Lloyd-replay WITH-chain: c0 → (a·, m·, c·)×iters → af,
     * where `af` is the final assignment (vec_id, embedding, cell, d) under
     * the trained codebook `c{iters}`. */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
-    import graft.tools.DuckDbSql
-    def d2(embCol: String, ceCol: String): String = {
-      val diff = s"(CAST($embCol[kmi] AS DOUBLE) - $ceCol[kmi])"
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String =
+    kmeansCtesFrom(k, iters, dim, "embeddings", s"WHERE vec_id < $k")
+
+  /** One Lloyd-assignment CTE: rows of `src` labeled with the nearest
+    * `centsCte` cell (kernel-fold distance, ties to the lowest cell) —
+    * reusable for assigning a SECOND source (e.g. a new batch) under an
+    * already-trained codebook. */
+  private[queries] def kmeansAssignCte(name: String, src: String,
+      centsCte: String, keepD: Boolean, dim: Int = KmDim): String = {
+    val diff = s"(CAST(e.embedding[kmi] AS DOUBLE) - c.ce[kmi])"
+    val d2 =
       s"sqrt(list_reduce(list_transform(range(1, ${dim + 1}), kmi -> $diff * $diff), (kma, kmb) -> kma + kmb))"
-    }
+    s"""$name AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell${if (keepD) ", d" else ""} FROM (
+       |    SELECT vec_id, embedding, cell, d,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+       |    FROM (SELECT e.vec_id, e.embedding, c.cell,
+       |                 $d2 AS d
+       |          FROM $src e, $centsCte c)) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Lloyd replay over an arbitrary source CTE/table and init clause —
+    * `initClause` selects the k seed rows of `src` (cell id = the seed's
+    * vec_id, matching `ops.KMeans.train` init). */
+  private[queries] def kmeansCtesFrom(k: Int, iters: Int, dim: Int,
+      src: String, initClause: String): String = {
+    import graft.tools.DuckDbSql
     def assignCte(name: String, centsCte: String, keepD: Boolean): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT vec_id, embedding, cell${if (keepD) ", d" else ""} FROM (
-         |    SELECT vec_id, embedding, cell, d,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
-         |    FROM (SELECT e.vec_id, e.embedding, c.cell,
-         |                 ${d2("e.embedding", "c.ce")} AS d
-         |          FROM embeddings e, $centsCte c)) WHERE rn = 1)""".stripMargin
+      kmeansAssignCte(name, src, centsCte, keepD, dim)
     val rounds = (1 to iters).map { r =>
       s"""${assignCte(s"a$r", s"c${r - 1}", keepD = false)},
          |m$r AS MATERIALIZED (
@@ -203,7 +222,7 @@ object EmbeddingQueries {
     s"""c0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |         list_transform(embedding, kmx -> CAST(kmx AS DOUBLE)) AS ce
-       |  FROM embeddings WHERE vec_id < $k),
+       |  FROM $src $initClause),
        |$rounds,
        |${assignCte("af", s"c$iters", keepD = true)}""".stripMargin
   }
