@@ -63,16 +63,9 @@ object Pca {
       .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("g"))
   }
 
-  /** Dominant eigendirection of the Gram matrix by `iters` exact-integer
-    * power iterations: x₀ = (xScale, …, xScale); per step y = G·x,
-    * x' = y·xScale // max|y| (truncating division, = BigInt `/` = DuckDB
-    * `//` — every component lands in [−xScale, xScale]); final sign
-    * canonicalized so the first nonzero component is positive. Returns
-    * the `dim` integer components. */
-  def dominantDirection(vecs: DataFrame, vecCol: String, dim: Int,
-      qScale: Int, iters: Int, xScale: Long): Array[BigInt] = {
-    require(dim >= 1 && iters >= 1 && xScale >= 1,
-      s"pca: dim/iters/xScale must be positive ($dim/$iters/$xScale)")
+  /** The symmetric d×d Gram matrix, collected (d²-sized driver state). */
+  def collectGram(vecs: DataFrame, vecCol: String, dim: Int,
+      qScale: Int): Array[Array[BigInt]] = {
     val g = Array.ofDim[BigInt](dim, dim)
     for (i <- 0 until dim; j <- 0 until dim) g(i)(j) = BigInt(0)
     gram(vecs, vecCol, dim, qScale).collect().foreach { r =>
@@ -81,6 +74,17 @@ object Pca {
       g(i)(j) = v
       g(j)(i) = v
     }
+    g
+  }
+
+  /** `iters` exact-integer power iterations over a symmetric integer
+    * matrix: x₀ = (xScale, …, xScale); per step y = G·x, x' = y·xScale //
+    * max|y| (truncating division, = BigInt `/` = DuckDB `//` — every
+    * component lands in [−xScale, xScale]); final sign canonicalized so
+    * the first nonzero component is positive. */
+  def powerIterate(g: Array[Array[BigInt]], iters: Int,
+      xScale: Long): Array[BigInt] = {
+    val dim = g.length
     var x = Array.fill(dim)(BigInt(xScale))
     var it = 0
     while (it < iters) {
@@ -88,13 +92,48 @@ object Pca {
         (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + g(i)(j) * x(j)))
       val m = y.map(_.abs).max
       require(m.signum > 0,
-        "pca: zero iterate — input vectors are all zero after quantization")
+        "pca: zero iterate — matrix annihilated the iterate (rank-deficient input)")
       x = y.map(v => (v * BigInt(xScale)) / m) // BigInt / truncates = DuckDB //
       it += 1
     }
     val firstNz = x.indexWhere(_.signum != 0)
     require(firstNz >= 0, "pca: zero eigendirection")
     if (x(firstNz).signum < 0) x.map(-_) else x
+  }
+
+  /** Dominant eigendirection of the Gram matrix (see [[powerIterate]]).
+    * Returns the `dim` integer components. */
+  def dominantDirection(vecs: DataFrame, vecCol: String, dim: Int,
+      qScale: Int, iters: Int, xScale: Long): Array[BigInt] = {
+    require(dim >= 1 && iters >= 1 && xScale >= 1,
+      s"pca: dim/iters/xScale must be positive ($dim/$iters/$xScale)")
+    powerIterate(collectGram(vecs, vecCol, dim, qScale), iters, xScale)
+  }
+
+  /** EXACT-INTEGER deflation: the matrix whose power iteration yields the
+    * second principal direction. With v' = v // dScale (down-scaled so a
+    * HUGEINT oracle replays without overflow), n = v'ᵀv', λ = v'ᵀGv':
+    *
+    *   G₂ = (n²·G − λ·v'v'ᵀ) // n    (elementwise truncating division)
+    *
+    * For the exact eigenvector this is the classic Hotelling deflation
+    * scaled by n > 0 (G₂v' ≈ 0; G₂w = n·Gw for w ⟂ v'), so the top
+    * direction of G₂ is the second component. v is an ITERATE, not the
+    * exact eigenvector, and the division truncates — both deviations are
+    * deterministic and replayed bit-for-bit by the oracle; the planted-axis
+    * spec shows the recovered direction is the true second axis on clean
+    * fixtures. Sign of v is irrelevant (v'v'ᵀ is even in v'). */
+  def deflated(g: Array[Array[BigInt]], v: Array[BigInt],
+      dScale: Long): Array[Array[BigInt]] = {
+    val dim = g.length
+    require(v.length == dim, s"pca: direction dim ${v.length} != gram dim $dim")
+    val vd = v.map(_ / BigInt(dScale))
+    val n = vd.foldLeft(BigInt(0))((acc, c) => acc + c * c)
+    require(n.signum > 0, "pca: deflation direction vanished under dScale")
+    val lam = (0 until dim).foldLeft(BigInt(0)) { (acc, i) =>
+      acc + vd(i) * (0 until dim).foldLeft(BigInt(0))((a, j) => a + g(i)(j) * vd(j))
+    }
+    Array.tabulate(dim, dim)((i, j) => (n * n * g(i)(j) - lam * vd(i) * vd(j)) / n)
   }
 
   /** Exact integer projection of every row onto `direction`: (idCol,

@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object SemDeDup {
 
-  /** Candidate near-dup pairs within (cell, sub): `(cell, ia, ib, da, db)`
-    * with `ia < ib` and cosine ≥ tau. `salted` must carry idCol, embCol,
-    * distCol, cellCol and the saltSplit `sub` column, and SHOULD be
-    * persisted by the caller (both sides of a self-join). */
+  /** Qualifying near-dup pairs within (cell, sub): `(cell, sub, ia, ib,
+    * da, db, cs)` with `ia < ib` and cosine `cs` ≥ tau. `salted` must
+    * carry idCol, embCol, distCol, cellCol and the saltSplit `sub` column,
+    * and SHOULD be persisted by the caller (both sides of a self-join). */
   def cellPairs(salted: DataFrame, idCol: String, embCol: String,
       distCol: String, cellCol: String, tau: Double): DataFrame = {
     val a = salted.as("a")
@@ -37,12 +37,14 @@ object SemDeDup {
         col(s"a.$cellCol") === col(s"b.$cellCol") &&
           col("a.sub") === col("b.sub") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(graft.functions.cosine_sim(
-        col(s"a.$embCol"), col(s"b.$embCol")) >= tau)
+      .withColumn("cs", graft.functions.cosine_sim(
+        col(s"a.$embCol"), col(s"b.$embCol")))
+      .filter(col("cs") >= tau)
       .select(
-        col(s"a.$cellCol").as("cell"),
+        col(s"a.$cellCol").as("cell"), col("a.sub").as("sub"),
         col(s"a.$idCol").as("ia"), col(s"b.$idCol").as("ib"),
-        col(s"a.$distCol").as("da"), col(s"b.$distCol").as("db"))
+        col(s"a.$distCol").as("da"), col(s"b.$distCol").as("db"),
+        col("cs"))
   }
 
   /** Ids removed under the keep-farthest-from-centroid rule: in a pair the

@@ -604,6 +604,28 @@ object DedupQueries {
   private val SemTau = 0.35
   private val SemSeed = 29L
 
+  /** Shared SemDeDup oracle core: Lloyd replay → salted assignment →
+    * qualifying in-cell pairs (cell, ia, ib, da, db with ia < ib, cos ≥ τ).
+    * Used by q_dedup_semdedup and q_pipe_contrastive_pairs. */
+  private lazy val semDedupCoreCtes: String =
+    s"""${EmbeddingQueries.kmeansReplayCtes},
+       |counted AS (
+       |  SELECT vec_id, embedding, cell, d,
+       |         count(*) OVER (PARTITION BY cell) AS bk_n
+       |  FROM af),
+       |salted AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell, d,
+       |         vec_id % CAST(ceil(bk_n / 256.0) AS BIGINT) AS sub
+       |  FROM counted),
+       |sempairs AS MATERIALIZED (
+       |  SELECT a.cell AS cell, a.sub AS sub, a.vec_id AS ia, b.vec_id AS ib,
+       |         a.d AS da, b.d AS db,
+       |         ${SimilarityOracles.cos("a.embedding", "b.embedding")} AS cs
+       |  FROM salted a JOIN salted b
+       |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+       |  WHERE ${SimilarityOracles.cos("a.embedding", "b.embedding")}
+       |        >= CAST($SemTau AS DOUBLE))""".stripMargin
+
   /** X1-SemDeDup (round 10, Abbas et al. 2023): embedding dedup bounded by
     * the TRAINED k-means cells — the published scale path (clusters cap the
     * quadratic; 50k clusters over LAION in the paper), distinct from
@@ -650,22 +672,7 @@ object DedupQueries {
     },
     Some {
       val h = DuckDbSql.hash64("CAST(vec_id AS VARCHAR)", SemSeed)
-      s"""WITH ${EmbeddingQueries.kmeansReplayCtes},
-         |counted AS (
-         |  SELECT vec_id, embedding, cell, d,
-         |         count(*) OVER (PARTITION BY cell) AS bk_n
-         |  FROM af),
-         |salted AS MATERIALIZED (
-         |  SELECT vec_id, embedding, cell, d,
-         |         vec_id % CAST(ceil(bk_n / 256.0) AS BIGINT) AS sub
-         |  FROM counted),
-         |sempairs AS MATERIALIZED (
-         |  SELECT a.cell AS cell, a.vec_id AS ia, b.vec_id AS ib,
-         |         a.d AS da, b.d AS db
-         |  FROM salted a JOIN salted b
-         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-         |  WHERE ${SimilarityOracles.cos("a.embedding", "b.embedding")}
-         |        >= CAST($SemTau AS DOUBLE)),
+      s"""WITH $semDedupCoreCtes,
          |removed AS (
          |  SELECT DISTINCT CASE WHEN da >= db THEN ib ELSE ia END AS rid
          |  FROM sempairs),
@@ -786,9 +793,104 @@ object DedupQueries {
          |ORDER BY cells.cell""".stripMargin
     })
 
+  /** X5-contrastive (round 10): contrastive training-pair mining — the
+    * data-prep step of embedding-model training (anchor, positive,
+    * hard-negative triplets). Positives = the anchor's highest-cosine
+    * qualifying neighbor from the SemDeDup pair stage (ties to the lower
+    * id — cosines are bit-identical float folds in both engines, so the
+    * argmax replays); hard negatives = the seeded-hash-minimal same-
+    * (cell, sub) candidate that is NOT a qualifying neighbor (in-cell =
+    * semantically close = HARD, hash-min = deterministic pseudo-random
+    * draw, the q_sample_* doctrine). Candidate volume is the same
+    * salt-capped in-cell quadratic as q_dedup_semdedup — never corpus².
+    * An anchor whose whole sub-bucket qualifies has no negative → -1. */
+  private val pipeContrastivePairs = Q(
+    "q_pipe_contrastive_pairs",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val salted = graft.ops.Dedup.saltSplit(
+          EmbeddingQueries.kmeansAssigned(spark, dir),
+          Seq("cell"), "vec_id", 256)
+        .persist() // pair self-join + negative candidate join
+      val pairs = graft.ops.SemDeDup.cellPairs(
+        salted, "vec_id", "embedding", "dist", "cell", SemTau)
+      // both directions: every pair member is an anchor
+      val bi = pairs.select(col("cell"), col("sub"),
+          col("ia").as("anchor"), col("ib").as("other"), col("cs"))
+        .unionByName(pairs.select(col("cell"), col("sub"),
+          col("ib").as("anchor"), col("ia").as("other"), col("cs")))
+        .persist() // positive argmax + neighbor anti-join + anchor census
+      val wPos = Window.partitionBy(col("anchor"))
+        .orderBy(col("cs").desc, col("other").asc)
+      val pos = bi
+        .withColumn("rn", row_number().over(wPos))
+        .withColumn("n_pos", count(lit(1)).over(Window.partitionBy(col("anchor"))))
+        .filter(col("rn") === 1)
+        .select(col("anchor"), col("cell"), col("sub"),
+          col("other").as("pos_id"), round(col("cs"), 6).as("max_cos"),
+          col("n_pos"))
+      val cands = pos.select(col("anchor"), col("cell"), col("sub"))
+        .join(salted.select(col("cell"), col("sub"), col("vec_id").as("cand")),
+          Seq("cell", "sub"))
+        .filter(col("cand") =!= col("anchor"))
+      val nonNeighbor = cands.join(
+        bi.select(col("anchor"), col("other").as("cand")),
+        Seq("anchor", "cand"), "left_anti")
+      val wNeg = Window.partitionBy(col("anchor")).orderBy(col("h"), col("cand"))
+      val neg = nonNeighbor
+        .withColumn("h", stable_hash64(
+          concat(col("anchor").cast("string"), lit(":"), col("cand").cast("string")),
+          SemSeed))
+        .withColumn("rn", row_number().over(wNeg))
+        .filter(col("rn") === 1)
+        .select(col("anchor"), col("cand").as("neg_id"))
+      pos.join(neg, Seq("anchor"), "left")
+        .select(col("anchor").as("anchor_id"), col("pos_id"),
+          col("max_cos"), col("n_pos"),
+          coalesce(col("neg_id"), lit(-1L)).as("neg_id"))
+        .orderBy(col("anchor_id"))
+    },
+    Some {
+      val h = DuckDbSql.hash64(
+        "CAST(anchor AS VARCHAR) || ':' || CAST(cand AS VARCHAR)", SemSeed)
+      s"""WITH $semDedupCoreCtes,
+         |bi AS MATERIALIZED (
+         |  SELECT cell, sub, ia AS anchor, ib AS other, cs FROM sempairs
+         |  UNION ALL
+         |  SELECT cell, sub, ib AS anchor, ia AS other, cs FROM sempairs),
+         |pos AS MATERIALIZED (
+         |  SELECT anchor, cell, sub, other AS pos_id,
+         |         ${DuckDbSql.sparkRound("cs", 6)} AS max_cos, n_pos
+         |  FROM (SELECT *,
+         |               row_number() OVER (PARTITION BY anchor
+         |                                  ORDER BY cs DESC, other ASC) AS rn,
+         |               count(*) OVER (PARTITION BY anchor) AS n_pos
+         |        FROM bi)
+         |  WHERE rn = 1),
+         |cands AS MATERIALIZED (
+         |  SELECT p.anchor, s2.vec_id AS cand
+         |  FROM pos p JOIN salted s2
+         |    ON s2.cell = p.cell AND s2.sub = p.sub AND s2.vec_id <> p.anchor),
+         |nonneighbor AS (
+         |  SELECT c.anchor, c.cand FROM cands c
+         |  ANTI JOIN bi n ON n.anchor = c.anchor AND n.other = c.cand),
+         |neg AS (
+         |  SELECT anchor, cand AS neg_id FROM (
+         |    SELECT anchor, cand,
+         |           row_number() OVER (PARTITION BY anchor
+         |                              ORDER BY ($h), cand) AS rn
+         |    FROM nonneighbor)
+         |  WHERE rn = 1)
+         |SELECT p.anchor AS anchor_id, p.pos_id, p.max_cos,
+         |       CAST(p.n_pos AS BIGINT) AS n_pos,
+         |       coalesce(n.neg_id, -1) AS neg_id
+         |FROM pos p LEFT JOIN neg n ON n.anchor = p.anchor
+         |ORDER BY anchor_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
     dedupNgramJaccard, dedupClusters, dedupEmbedding, dedupSubstring,
     dedupSemantic, dedupIncremental, dedupSpans, dedupSpansRemove, dedupCdc,
-    dedupSemDedup, dedupSemDedupIncr)
+    dedupSemDedup, dedupSemDedupIncr, pipeContrastivePairs)
 }

@@ -307,7 +307,9 @@ object EmbeddingQueries {
     * is exactly the kernel's BigInt `/`), first-nonzero-positive
     * sign, exact projections. Every float literal is CAST to DOUBLE (the
     * round-6 decimal-literal folding rule). */
-  private def pcaSql(dim: Int, qScale: Int, iters: Int, xScale: Long): String = {
+  /** The shared first-direction replay: q → g (full symmetric matrix) →
+    * x0 → unrolled power iterations → xs (sign-canonicalized x1). */
+  private def pcaChainCtes(dim: Int, qScale: Int, iters: Int, xScale: Long): String = {
     val its = (1 to iters).map { k =>
       s"""y$k AS MATERIALIZED (
          |  SELECT g.i AS i, SUM(g.g * x.v) AS y
@@ -316,7 +318,7 @@ object EmbeddingQueries {
          |  SELECT i, y * $xScale // (SELECT MAX(abs(y)) FROM y$k) AS v
          |  FROM y$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS MATERIALIZED (
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id, gs.i AS i,
        |         CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * CAST($qScale AS DOUBLE)
        |                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
@@ -332,7 +334,11 @@ object EmbeddingQueries {
        |xs AS MATERIALIZED (
        |  SELECT i, CASE WHEN (SELECT v FROM x$iters WHERE v <> 0 ORDER BY i LIMIT 1) < 0
        |                 THEN -v ELSE v END AS v
-       |  FROM x$iters),
+       |  FROM x$iters)""".stripMargin
+  }
+
+  private def pcaSql(dim: Int, qScale: Int, iters: Int, xScale: Long): String = {
+    s"""WITH ${pcaChainCtes(dim, qScale, iters, xScale)},
        |proj AS MATERIALIZED (
        |  SELECT q.vec_id, CAST(SUM(CAST(q.q AS HUGEINT) * x.v) AS BIGINT) AS proj
        |  FROM q JOIN xs x ON x.i = q.i GROUP BY q.vec_id),
@@ -348,6 +354,84 @@ object EmbeddingQueries {
        |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin
   }
 
+  private val PcaDeflScale = 100L
+
+  /** X2g-2 second principal component (round 10) — exact-integer Hotelling
+    * deflation (`ops/Pca.deflated`): G₂ = (n²·G − λ·v'v'ᵀ) // n with
+    * v' = x1 // 100 (down-scaled so the HUGEINT oracle replays without
+    * overflow), then the SAME power iteration on G₂. Output = top-10 most
+    * extreme second-axis projections plus the exact integer x1·x2 dot (the
+    * orthogonality diagnostic — near zero relative to |x1||x2| ≈ 6.4e13).
+    * Every step after quantization is integer arithmetic, so the oracle
+    * replays BOTH trajectories — Gram, 8+8 iterations, deflation, signs,
+    * projections — and compares hash-exact. */
+  private val embedPca2 = Q(
+    "q_embed_pca2",
+    (spark, dir) => {
+      val e = Tables.t(spark, dir, "embeddings")
+      val g = graft.ops.Pca.collectGram(e, "embedding", PcaDim, PcaQScale)
+      val x1 = graft.ops.Pca.powerIterate(g, PcaIters, PcaXScale)
+      val x2 = graft.ops.Pca.powerIterate(
+        graft.ops.Pca.deflated(g, x1, PcaDeflScale), PcaIters, PcaXScale)
+      val dot12 = x1.zip(x2).map { case (a, b) => a * b }.sum
+      graft.ops.Pca.project(e, "vec_id", "embedding", PcaQScale, x2)
+        .withColumnRenamed("proj", "proj2")
+        .orderBy(abs(col("proj2")).desc, col("vec_id"))
+        .limit(10)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(abs(col("proj2")).desc, col("vec_id"))))
+        .select(col("rk"), col("vec_id"), col("proj2"),
+          lit(dot12.toLong).as("dot12"))
+        .orderBy(col("rk"))
+    },
+    Some(pca2Sql(PcaDim, PcaQScale, PcaIters, PcaXScale, PcaDeflScale)))
+
+  /** Second-direction replay: the full first-direction chain, the
+    * deflation CTEs (vd → nn → lam → g2), the second unrolled power
+    * iteration (w-chain over g2), sign, projections. All HUGEINT; `//`
+    * truncates toward zero on negatives = BigInt `/`. */
+  private def pca2Sql(dim: Int, qScale: Int, iters: Int, xScale: Long,
+      dScale: Long): String = {
+    val its = (1 to iters).map { k =>
+      s"""z$k AS MATERIALIZED (
+         |  SELECT g2.i AS i, SUM(g2.g * w.v) AS y
+         |  FROM g2 JOIN w${k - 1} w ON w.i = g2.j GROUP BY g2.i),
+         |w$k AS MATERIALIZED (
+         |  SELECT i, y * $xScale // (SELECT MAX(abs(y)) FROM z$k) AS v
+         |  FROM z$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pcaChainCtes(dim, qScale, iters, xScale)},
+       |vd AS MATERIALIZED (SELECT i, v // $dScale AS v FROM xs),
+       |nn AS MATERIALIZED (SELECT SUM(v * v) AS n FROM vd),
+       |lam AS MATERIALIZED (
+       |  SELECT SUM(a.v * g.g * b.v) AS l
+       |  FROM g JOIN vd a ON a.i = g.i JOIN vd b ON b.i = g.j),
+       |g2 AS MATERIALIZED (
+       |  SELECT g.i AS i, g.j AS j,
+       |         ((SELECT n FROM nn) * (SELECT n FROM nn) * g.g
+       |          - (SELECT l FROM lam) * a.v * b.v) // (SELECT n FROM nn) AS g
+       |  FROM g JOIN vd a ON a.i = g.i JOIN vd b ON b.i = g.j),
+       |w0 AS MATERIALIZED (
+       |  SELECT i, CAST($xScale AS HUGEINT) AS v FROM generate_series(1, $dim) t(i)),
+       |$its,
+       |ws AS MATERIALIZED (
+       |  SELECT i, CASE WHEN (SELECT v FROM w$iters WHERE v <> 0 ORDER BY i LIMIT 1) < 0
+       |                 THEN -v ELSE v END AS v
+       |  FROM w$iters),
+       |proj2 AS MATERIALIZED (
+       |  SELECT q.vec_id, CAST(SUM(CAST(q.q AS HUGEINT) * w.v) AS BIGINT) AS proj2
+       |  FROM q JOIN ws w ON w.i = q.i GROUP BY q.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, proj2,
+       |         row_number() OVER (ORDER BY abs(proj2) DESC, vec_id) AS rk
+       |  FROM proj2)
+       |SELECT CAST(rk AS INTEGER) AS rk, vec_id, proj2,
+       |       (SELECT CAST(SUM(a.v * b.v) AS BIGINT)
+       |        FROM xs a JOIN ws b ON b.i = a.i) AS dot12
+       |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(embedNorm, embedQuantize, embedKmeans,
-    sampleClusterBalanced, embedPca)
+    sampleClusterBalanced, embedPca, embedPca2)
 }

@@ -74,6 +74,44 @@ class PcaSpec extends GraftSuite {
     }
   }
 
+  test("deflation recovers a planted SECOND axis, orthogonal to the first") {
+    // axis 2 carries the most variance (±0.6), axis 5 the second-most
+    // (±0.3), everything else zero — x1 → ±e2, x2 → ±e5 (canonical +)
+    val rows = (0L until 60L).map { id =>
+      val v = Array.fill(8)(0.0f)
+      v(2) = if (id % 2 == 0) 0.6f else -0.6f
+      v(5) = if ((id / 2) % 2 == 0) 0.3f else -0.3f
+      (id, v.toSeq)
+    }
+    val g = Pca.collectGram(rows.toDF("id", "v"), "v", 8, QS)
+    val x1 = Pca.powerIterate(g, 8, XS)
+    assert(x1(2).abs === BigInt(XS))
+    val x2 = Pca.powerIterate(Pca.deflated(g, x1, 100L), 8, XS)
+    assert(x2(5).abs === BigInt(XS), s"second axis: ${x2.toSeq}")
+    for (i <- 0 until 8 if i != 5)
+      assert(x2(i).abs < BigInt(XS) / 10, s"axis $i = ${x2(i)}")
+    // exact-integer orthogonality diagnostic
+    val dot = x1.zip(x2).map { case (a, b) => a * b }.sum
+    assert(dot.abs < BigInt(XS) * BigInt(XS) / 100, s"dot12 = $dot")
+    // deflation is even in the first direction's sign
+    val x2n = Pca.powerIterate(Pca.deflated(g, x1.map(-_), 100L), 8, XS)
+    assert(x2n.toSeq === x2.toSeq)
+  }
+
+  test("deflation of rank-one data annihilates the iterate loudly") {
+    // all rows on one axis: G2 has nothing left to find
+    val rows = (0L until 20L).map { id =>
+      val v = Array.fill(4)(0.0f)
+      v(1) = if (id % 2 == 0) 0.5f else -0.5f
+      (id, v.toSeq)
+    }
+    val g = Pca.collectGram(rows.toDF("id", "v"), "v", 4, QS)
+    val x1 = Pca.powerIterate(g, 8, XS)
+    intercept[IllegalArgumentException] {
+      Pca.powerIterate(Pca.deflated(g, x1, 100L), 8, XS)
+    }
+  }
+
   test("degenerate inputs fail loudly; wrong-dim rows are excluded") {
     val zeros = (0L until 5L).map(id => (id, Seq.fill(4)(0.0f))).toDF("id", "v")
     intercept[IllegalArgumentException] {
