@@ -381,4 +381,23 @@ object Bpe {
       .map { case (t, f) => (applyMerges(t, ms), f) }
       .toDF("toks", "freq")
   }
+
+  /** [[encodeCorpus]] keeping the WORD alongside its encoding — the
+    * unique-word lookup table `(w, toks, freq)` a per-document pass joins
+    * against (token-aware packing, per-doc token budgets). */
+  def encodeVocab(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges
+    wordFreq(docs, textCol)
+      .select(col("w"),
+        concat(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          array(lit(Eow))).as("toks"),
+        col("freq"))
+      .as[(String, Seq[String], Long)]
+      .map { case (w, t, f) => (w, applyMerges(t, ms), f) }
+      .toDF("w", "toks", "freq")
+  }
 }

@@ -810,8 +810,69 @@ object PipelineQueries {
          |ORDER BY b.lang""".stripMargin
     })
 
+  /** X5-tokenize+pack (round 10): TOKENIZER-AWARE sequence packing — the
+    * production coupling q_pack_sequences elides: packs are budgeted in
+    * REAL (BPE) tokens, not whitespace counts, because the context window
+    * a trainer fills is measured in tokenizer output. Shape: the corpus
+    * collapses to the unique-word table ONCE (`Bpe.wordFreq` — the BPE
+    * trainer's one shuffle), every unique word is encoded once
+    * (`Bpe.encodeVocab`), and a per-document pass joins words to their
+    * token counts (broadcast-able at bounded vocab) before the same
+    * greedy running-sum pack cut as q_pack_sequences. The oracle replays
+    * the merge training + greedy encode through the shared
+    * `bpeEncodeVocabCtes` chain and the packing window verbatim. */
+  private val pipeTokenizePack = Q(
+    "q_pipe_tokenize_pack",
+    (spark, dir) => {
+      val budget = 4096
+      val shardSize = 100000L
+      val d = Tables.t(spark, dir, "documents")
+      val merges = TextQueries.bpeTopMerges(d)
+      val wlen = graft.ops.Bpe.encodeVocab(d, "text", merges)
+        .select(col("w"), size(col("toks")).cast("long").as("w_tok"))
+      val perDoc = d
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(wlen, Seq("w"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("w_tok")).as("n_tokens"))
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      perDoc
+        .withColumn("shard", expr(s"doc_id DIV $shardSize"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $budget"))
+        .groupBy(col("lang"), col("shard"), col("pack_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("pack_tokens"))
+        .orderBy(col("lang"), col("shard"), col("pack_id"))
+        .limit(200)
+    },
+    Some(s"""WITH ${TextQueries.bpeEncodeVocabCtes},
+            |docw AS (
+            |  SELECT doc_id, lang, w FROM (
+            |    SELECT doc_id, lang,
+            |           unnest(string_split_regex(text, '\\s+')) AS w
+            |    FROM documents)
+            |  WHERE length(w) > 0),
+            |perdoc AS (
+            |  SELECT d.doc_id, d.lang, CAST(sum(wl.w_tok) AS BIGINT) AS n_tokens
+            |  FROM docw d JOIN wlen wl USING (w)
+            |  GROUP BY d.doc_id, d.lang),
+            |cums AS (
+            |  SELECT lang, doc_id, doc_id // 100000 AS shard, n_tokens,
+            |         sum(n_tokens) OVER (PARTITION BY lang, doc_id // 100000
+            |                             ORDER BY doc_id) AS cum
+            |  FROM perdoc)
+            |SELECT lang, shard, CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id,
+            |       count(*) AS n_docs,
+            |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+            |FROM cums GROUP BY lang, shard, pack_id
+            |ORDER BY lang, shard, pack_id LIMIT 200""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, splitSample, piiScrub, qualityFilter,
     splitContamination, sampleMixture, orderShuffle, curriculum, sampleWeighted,
     sourceCap, profile, sampleStratified, sampleDsir, qualityClassifier,
-    pipeCurate)
+    pipeCurate, pipeTokenizePack)
 }

@@ -410,19 +410,66 @@ object TextQueries {
     * left-to-right scan bit-identical to `Bpe.mergeOnce` (fully-delimited
     * tokens cannot share match characters), folded over the same merge
     * list via list_reduce. */
+  /** Top-8 stale-pair merge list (codebook-sized collect, broker-style) —
+    * the declared-query tokenizer shared by q_text_bpe_encode and
+    * q_pipe_tokenize_pack. */
+  private[queries] def bpeTopMerges(
+      docs: org.apache.spark.sql.DataFrame): Seq[(String, String)] = {
+    val words = graft.ops.Bpe.wordFreq(docs, "text")
+    val toks = concat(
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+      array(lit(graft.ops.Bpe.Eow)))
+    graft.ops.Bpe.pairCounts(words.select(toks.as("toks"), col("freq")))
+      .orderBy(col("n").desc, col("l").asc, col("r").asc).limit(8).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** The BPE-apply replay chain shared by the two consumers: words →
+    * per-word char tokens → pair stats → top-8 merges → greedy encode
+    * (`enc(w, freq, s)` — \x01tok\x02 runs make replace()'s left-to-right
+    * non-overlapping scan ≡ Bpe.mergeOnce) → per-word token count
+    * `wlen(w, freq, w_tok)`. */
+  private[queries] val bpeEncodeVocabCtes: String =
+    """words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+      |  WHERE length(w) > 0 GROUP BY 1
+      |), toks AS (
+      |  SELECT w, list_concat(
+      |           list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+      |           ['</w>']) AS t, freq
+      |  FROM words
+      |), prs AS (
+      |  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS n
+      |  FROM (SELECT freq, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM toks) z
+      |  WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+      |  GROUP BY 1, 2
+      |), topm AS (
+      |  SELECT l, r, row_number() OVER (ORDER BY n DESC, l ASC, r ASC) AS pri
+      |  FROM prs ORDER BY n DESC, l ASC, r ASC LIMIT 8
+      |), mlist AS (
+      |  SELECT list(l || chr(9) || r ORDER BY pri) AS ms FROM topm
+      |), enc AS (
+      |  SELECT w, freq,
+      |    list_reduce(
+      |      [chr(1) || array_to_string(t, chr(2) || chr(1)) || chr(2)] || (SELECT ms FROM mlist),
+      |      (acc, m) -> replace(acc,
+      |         chr(1) || split_part(m, chr(9), 1) || chr(2) || chr(1) || split_part(m, chr(9), 2) || chr(2),
+      |         chr(1) || split_part(m, chr(9), 1) || split_part(m, chr(9), 2) || chr(2))
+      |    ) AS s
+      |  FROM toks
+      |), wlen AS (
+      |  SELECT w, freq,
+      |         CAST(len(string_split(s[2:len(s)-1], chr(2) || chr(1))) AS BIGINT) AS w_tok
+      |  FROM enc
+      |)""".stripMargin
+
   private val textBpeEncode = Q(
     "q_text_bpe_encode",
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.t(spark, dir, "documents")
-      val words = graft.ops.Bpe.wordFreq(docs, "text")
-      val toks = concat(
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-        array(lit(graft.ops.Bpe.Eow)))
-      // merge list = top-8 stale pairs (codebook-sized collect, broker-style)
-      val merges = graft.ops.Bpe.pairCounts(words.select(toks.as("toks"), col("freq")))
-        .orderBy(col("n").desc, col("l").asc, col("r").asc).limit(8).collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val merges = bpeTopMerges(docs)
       graft.ops.Bpe.encodeCorpus(docs, "text", merges)
         .as[(Seq[String], Long)]
         .flatMap { case (t, f) => t.map(tok => (tok, f)) }
@@ -431,35 +478,8 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("tok").asc)
         .limit(15)
     },
-    Some("""WITH words AS (
-            |  SELECT w, CAST(count(*) AS BIGINT) AS freq
-            |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
-            |  WHERE length(w) > 0 GROUP BY 1
-            |), toks AS (
-            |  SELECT list_concat(
-            |           list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
-            |           ['</w>']) AS t, freq
-            |  FROM words
-            |), prs AS (
-            |  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS n
-            |  FROM (SELECT freq, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM toks) z
-            |  WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
-            |  GROUP BY 1, 2
-            |), topm AS (
-            |  SELECT l, r, row_number() OVER (ORDER BY n DESC, l ASC, r ASC) AS pri
-            |  FROM prs ORDER BY n DESC, l ASC, r ASC LIMIT 8
-            |), mlist AS (
-            |  SELECT list(l || chr(9) || r ORDER BY pri) AS ms FROM topm
-            |), enc AS (
-            |  SELECT freq,
-            |    list_reduce(
-            |      [chr(1) || array_to_string(t, chr(2) || chr(1)) || chr(2)] || (SELECT ms FROM mlist),
-            |      (acc, m) -> replace(acc,
-            |         chr(1) || split_part(m, chr(9), 1) || chr(2) || chr(1) || split_part(m, chr(9), 2) || chr(2),
-            |         chr(1) || split_part(m, chr(9), 1) || split_part(m, chr(9), 2) || chr(2))
-            |    ) AS s
-            |  FROM toks
-            |), etoks AS (
+    Some(s"""WITH $bpeEncodeVocabCtes,
+            |etoks AS (
             |  SELECT freq, unnest(string_split(s[2:len(s)-1], chr(2) || chr(1))) AS tok FROM enc
             |)
             |SELECT tok, CAST(sum(freq) AS BIGINT) AS cnt
