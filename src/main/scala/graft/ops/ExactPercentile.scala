@@ -98,6 +98,11 @@ object ExactPercentile {
       .agg(count(lit(1)).as("_bc"))
       .withColumn("_off", sum("_bc").over(wB) - col("_bc"))
       .persist()
+    // eager materialization (round 11): bt's three consumers include a
+    // BROADCAST job that runs concurrently with the main job — with a lazy
+    // persist both jobs replay the raw-table pass racing on the same cache
+    // blocks; one count() pays the pass exactly once
+    bt.count()
     val n = bt.groupBy(g: _*).agg(sum("_bc").as("_n"))
 
     // Pass 2: distinct-value counts, bucketed — map-side combine shrinks
@@ -211,6 +216,9 @@ object ExactPercentile {
       .groupBy(col("_b"), col("_v"))
       .agg(count(lit(1)).as("_c"))
       .persist()
+    // eager (round 11): bt's broadcast job and the probe-side main job both
+    // read this cache concurrently — build it once, not racing twice
+    cnt.count()
     val wB = Window.orderBy(col("_b"))
     val bt = cnt.groupBy(col("_b")).agg(sum("_c").as("_bc"))
       .withColumn("_off", sum("_bc").over(wB) - col("_bc"))

@@ -54,18 +54,32 @@ object LabelProp {
           .union(und.select(col("v").as("src"), col("u").as("dst")))
           .distinct()
       }
+    // loop-invariant edge frame: persisted hash-partitioned + sorted by src
+    // (round 11 — NOT localCheckpoint'd: a checkpoint's LogicalRDD reports
+    // UnknownPartitioning, so every round's join re-shuffled the full edge
+    // frame; the persisted plan keeps hashpartitioning(src) visible and the
+    // cached sort order lets the per-round sort-merge join skip both the
+    // edge-side exchange AND its sort — guide §2.4). Per round only the
+    // |V|-row label state crosses an exchange into the join.
     val e = sym
       .repartition(nPart, col("src"))
-      .localCheckpoint(true)
+      .sortWithinPartitions("src")
+      .persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
-      val counts = e.join(labels, e("src") === labels("node"))
+      // ONE exchange per round (round 11): the join output is repartitioned
+      // by dst BEFORE the count — hashpartitioning(dst) satisfies the
+      // clustering of BOTH the (dst, label) count and the per-dst argmin,
+      // so the former two-exchange agg pair (hash(dst,label) partials, then
+      // hash(dst) for the argmin) collapses to a single |E|-row exchange.
+      labels = e.join(labels, e("src") === labels("node"))
+        .select(col("dst"), col("label"))
+        .repartition(nPart, col("dst"))
         .groupBy(col("dst"), col("label"))
         .agg(functions.count(lit(1)).as("cnt"))
-      labels = counts
         .groupBy(col("dst").as("node"))
         // argmax count, ties to the smallest label: min over (−count, label)
         .agg(min(struct((-col("cnt")).as("neg"), col("label"))).as("best"))
@@ -73,6 +87,7 @@ object LabelProp {
         .localCheckpoint(true)
       i += 1
     }
+    e.unpersist()
     labels
   }
 

@@ -57,35 +57,76 @@ object PageRank {
       .select(col(edges.columns(0)).cast("long").as("src"),
         col(edges.columns(1)).cast("long").as("dst"))
     val e = if (assumeDistinct) e0 else e0.distinct()
-    // out-degree rides WITH the edge row (src, dst, outdeg): contributions
-    // are then map-side pure — the only per-iteration shuffles are the
-    // sum-by-dst and the node left join
+    // out-degree rides WITH the edge row (src, dst, outdeg). The frame is
+    // loop-INVARIANT, so it is persisted hash-partitioned AND sorted by src
+    // (not localCheckpoint'd: a checkpoint's LogicalRDD reports
+    // UnknownPartitioning, so every per-round join re-shuffled the full
+    // edge frame; a persisted plan keeps hashpartitioning(src) visible to
+    // the planner — round 11, the guide-§2.4 "remove shuffles outright"
+    // fix). Per round only the |V|-row rank state crosses an exchange.
     val ewd = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(nPart, col("src"))
-      .localCheckpoint(true)
+      .sortWithinPartitions("src")
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .persist()
     val base = scale / dampDen * (dampDen - dampNum) // exact: scale % den == 0 for defaults
-    var ranks = nodes.withColumn("r", lit(scale)).localCheckpoint(true)
-    var i = 0
+    // r(v) is a pure function of msum(v) — r = base + damp·msum div den,
+    // msum absent ⇒ r = base — so the loop state is the |V|-row msum frame
+    // and the rank projection is FUSED into the next round's contribution
+    // expression (round 11: removes the per-round nodes⋈msum join + its
+    // exchange + the full-|V| rank checkpoint; full ranks materialize once
+    // at the end). Arithmetic is the identical expression composition —
+    // BIGINT div per edge, DECIMAL(38,0) sum, decimal damp multiply +
+    // integral divide — so the trajectory is bit-identical.
+    val rFromMsum =
+      s"(CAST($base AS BIGINT) + CAST($dampNum AS DECIMAL(38,0)) " +
+        s"* coalesce(msum, CAST(0 AS DECIMAL(38,0))) div $dampDen)"
+    if (iters == 0) {
+      val out = nodes.withColumn("r", lit(scale)).localCheckpoint(true)
+      ewd.unpersist()
+      nodes.unpersist()
+      return out
+    }
+    // The per-dst contribution sum is DECIMAL(38,0) (it can never overflow
+    // at any graph size), and precision-38 decimal updates are BigInteger
+    // work per row — CPU-heavy while its shuffle BYTES are tiny, so AQE's
+    // byte-based coalescing would collapse the stage to 1-4 partitions and
+    // serialize exactly the expensive part (measured 16 s single-task vs
+    // ~1 s at 32). The explicit repartition pins the aggregation's
+    // parallelism to the session's shuffle.partitions and carries plain
+    // (dst, contrib) LONG pairs; the decimal work then happens once per
+    // row, in-partition, at full width.
+    def sumByDst(contribs: DataFrame): DataFrame = contribs
+      .repartition(nPart, col("dst"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("contrib").cast("decimal(38,0)")).as("msum"))
+
+    // round 1: r_0 = scale for every node — a constant, so no join at all
+    var msum = sumByDst(ewd
+        .select(col("dst"), expr(s"CAST($scale AS BIGINT) div outdeg").as("contrib")))
+      .localCheckpoint(true)
+    var i = 1
     while (i < iters) {
-      // contrib = floor(r/outdeg) (BIGINT div — exact); msum as DECIMAL(38,0)
-      // so the per-dst sum can never overflow at any graph size; damping as
-      // exact decimal multiply then integral divide back to BIGINT
-      val msum = ewd.join(ranks, ewd("src") === ranks("node"))
-        .select(col("dst"), expr("r div outdeg").as("contrib"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib").cast("decimal(38,0)")).as("msum"))
-      ranks = nodes.join(msum, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(
-            s"CAST($dampNum AS DECIMAL(38,0)) * coalesce(msum, CAST(0 AS DECIMAL(38,0))) div $dampDen"))
-            .as("r"))
+      // r is derived from msum PER NODE before the join (the decimal damp
+      // multiply + Knuth division are ~µs-scale BigInteger ops — evaluating
+      // them per EDGE instead of per node measured 8× the round cost);
+      // per-edge work is only the BIGINT div. A src absent from msum has
+      // r = base exactly (LONG coalesce after the left join).
+      val rstate = msum.select(col("node"), expr(rFromMsum).as("r"))
+      msum = sumByDst(ewd.join(rstate, ewd("src") === rstate("node"), "left")
+          .select(col("dst"),
+            expr(s"coalesce(r, CAST($base AS BIGINT)) div outdeg").as("contrib")))
         .localCheckpoint(true)
       i += 1
     }
+    val ranks = nodes.join(msum, Seq("node"), "left")
+      .select(col("node"), expr(rFromMsum).as("r"))
+      .localCheckpoint(true)
+    ewd.unpersist()
+    nodes.unpersist()
     ranks
   }
 
@@ -104,31 +145,55 @@ object PageRank {
         col(edges.columns(1)).cast("long").as("dst"),
         col(edges.columns(2)).cast("long").as("w"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    // loop-invariant weighted edge frame: persisted partitioned+sorted by
+    // src (see run() — checkpoints lose partitioning, persists keep it)
     val ewd = e.join(e.groupBy("src").agg(sum(col("w")).as("wout")), "src")
       .repartition(nPart, col("src"))
-      .localCheckpoint(true)
+      .sortWithinPartitions("src")
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .persist()
     val base = scale / dampDen * (dampDen - dampNum)
-    var ranks = nodes.withColumn("r", lit(scale)).localCheckpoint(true)
-    var i = 0
-    while (i < iters) {
-      val msum = ewd.join(ranks, ewd("src") === ranks("node"))
+    val rFromMsum =
+      s"(CAST($base AS BIGINT) + CAST($dampNum AS DECIMAL(38,0)) " +
+        s"* coalesce(msum, CAST(0 AS DECIMAL(38,0))) div $dampDen)"
+    if (iters == 0) {
+      val out = nodes.withColumn("r", lit(scale)).localCheckpoint(true)
+      ewd.unpersist()
+      nodes.unpersist()
+      return out
+    }
+    // see run(): pinned-parallelism decimal aggregation
+    def sumByDst(contribs: DataFrame): DataFrame = contribs
+      .repartition(nPart, col("dst"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("contrib").cast("decimal(38,0)")).as("msum"))
+
+    // round 1: r_0 = scale, a constant — no join; r*w in DECIMAL
+    // (overflow-free), floor-div by wout back to BIGINT
+    var msum = sumByDst(ewd
         .select(col("dst"),
-          // r*w in DECIMAL (overflow-free), floor-div by wout back to BIGINT
-          expr("CAST(r AS DECIMAL(38,0)) * w div wout").as("contrib"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib").cast("decimal(38,0)")).as("msum"))
-      ranks = nodes.join(msum, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(
-            s"CAST($dampNum AS DECIMAL(38,0)) * coalesce(msum, CAST(0 AS DECIMAL(38,0))) div $dampDen"))
-            .as("r"))
+          expr(s"CAST($scale AS DECIMAL(38,0)) * w div wout").as("contrib")))
+      .localCheckpoint(true)
+    var i = 1
+    while (i < iters) {
+      // r derived per NODE before the join (see run()); the r*w decimal
+      // multiply stays per edge — that is the weighted contribution itself
+      val rstate = msum.select(col("node"), expr(rFromMsum).as("r"))
+      msum = sumByDst(ewd.join(rstate, ewd("src") === rstate("node"), "left")
+          .select(col("dst"),
+            expr(s"CAST(coalesce(r, CAST($base AS BIGINT)) AS DECIMAL(38,0))" +
+              " * w div wout").as("contrib")))
         .localCheckpoint(true)
       i += 1
     }
+    val ranks = nodes.join(msum, Seq("node"), "left")
+      .select(col("node"), expr(rFromMsum).as("r"))
+      .localCheckpoint(true)
+    ewd.unpersist()
+    nodes.unpersist()
     ranks
   }
 }

@@ -97,6 +97,12 @@ object Triangles {
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.ddeg").as("ddeg"))
       .persist()
+    // eager materialization (round 11): the two wedge legs and the closing
+    // join read this cache from CONCURRENT stages — with a lazy persist each
+    // stage races to build the same partitions, duplicating the build and
+    // colliding on block locks (observed as a 5.6 s wedge stage blowing up
+    // to 73 s under the race); one count() builds every partition once
+    oriented.count()
     // wedges at the min-rank vertex: (src; v, w) with rank(v) < rank(w);
     // closing edge in rank order is exactly (v, w)
     def closedOf(slice: DataFrame): DataFrame = {

@@ -171,18 +171,32 @@ object AggQueries {
   private val aggPercentile = Q(
     "q_agg_percentile",
     (spark, dir) => {
+      // round 11: ONE ExactPercentile invocation over a melted
+      // (returnflag, measure) grouping instead of two — the former pair of
+      // calls each paid its own approxQuantile sample pass + two raw-table
+      // passes (6 lineitem scans total); the melt runs the identical rank
+      // arithmetic per (flag, measure) group in one op (3 scans of the
+      // doubled frame). Per-group multisets are unchanged, so every kept
+      // quantile is bit-identical; the extra quantiles computed for the
+      // other measure are projected away.
       val li = Tables.t(spark, dir, "lineitem")
-      val qty = graft.ops.ExactPercentile.groupPercentiles(
-        li, Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75), out = "q")
-      val price = graft.ops.ExactPercentile.groupPercentiles(
-        li, Seq("l_returnflag"), "l_extendedprice", Seq(0.9), out = "p")
-      qty.join(price, "l_returnflag")
+      val melted = li.select(col("l_returnflag"),
+        explode(array(
+          struct(lit("p").as("m"), col("l_extendedprice").cast("double").as("v")),
+          struct(lit("q").as("m"), col("l_quantity").cast("double").as("v")))).as("x"))
+        .select(col("l_returnflag"), col("x.m").as("m"), col("x.v").as("v"))
+      val pct = graft.ops.ExactPercentile.groupPercentiles(
+        melted, Seq("l_returnflag", "m"), "v", Seq(0.25, 0.5, 0.75, 0.9), out = "pc")
+      pct.groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("m") === "q", col("pc"))).as("qv"),
+          min(when(col("m") === "p", col("pc"))).as("pv"))
         .select(
           col("l_returnflag"),
-          round(col("q").getItem(0), 4).as("p25_qty"),
-          round(col("q").getItem(1), 4).as("p50_qty"),
-          round(col("q").getItem(2), 4).as("p75_qty"),
-          round(col("p").getItem(0), 2).as("p90_price"))
+          round(col("qv").getItem(0), 4).as("p25_qty"),
+          round(col("qv").getItem(1), 4).as("p50_qty"),
+          round(col("qv").getItem(2), 4).as("p75_qty"),
+          round(col("pv").getItem(3), 2).as("p90_price"))
         .orderBy(col("l_returnflag"))
     },
     // quantile_cont's interpolation association and DuckDB's

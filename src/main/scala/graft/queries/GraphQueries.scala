@@ -30,12 +30,21 @@ object GraphQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     val li = Tables.t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
+    // round 11: generate each undirected pair ONCE (x < y) and symmetrize
+    // with a map-side explode AFTER the distinct — the join emits half the
+    // rows and the dedup exchange carries half the bytes of the former
+    // x != y form (guide §2.3 "shuffle fewer bytes"); the explode then
+    // restores the exact same symmetric set
     li.as("x").join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") =!= col("y.l_partkey"))
-      .select(col("x.l_partkey").cast("long").as("src"),
-        col("y.l_partkey").cast("long").as("dst"))
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
       .distinct()
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
   }
 
@@ -64,8 +73,14 @@ object GraphQueries {
       .select(col("o_custkey").cast("long").as("c"),
         (col("l_suppkey").cast("long") + lit(1000000L)).as("s"))
       .distinct()
-    pairs.select(col("c").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    // round 11: symmetrize with one map-side explode instead of a union of
+    // two projections — the union form evaluated the orders⋈lineitem
+    // distinct pipeline TWICE at materialization (the Components
+    // symmetrize lesson applied here)
+    pairs.select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
   }
 
@@ -142,8 +157,12 @@ object GraphQueries {
       // no extra canonicalization shuffle; orientation ranks come from the
       // shared degree frame
       val edges = partEdges(spark, dir).filter(col("src") < col("dst"))
+      // eager localCheckpoint, not lazy persist (round 11): perNode's main
+      // job and total's broadcast job run concurrently — a lazy persist has
+      // both re-run the whole wedge pipeline racing on the same cache blocks
       val tris = graft.ops.Triangles
-        .trianglesCanonical(edges, Some(partDegrees(spark, dir))).persist()
+        .trianglesCanonical(edges, Some(partDegrees(spark, dir)))
+        .localCheckpoint(true)
       val perNode = tris
         .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
         .groupBy("part").agg(count(lit(1)).as("tri"))

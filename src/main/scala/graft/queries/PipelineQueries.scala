@@ -443,25 +443,39 @@ object PipelineQueries {
       val melted = li.select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("m"))
         .select(col("m.c").as("c"), col("m.v").as("v"))
-        .persist()
       // two passes joined on the tiny column key: ONE agg mixing distinct
       // and plain aggregates makes Catalyst Expand the melted frame (the
       // r5 lesson) — measured 4.8-8.5 s; split passes run the same metrics
       // without row multiplication. The HLL runs on the PRE-distincted
       // frame (HLL is duplicate-insensitive — identical estimate), so the
       // final agg sees |distinct| rows, not the corpus.
-      val base = melted.groupBy(col("c"))
-        .agg(
-          count(lit(1)).as("n"),
-          (count(lit(1)) - count(col("v"))).as("n_null"),
-          min(col("v")).as("min_v"),
-          max(col("v")).as("max_v"),
-          // exact DECIMAL sum, not float avg: double summation order is
-          // engine- and partition-dependent in the last ulps, which a
-          // round() cannot mask at a digit boundary; these columns carry
-          // <=2-decimal values, exact at scale 6, so the decimal sum is
-          // bit-deterministic on both engines
-          sum(col("v").cast("decimal(28,6)")).cast("double").as("sum_v"))
+      // Round 11: the base stats need NO melt — one map-side 16-aggregate
+      // pass over the raw table (zero explode rows, zero persist, a
+      // single-row shuffle), reshaped to the same 4 rows afterwards; the
+      // melt survives only for the distinct pass, now its sole consumer.
+      // Exact DECIMAL sum, not float avg: double summation order is
+      // engine- and partition-dependent in the last ulps, which a round()
+      // cannot mask at a digit boundary; these columns carry <=2-decimal
+      // values, exact at scale 6, so the decimal sum is bit-deterministic
+      // on both engines.
+      val flat = li.agg(
+        count(lit(1)).as("n"),
+        cols.flatMap(c => Seq(
+          count(col(c).cast("double")).as(s"nn_$c"),
+          min(col(c).cast("double")).as(s"min_$c"),
+          max(col(c).cast("double")).as(s"max_$c"),
+          sum(col(c).cast("double").cast("decimal(28,6)")).cast("double")
+            .as(s"sum_$c"))): _*)
+      val base = flat.select(explode(array(cols.map(c => struct(
+          lit(c).as("c"),
+          col("n"),
+          (col("n") - col(s"nn_$c")).as("n_null"),
+          col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"),
+          col(s"sum_$c").as("sum_v"))): _*)).as("s"))
+        .select(col("s.c").as("c"), col("s.n").as("n"),
+          col("s.n_null").as("n_null"), col("s.min_v").as("min_v"),
+          col("s.max_v").as("max_v"), col("s.sum_v").as("sum_v"))
       val dist = melted.filter(col("v").isNotNull)
         .select(col("c"), col("v")).distinct()
         .groupBy(col("c"))
