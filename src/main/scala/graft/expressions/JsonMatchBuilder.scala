@@ -255,7 +255,20 @@ object JsonMatchBuilder {
       }
   }
 
-  /** EXISTS-over-elements predicate for a `[*]` path (see object doc). */
+  /** EXISTS-over-elements predicate for a `[*]` path (see object doc).
+    *
+    * Round 11: elements come from ONE parse of the array
+    * ([[graft.expressions.JsonArraySlices]] — each slice is a standalone
+    * JSON value with GetJsonObject-exact content), and the per-element
+    * extraction runs GetJsonObject over the SMALL slice only. The former
+    * `exists(sequence(0, n-1), i -> get_json_object(arr, '$[i]'+suffix))`
+    * re-parsed the whole array string per element (O(len²) per doc per
+    * wildcard leaf) AND re-evaluated the `arr` prefix extraction inside
+    * the lambda. Semantics are identical (JsonMatchSlicesParitySpec pits
+    * the two forms against each other over adversarial documents): a
+    * missing / non-array / malformed value yields NULL slices, so the
+    * three-valued exists lands on false through the coalesce — the same
+    * outcome the old `n IS NULL OR n < 1` gate produced. */
   private def arrayPredicate(input: Expression, p: Parsed): Expression = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     val parts = p.path.split("""\[\*\]""", -1)
@@ -265,22 +278,18 @@ object JsonMatchBuilder {
     require(prefix.startsWith("$"),
       s"JSON_MATCH: path must start at '$$': ${p.path}")
     val arr = if (prefix == "$") input else GetJsonObject(input, Literal(prefix))
-    val n = UnresolvedFunction("json_array_length", Seq(arr), isDistinct = false)
-    val i = UnresolvedNamedLambdaVariable(Seq("i"))
-    val elemPath = Concat(Seq(Literal("$["), Cast(i, StringType), Literal("]" + suffix)))
-    val elem = GetJsonObject(arr, elemPath)
+    val slices = graft.expressions.JsonArraySlices(arr)
+    val e = UnresolvedNamedLambdaVariable(Seq("e"))
+    val elem = GetJsonObject(e, Literal("$" + suffix))
     // IS NULL goes through the IS NOT NULL exists, negated below — "no
     // element carries it", not "some element lacks it"
     val perElem = compare(elem,
       if (p.op == "IS NULL") "IS NOT NULL" else p.op, p.value, p.values)
-    val idxs = UnresolvedFunction("sequence",
-      Seq(Literal(0), Subtract(n, Literal(1))), isDistinct = false)
     val ex = UnresolvedFunction("exists",
-      Seq(idxs, LambdaFunction(perElem, Seq(i))), isDistinct = false)
-    // coalesce: three-valued exists (null elements, TRY-cast misses) must
-    // land on boolean false; n null (missing / non-array) or 0 → false
-    val any = If(And(IsNotNull(n), GreaterThanOrEqual(n, Literal(1))),
-      Coalesce(Seq(ex, Literal(false))), Literal(false))
+      Seq(slices, LambdaFunction(perElem, Seq(e))), isDistinct = false)
+    // coalesce: three-valued exists (null elements, TRY-cast misses, NULL
+    // slices for missing/non-array/malformed) must land on boolean false
+    val any = Coalesce(Seq(ex, Literal(false)))
     if (p.op == "IS NULL") Not(any) else any
   }
 
