@@ -65,18 +65,27 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
     }
-    // stdout carries ONLY a total-line (<100 B). Rounds 1-3 all recorded
-    // "parsed": null because the driver captures a small stdout tail and any
-    // per-query map (even 3-decimal, ~2 KB) got truncated mid-line. The
-    // per-query breakdown lives exclusively in BENCH.json / /tmp/bench.json.
+    // Round 12 (measurement-contract fix, r11 verdict item 2): the driver
+    // contract line carries the per-query map again. Two lines, full map
+    // FIRST and the short total line LAST, because the driver's capture is
+    // a 2000-char stdout tail (measured from BENCH_r10/r11.json) and a
+    // 209-query 3-decimal map is ~5 KB: a single big line would truncate
+    // mid-line in the tail and lose even the total (the r1-r3 parsed:null
+    // failure). With the map first, a full-stream reader gets per-query
+    // data and a tail reader still parses the guaranteed-short last line.
+    def fmt3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    println(jsonLine(fmt3))
     val totalLine =
-      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(totalLine)
     // Full precision + per-query map land in files the driver/judge can read.
     // A dev subset run (SPARK_GRAFT_BENCH_ONLY) must not clobber the
-    // full-suite record.
+    // full-suite record; BENCH_c<cpus>.json keeps each core count's map
+    // separately so a lower-core scaling run can never clobber the 32-core
+    // evidence in BENCH.json (r11: the driver's c8 run overwrote it).
     val outFiles = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
-      Seq("/tmp/bench.json") else Seq("BENCH.json", "/tmp/bench.json")
+      Seq("/tmp/bench.json")
+    else Seq("BENCH.json", s"BENCH_c$cpus.json", "/tmp/bench.json")
     for (path <- outFiles) {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path), jsonLine(_.toString) + "\n")

@@ -85,7 +85,10 @@ case class JsonArraySlices(child: Expression) extends UnaryExpression
         new GenericArrayData(out.toArray)
       } finally parser.close()
     } catch {
-      case _: Exception => null
+      // malformed JSON only (the json_array_length null contract) — a
+      // genuine defect (NPE, offset error) must surface, not degrade to a
+      // false-negative JSON_MATCH (r11 ADVICE)
+      case _: java.io.IOException => null // JsonProcessingException extends it
     }
   }
 

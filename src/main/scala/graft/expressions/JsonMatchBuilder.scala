@@ -227,8 +227,10 @@ object JsonMatchBuilder {
   }
 
   /** The comparison expression for one extracted value (shared by the
-    * scalar path and each wildcard element). */
-  private def compare(extracted: Expression, op: String,
+    * scalar path and each wildcard element). private[graft] so the slices
+    * parity spec validates against THE production comparison, not a copy
+    * that could silently go stale (r11 ADVICE). */
+  private[graft] def compare(extracted: Expression, op: String,
       value: Option[Either[String, Double]],
       values: Seq[Either[String, Double]]): Expression = op match {
     case "IS NOT NULL" => IsNotNull(extracted)

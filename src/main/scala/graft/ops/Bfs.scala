@@ -35,6 +35,9 @@ object Bfs {
       .sortWithinPartitions("src")
       .persist()
     import spark.implicits._
+    // ADVICE r11: unpersist in finally so a mid-iteration failure cannot
+    // leak the loop-invariant cache for the session lifetime
+    try {
     var dist = Seq((source, 0)).toDF("node", "level").localCheckpoint(true)
     var frontier = dist.select(col("node"))
     var r = 1
@@ -53,7 +56,7 @@ object Bfs {
       frontier = next.select(col("node"))
       r += 1
     }
-    e.unpersist()
     dist
+    } finally e.unpersist()
   }
 }

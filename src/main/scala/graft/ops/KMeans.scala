@@ -41,9 +41,24 @@ object KMeans {
       GraftBridge.expression(array(cent.map(v => lit(v)).toIndexedSeq: _*)),
       2))
 
-  /** (dist, cell) of the nearest centroid — ascending struct sort = min
-    * distance, ties to the lowest cell id. */
+  /** (dist, cell) of the nearest centroid — min distance, ties to the
+    * lowest cell id. Round 12: one [[graft.expressions.NearestCentroid]]
+    * kernel call (coarse-quantizer-pruned exact argmin, sub-k-linear per
+    * row at production cell counts) instead of evaluating all k centroid
+    * distances into a per-row struct array and sorting it; (d, cell) is
+    * bit-identical (NearestCentroidParitySpec pits the two forms against
+    * each other; [[nearestBySort]] keeps the exhaustive reference). */
   def nearest(emb: Column, cents: Seq[(Int, Array[Float])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    GraftBridge.column(graft.expressions.NearestCentroid(
+      GraftBridge.expression(emb),
+      sorted.map(_._1),
+      sorted.flatMap(_._2.toIndexedSeq)))
+  }
+
+  /** The pre-round-12 exhaustive construction (ascending struct sort over
+    * all k (d, cell) pairs) — the parity-spec reference. */
+  private[graft] def nearestBySort(emb: Column, cents: Seq[(Int, Array[Float])]): Column = {
     val scored = cents.map { case (cell, ce) =>
       struct(dist(emb, ce).as("d"), lit(cell).as("cell"))
     }

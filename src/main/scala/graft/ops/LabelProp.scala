@@ -65,6 +65,9 @@ object LabelProp {
       .repartition(nPart, col("src"))
       .sortWithinPartitions("src")
       .persist()
+    // ADVICE r11: unpersist in finally so a mid-iteration failure cannot
+    // leak the loop-invariant cache for the session lifetime
+    try {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -87,8 +90,8 @@ object LabelProp {
         .localCheckpoint(true)
       i += 1
     }
-    e.unpersist()
     labels
+    } finally e.unpersist()
   }
 
   /** Community census at the horizon: (label, size), one row per surviving

@@ -73,6 +73,9 @@ object PageRank {
       .distinct()
       .persist()
     val base = scale / dampDen * (dampDen - dampNum) // exact: scale % den == 0 for defaults
+    // ADVICE r11: unpersist in finally so a mid-iteration failure cannot
+    // leak the loop-invariant caches for the session lifetime
+    try {
     // r(v) is a pure function of msum(v) — r = base + damp·msum div den,
     // msum absent ⇒ r = base — so the loop state is the |V|-row msum frame
     // and the rank projection is FUSED into the next round's contribution
@@ -85,10 +88,7 @@ object PageRank {
       s"(CAST($base AS BIGINT) + CAST($dampNum AS DECIMAL(38,0)) " +
         s"* coalesce(msum, CAST(0 AS DECIMAL(38,0))) div $dampDen)"
     if (iters == 0) {
-      val out = nodes.withColumn("r", lit(scale)).localCheckpoint(true)
-      ewd.unpersist()
-      nodes.unpersist()
-      return out
+      return nodes.withColumn("r", lit(scale)).localCheckpoint(true)
     }
     // The per-dst contribution sum is DECIMAL(38,0) (it can never overflow
     // at any graph size), and precision-38 decimal updates are BigInteger
@@ -122,12 +122,13 @@ object PageRank {
         .localCheckpoint(true)
       i += 1
     }
-    val ranks = nodes.join(msum, Seq("node"), "left")
+    nodes.join(msum, Seq("node"), "left")
       .select(col("node"), expr(rFromMsum).as("r"))
       .localCheckpoint(true)
-    ewd.unpersist()
-    nodes.unpersist()
-    ranks
+    } finally {
+      ewd.unpersist()
+      nodes.unpersist()
+    }
   }
 
   /** Weighted variant: (src, dst, w) with positive integer weights — the
@@ -156,14 +157,12 @@ object PageRank {
       .distinct()
       .persist()
     val base = scale / dampDen * (dampDen - dampNum)
+    try {
     val rFromMsum =
       s"(CAST($base AS BIGINT) + CAST($dampNum AS DECIMAL(38,0)) " +
         s"* coalesce(msum, CAST(0 AS DECIMAL(38,0))) div $dampDen)"
     if (iters == 0) {
-      val out = nodes.withColumn("r", lit(scale)).localCheckpoint(true)
-      ewd.unpersist()
-      nodes.unpersist()
-      return out
+      return nodes.withColumn("r", lit(scale)).localCheckpoint(true)
     }
     // see run(): pinned-parallelism decimal aggregation
     def sumByDst(contribs: DataFrame): DataFrame = contribs
@@ -189,11 +188,12 @@ object PageRank {
         .localCheckpoint(true)
       i += 1
     }
-    val ranks = nodes.join(msum, Seq("node"), "left")
+    nodes.join(msum, Seq("node"), "left")
       .select(col("node"), expr(rFromMsum).as("r"))
       .localCheckpoint(true)
-    ewd.unpersist()
-    nodes.unpersist()
-    ranks
+    } finally {
+      ewd.unpersist()
+      nodes.unpersist()
+    }
   }
 }

@@ -244,16 +244,22 @@ object IndexQueries {
     * through Spark's own JSON writer (shortest round-trip repr), so the
     * wildcard predicate's try_cast recovers the exact source double. Doc
     * size is bounded by per-user activity, never corpus-wide. */
-  private def userDocs(spark: SparkSession, dir: String) =
-    Tables.t(spark, dir, "events")
+  private def userDocsOf(events: org.apache.spark.sql.DataFrame) =
+    events
       .groupBy(col("user_id").as("uid"))
       .agg(to_json(struct(array_sort(collect_list(struct(
         col("event_id").as("e"),
         col("event_type").as("t"),
         col("value").as("v")))).as("events"))).as("doc"))
 
+  private def userDocs(spark: SparkSession, dir: String) =
+    userDocsOf(Tables.t(spark, dir, "events"))
+
+  // v2 tag (round 12): the builder's array-element extraction moved to the
+  // JsonArraySlices one-parse path — the cached-layout-format gotcha says
+  // bump the tag whenever the build algorithm changes, even value-preserving
   private def jsonArrayIndexCopy(spark: SparkSession, dir: String): String =
-    buildOnce("json_array_index", dir, "events.parquet") { out =>
+    buildOnce("json_array_index_v2", dir, "events.parquet") { out =>
       graft.sources.JsonIndex.build(userDocs(spark, dir), out, "uid", "doc", nFiles = 8)
     }
 
@@ -272,10 +278,17 @@ object IndexQueries {
     "q_idx_json_array",
     (spark, dir) => {
       val idx = jsonArrayIndexCopy(spark, dir)
-      val docs = userDocs(spark, dir)
-      val big = graft.sources.JsonIndex.jsonMatch(
-        docs, "uid", "doc", idx,
-        """"$.events[*].t" = 'purchase' AND "$.events[*].v" >= 250.0""")
+      val filter = """"$.events[*].t" = 'purchase' AND "$.events[*].v" >= 250.0"""
+      // Round 12 (guide §3 join placement): the candidate semi-join runs
+      // BELOW the per-user doc aggregation — the groupBy key IS the index
+      // id, so pruning event rows to candidate users keeps exactly the
+      // candidate groups with every member event intact; only candidate
+      // users pay the collect_list + to_json doc build, and the exact
+      // predicate re-applies to identical documents.
+      val ev = graft.sources.JsonIndex.candidatePrune(
+        Tables.t(spark, dir, "events"), "user_id", idx, filter)
+      val big = userDocsOf(ev)
+        .filter(graft.sources.JsonIndex.predicateCol(col("doc"), filter))
       big.agg(
         count(lit(1)).as("n_users"),
         sum(col("uid")).as("uid_sum"))

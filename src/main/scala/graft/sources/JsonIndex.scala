@@ -76,17 +76,23 @@ object JsonIndex {
     val pres = kv.select(concat(col("k"), lit(PresSep)).as("term"), col("id")).distinct()
 
     // Round 10 — array-element postings for `$.k[*]` / `$.k[*].sub` paths
-    // (Pinot's JSON index matches array elements). Elements are extracted
-    // with the SAME per-index get_json_object the wildcard predicate
-    // evaluates, so postings and predicate cannot diverge; the descending
-    // sequence(0,-1) trap is guarded with n >= 1.
+    // (Pinot's JSON index matches array elements). Round 12: elements come
+    // from ONE JsonArraySlices parse + GetJsonObject over each SMALL slice
+    // — the same construction the round-11 wildcard PREDICATE evaluates
+    // (JsonMatchSlicesParitySpec's proven-equal pair), replacing the
+    // former per-index `get_json_object(v, '$[i]')` that re-parsed the
+    // whole array per element (O(len²) per doc at index-build time).
+    // Postings and predicate still share one extraction path, so they
+    // cannot diverge; NULL slices (malformed/non-array) and JSON-null
+    // elements drop exactly as the old n>=1 / e IS NOT NULL gates did.
+    val slicesOf = GraftBridge.column(graft.expressions.JsonArraySlices(
+      GraftBridge.expression(col("v"))))
     val elems = kv
       .filter(col("v").startsWith("["))
-      .withColumn("n", expr("json_array_length(v)"))
-      .filter(col("n").isNotNull && col("n") >= 1)
-      .select(col("id"), col("k"), explode(expr(
-        "transform(sequence(0, n - 1), i -> get_json_object(v, concat('$[', CAST(i AS STRING), ']')))")).as("e"))
+      .select(col("id"), col("k"), explode(slicesOf).as("__slice"))
+      .withColumn("e", expr("get_json_object(__slice, '$')"))
       .filter(col("e").isNotNull)
+      .select(col("id"), col("k"), col("e"))
     val scalarKey = concat(col("k"), lit("[*]"))
     val eRaw = elems.select(concat(scalarKey, lit(RawSep), col("e")).as("term"), col("id"))
     val eNum = elems
@@ -184,18 +190,33 @@ object JsonIndex {
     cand(JsonMatchBuilder.parseTree(filter))
   }
 
-  /** Index-accelerated JSON_MATCH: semi-join candidates then apply the
-    * exact scan predicate; transparent full-scan fallback otherwise. */
-  def jsonMatch(df: DataFrame, idCol: String, jsonCol: String,
-      indexDir: String, filter: String): DataFrame = {
-    val pred = GraftBridge.column(
-      JsonMatchBuilder.predicate(GraftBridge.expression(col(jsonCol)), filter))
+  /** The exact JSON_MATCH predicate for `filter` as a Column — the same
+    * full-scan truth [[jsonMatch]] re-applies after its candidate cut. */
+  def predicateCol(jsonCol: org.apache.spark.sql.Column, filter: String)
+      : org.apache.spark.sql.Column =
+    GraftBridge.column(
+      JsonMatchBuilder.predicate(GraftBridge.expression(jsonCol), filter))
+
+  /** Semi-join `df` to `filter`'s index candidates on `idCol` (identity
+    * when only a full scan can answer). Round 12: exposed so a caller can
+    * push the candidate cut BELOW an aggregation whose GROUP KEY is the
+    * index id — pruning group members before the aggregation keeps exactly
+    * the groups a post-aggregation semi-join would keep, with every member
+    * row of a surviving group intact (join key = group key), so the
+    * re-applied exact predicate sees identical documents. */
+  def candidatePrune(df: DataFrame, idCol: String,
+      indexDir: String, filter: String): DataFrame =
     candidateIds(df.sparkSession, indexDir, filter) match {
       case Some(ids) =>
         df.join(ids.withColumnRenamed("id", "__jm_id"),
-            col(idCol) === col("__jm_id"), "left_semi")
-          .filter(pred)
-      case None => df.filter(pred)
+          col(idCol) === col("__jm_id"), "left_semi")
+      case None => df
     }
-  }
+
+  /** Index-accelerated JSON_MATCH: semi-join candidates then apply the
+    * exact scan predicate; transparent full-scan fallback otherwise. */
+  def jsonMatch(df: DataFrame, idCol: String, jsonCol: String,
+      indexDir: String, filter: String): DataFrame =
+    candidatePrune(df, idCol, indexDir, filter)
+      .filter(predicateCol(col(jsonCol), filter))
 }

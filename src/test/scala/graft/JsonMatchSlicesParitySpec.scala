@@ -28,7 +28,9 @@ class JsonMatchSlicesParitySpec extends GraftSuite {
     val elemPath = Concat(Seq(Literal("$["), Cast(i, StringType), Literal("]" + suffix)))
     val elem = GetJsonObject(arr, elemPath)
     val cmpOp = if (p.op == "IS NULL") "IS NOT NULL" else p.op
-    val perElem = compareRef(elem, cmpOp, p.value, p.values)
+    // the PRODUCTION comparison builder (private[graft] since round 12) —
+    // only the old array-iteration construction stays duplicated here
+    val perElem = JsonMatchBuilder.compare(elem, cmpOp, p.value, p.values)
     val idxs = UnresolvedFunction("sequence",
       Seq(Literal(0), Subtract(n, Literal(1))), isDistinct = false)
     val ex = UnresolvedFunction("exists",
@@ -36,33 +38,6 @@ class JsonMatchSlicesParitySpec extends GraftSuite {
     val any = If(And(IsNotNull(n), GreaterThanOrEqual(n, Literal(1))),
       Coalesce(Seq(ex, Literal(false))), Literal(false))
     if (p.op == "IS NULL") Not(any) else any
-  }
-
-  /** Reference copy of the comparison builder (mirrors
-    * JsonMatchBuilder.compare, which is private). */
-  private def compareRef(extracted: Expression, op: String,
-      value: Option[Either[String, Double]],
-      values: Seq[Either[String, Double]]): Expression = op match {
-    case "IS NOT NULL" => IsNotNull(extracted)
-    case "IS NULL" => IsNull(extracted)
-    case "IN" =>
-      values.map(v => compareRef(extracted, "=", Some(v), Nil)).reduce(Or)
-    case "NOT IN" =>
-      Not(values.map(v => compareRef(extracted, "=", Some(v), Nil)).reduce(Or))
-    case cmp =>
-      val (l: Expression, r: Expression) = value.get match {
-        case scala.Left(s) => (extracted, Literal(s))
-        case scala.Right(d) =>
-          (Cast(extracted, org.apache.spark.sql.types.DoubleType, None, EvalMode.TRY), Literal(d))
-      }
-      cmp match {
-        case "=" => EqualTo(l, r)
-        case "!=" | "<>" => Not(EqualTo(l, r))
-        case ">" => GreaterThan(l, r)
-        case ">=" => GreaterThanOrEqual(l, r)
-        case "<" => LessThan(l, r)
-        case "<=" => LessThanOrEqual(l, r)
-      }
   }
 
   private val docs = Seq(
