@@ -59,11 +59,32 @@ object Dedup {
       bucketCols: Seq[String],
       idCol: String,
       maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(bucketCols.map(col): _*)
+    // Round 12 (guide §2.4): the former `count(*) OVER (PARTITION BY bk)`
+    // window shuffled AND sorted every band row just to learn its bucket
+    // size. Bucket sizes are a tiny aggregate: one map-combined count whose
+    // output is |distinct buckets| rows, filtered to the OVERSIZED buckets
+    // only (the rare hot keys the cap exists for), broadcast back. Band
+    // rows now flow map-side from the prep frame into the sub assignment —
+    // one full exchange + sort deleted from every dedup pipeline consumer.
+    // sub values are identical: a non-oversized bucket had
+    // ceil(n/maxBucket) ≤ 1 ⇒ sub = pmod(id, 1) = 0, exactly the coalesce
+    // default here; oversized buckets compute the same pmod from the same
+    // count. (The DuckDB oracle replicas keep the window form — value-
+    // identical by the same argument.)
+    val hot = bandsDf
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("bk_n"))
+      .filter(col("bk_n") > maxBucket)
+      .select(bucketCols.map(c => col(c).as(s"__hot_$c")) :+
+        ceil(col("bk_n") / lit(maxBucket)).as("__nsplit"): _*)
     bandsDf
-      .withColumn("bk_n", count(lit(1)).over(w))
-      .withColumn("sub", pmod(col(idCol), ceil(col("bk_n") / lit(maxBucket))))
-      .drop("bk_n")
+      .join(broadcast(hot),
+        // <=> not ===: the window form grouped NULL bucket keys together,
+        // so a hot NULL-keyed bucket must still match its split count.
+        bucketCols.map(c => col(c) <=> col(s"__hot_$c")).reduce(_ && _),
+        "left")
+      .withColumn("sub", pmod(col(idCol), coalesce(col("__nsplit"), lit(1L))))
+      .drop(("__nsplit" +: bucketCols.map(c => s"__hot_$c")): _*)
   }
 
   /** The MinHash prep PLAN (unpersisted): distinct shingle hashes,

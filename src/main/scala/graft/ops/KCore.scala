@@ -35,33 +35,58 @@ object KCore {
       edges: DataFrame,
       k: Long,
       rounds: Int): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Round 12 (the r11 PageRank/LabelProp finding applied to the peel
+    // loop): the edge frame used to be localCheckpoint'd each round, whose
+    // LogicalRDD reports UnknownPartitioning — so EVERY round's degree
+    // aggregation re-exchanged the surviving edges. The frame is loop
+    // STATE (it shrinks), so the lineage-cut doctrine still applies — but
+    // the cut point moves to the per-round DEGREE frame (tiny, |nodes|
+    // rows): `kept` references the edge chain once and the CHECKPOINTED
+    // deg twice, so the edge plan grows linearly (one cached hop per
+    // round) instead of 3^rounds (first attempt persisted everything and
+    // wedged 10+ minutes inside generateTreeString — every uncut round
+    // tripled the tree). The persisted chain keeps hashpartitioning(src)
+    // visible: the per-round degree aggregation needs NO exchange (hash
+    // (src) satisfies its clustering) and the broadcast semi-joins
+    // preserve the streamed side's partitioning into the next round.
+    // Each new frame is eagerly materialized (count()) BEFORE the
+    // previous one is released — the multi-consumer persists race
+    // doctrine, and the old blocks feed the build.
     var e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+        col("dst").cast("long").as("dst"))
+      .repartition(nPart, col("src"))
+      .sortWithinPartitions("src")
+      .persist()
     val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var r = 0
-    while (r <= rounds) {
-      // ONE pass over the edge frame per round (round 10): the degree
-      // aggregate feeds BOTH the trajectory snapshot (nodes_alive = its
-      // row count, edges_alive = Σd / 2 — identical to the former
-      // count_distinct(src) / count(*)/2 direct pass) and the alive
-      // filter; deg is |nodes| rows, persisted for its two tiny readers.
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-      val row = deg.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("d")), lit(0L)).as("er")).head()
-      traj += ((r, row.getLong(0), row.getLong(1) / 2))
-      if (r < rounds) {
-        val alive = deg.filter(col("d") >= k).select(col("src").as("node"))
-        val kept = e
-          .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst"))
-        val old = e
-        e = kept.localCheckpoint(true)
-        old.unpersist()
+    try {
+      while (r <= rounds) {
+        // ONE pass over the edge frame per round (round 10): the degree
+        // aggregate feeds BOTH the trajectory snapshot (nodes_alive = its
+        // row count, edges_alive = Σd / 2 — identical to the former
+        // count_distinct(src) / count(*)/2 direct pass) and the alive
+        // filter; deg is |nodes| rows, eagerly checkpointed: materialized
+        // for its two readers AND the loop's lineage cut (see above).
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .localCheckpoint(true)
+        val row = deg.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("d")), lit(0L)).as("er")).head()
+        traj += ((r, row.getLong(0), row.getLong(1) / 2))
+        if (r < rounds) {
+          val alive = deg.filter(col("d") >= k).select(col("src").as("node"))
+          val kept = e
+            .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst"))
+          val old = e
+          e = kept.persist()
+          e.count() // materialize from old's blocks before releasing them
+          old.unpersist()
+        }
+        r += 1
       }
-      deg.unpersist()
-      r += 1
-    }
+    } finally e.unpersist()
     import spark.implicits._
     traj.toSeq.toDF("round", "nodes_alive", "edges_alive")
   }
