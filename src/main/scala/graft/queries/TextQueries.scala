@@ -543,9 +543,21 @@ object TextQueries {
       val pairsOf = zip_with(
         slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("prev"), b.as("cur")))
+      // Round 12 (guide §2): the shared pair frame persists HASH-PARTITIONED
+      // by (prev, cur), so every downstream consumer's clustering is already
+      // satisfied by the cache — the training count big (groupBy(prev,cur)),
+      // the per-doc pair count dp (groupBy(doc_id,prev,cur) — subset rule),
+      // AND the dp⋈big join (both sides arrive hash(prev,cur)) run with NO
+      // exchange; only the final per-doc fold still shuffles. Before: big,
+      // dp and the join side each re-exchanged the pair mass. Eagerly
+      // materialized because ctx (broadcast side) and dp (main) would
+      // otherwise race to build the cache (the r11 lazy-persist wedge).
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val allPairs = d.select(col("doc_id"), explode(pairsOf).as("pc"))
         .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+        .repartition(nPart, col("prev"), col("cur"))
         .persist() // feeds training (even docs) and scoring (all docs)
+      allPairs.count()
       val big = allPairs.filter(col("doc_id") % 2 === 0)
         .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
       val ctx = big.groupBy(col("prev")).agg(sum(col("cb")).as("cctx"))
