@@ -279,16 +279,19 @@ object IndexQueries {
     (spark, dir) => {
       val idx = jsonArrayIndexCopy(spark, dir)
       val filter = """"$.events[*].t" = 'purchase' AND "$.events[*].v" >= 250.0"""
-      // Round 12 (guide §3 join placement): the candidate semi-join runs
-      // BELOW the per-user doc aggregation — the groupBy key IS the index
-      // id, so pruning event rows to candidate users keeps exactly the
-      // candidate groups with every member event intact; only candidate
-      // users pay the collect_list + to_json doc build, and the exact
-      // predicate re-applies to identical documents.
-      val ev = graft.sources.JsonIndex.candidatePrune(
-        Tables.t(spark, dir, "events"), "user_id", idx, filter)
-      val big = userDocsOf(ev)
-        .filter(graft.sources.JsonIndex.predicateCol(col("doc"), filter))
+      // Round 12: a below-the-aggregation candidate cut (§3 join placement
+      // — prune event rows to candidate users BEFORE the collect_list doc
+      // build; group key = join key ⇒ identical survivors) was implemented
+      // (JsonIndex.candidatePrune on the events frame) and MEASURED 1.21 →
+      // 1.50 s isolated at sf0.1: this filter's one derivable leaf
+      // ('purchase') matches essentially every user, so the cut removes no
+      // groups and the extra |events|-row probe is pure cost. Cut placement
+      // follows candidate selectivity; with a non-selective candidate set
+      // the above-aggregation cut (tiny doc-side semi-join) is the right
+      // plan, so the declared query keeps it. candidatePrune remains the
+      // below-agg building block for selective filters.
+      val big = graft.sources.JsonIndex.jsonMatch(
+        userDocs(spark, dir), "uid", "doc", idx, filter)
       big.agg(
         count(lit(1)).as("n_users"),
         sum(col("uid")).as("uid_sum"))
