@@ -53,6 +53,42 @@ object LogReg {
 
   private val Scale = 18
 
+  /** Exact signed-128-bit gradient accumulator (round 12, guide §4 /
+    * the PageRank never-decimal-per-edge doctrine applied to GD): the
+    * per-feature update adds the SAME scale-18 quantized `err` to every
+    * bucket of a row, and |err| < 1 guarantees its unscaled value fits a
+    * long — so accumulation can run as two-limb integer adds (~5 ALU ops)
+    * instead of a BigDecimal (BigInteger alloc + add) per feature. Integer
+    * addition is exact and order-free in any representation, and the
+    * per-bucket totals stay well under 2^127, so the reconstructed
+    * scale-18 BigDecimal — and the whole training trajectory — is BIT
+    * IDENTICAL to the former per-feature BigDecimal fold (LogRegSpec's
+    * local-vs-distributed parity plus the Acc128 property spec). */
+  private[graft] final class Acc128(n: Int) {
+    val hi = new Array[Long](n)
+    val lo = new Array[Long](n)
+    def add(i: Int, v: Long): Unit = {
+      val l = lo(i)
+      val r = l + v
+      lo(i) = r
+      // unsigned carry-out of the low limb; v sign-extends into the high
+      val carry = ((l & v) | ((l | v) & ~r)) >>> 63
+      hi(i) += (v >> 63) + carry
+    }
+    /** the accumulated exact value as a scale-18 BigDecimal */
+    def toBigDecimal(i: Int): BigDecimal = {
+      val bi = java.math.BigInteger.valueOf(hi(i)).shiftLeft(64)
+        .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo(i))))
+      BigDecimal(new java.math.BigDecimal(bi, Scale))
+    }
+  }
+
+  /** scale-18 HALF_EVEN quantization of `err` as its unscaled long —
+    * exact while |v| ≤ 9.2 (callers pass |err| < 1) */
+  private def quantErr(v: Double): Long =
+    BigDecimal(v).setScale(Scale, BigDecimal.RoundingMode.HALF_EVEN)
+      .underlying.unscaledValue.longValueExact
+
   /** Train by full-batch GD. `df` must carry `features` (array<int> of
     * bucket ids < `dim`) and `label` (0/1). Returns the model plus the
     * per-iteration mean log-loss trajectory (decimal-summed too — the
@@ -78,8 +114,10 @@ object LogReg {
       // partitioning yields the same sums bit for bit
       val (gw, gb, lsum) = data.rdd.mapPartitions { rows =>
         val wv = bw.value
-        val acc = Array.fill(wv.length)(zero)
-        var accB = zero
+        // per-feature adds run on the exact 128-bit limbs (see Acc128);
+        // only the loss (magnitude can exceed a long at scale 18) stays a
+        // per-row BigDecimal add. Same sums bit for bit.
+        val acc = new Acc128(wv.length + 1) // slot dim = the bias
         var accL = zero
         rows.foreach { case (x, y) =>
           var z = bb
@@ -88,12 +126,13 @@ object LogReg {
           val err = p - y
           val loss = -(y * math.log(math.max(p, 1e-300)) +
             (1 - y) * math.log(math.max(1 - p, 1e-300)))
-          val errQ = BigDecimal(err).setScale(Scale, BigDecimal.RoundingMode.HALF_EVEN)
-          x.foreach(bkt => acc(bkt) = acc(bkt) + errQ)
-          accB += errQ
+          val errQ = quantErr(err)
+          x.foreach(bkt => acc.add(bkt, errQ))
+          acc.add(wv.length, errQ)
           accL += BigDecimal(loss).setScale(Scale, BigDecimal.RoundingMode.HALF_EVEN)
         }
-        Iterator.single((acc, accB, accL))
+        Iterator.single((Array.tabulate(wv.length)(acc.toBigDecimal),
+          acc.toBigDecimal(wv.length), accL))
       }.reduce { (a, c) =>
         (a._1.lazyZip(c._1).map(_ + _).toArray, a._2 + c._2, a._3 + c._3)
       }
@@ -133,8 +172,9 @@ object LogReg {
     val losses = Seq.newBuilder[Double]
     var it = 0
     while (it < iters) {
-      val acc = Array.fill(dim)(zero)
-      var accB = zero
+      // same Acc128 exact accumulation as the distributed path — the
+      // local/distributed bit-parity contract is preserved by sharing it
+      val acc = new Acc128(dim + 1) // slot dim = the bias
       var accL = zero
       rows.foreach { case (x, y) =>
         var z = b
@@ -143,16 +183,16 @@ object LogReg {
         val err = p - y
         val loss = -(y * math.log(math.max(p, 1e-300)) +
           (1 - y) * math.log(math.max(1 - p, 1e-300)))
-        val errQ = BigDecimal(err).setScale(Scale, BigDecimal.RoundingMode.HALF_EVEN)
-        x.foreach(bkt => acc(bkt) = acc(bkt) + errQ)
-        accB += errQ
+        val errQ = quantErr(err)
+        x.foreach(bkt => acc.add(bkt, errQ))
+        acc.add(dim, errQ)
         accL += BigDecimal(loss).setScale(Scale, BigDecimal.RoundingMode.HALF_EVEN)
       }
       val nw = new Array[Double](dim)
       var i = 0
-      while (i < dim) { nw(i) = w(i) - lr * (acc(i).toDouble / nRows); i += 1 }
+      while (i < dim) { nw(i) = w(i) - lr * (acc.toBigDecimal(i).toDouble / nRows); i += 1 }
       w = nw
-      b -= lr * (accB.toDouble / nRows)
+      b -= lr * (acc.toBigDecimal(dim).toDouble / nRows)
       losses += accL.toDouble / nRows
       it += 1
     }

@@ -72,4 +72,39 @@ class LogRegSpec extends GraftSuite {
     assert(ids.forall(i => i >= 0 && i < 64))
     assert(ids.nonEmpty)
   }
+
+  test("Acc128 accumulation is bit-identical to a BigDecimal fold (seeded, carry-heavy)") {
+    // magnitudes up to the quantized-err ceiling (1e18) plus adversarial
+    // near-limb-boundary values, so low-limb carries fire in both signs
+    val r = new scala.util.Random(0xACC128)
+    val special = Seq(0L, 1L, -1L, Long.MaxValue / 2, -(Long.MaxValue / 2),
+      (1e18).toLong, -(1e18).toLong)
+    val vals = special ++ (0 until 20000).map { _ =>
+      val m = r.nextLong() % (1e18.toLong + 1)
+      m
+    }
+    val acc = new LogReg.Acc128(3)
+    var ref0 = BigDecimal(0).setScale(18)
+    var ref2 = BigDecimal(0).setScale(18)
+    vals.foreach { v =>
+      acc.add(0, v)
+      ref0 += BigDecimal(new java.math.BigDecimal(java.math.BigInteger.valueOf(v), 18))
+      if (v % 3 == 0) {
+        acc.add(2, -v)
+        ref2 += BigDecimal(new java.math.BigDecimal(java.math.BigInteger.valueOf(-v), 18))
+      }
+    }
+    assert(acc.toBigDecimal(0) === ref0)
+    assert(acc.toBigDecimal(1) === BigDecimal(0).setScale(18))
+    assert(acc.toBigDecimal(2) === ref2)
+    // the trained model is unchanged by the accumulator swap: exactness of
+    // integer sums is representation-free, so the planted trajectory from
+    // the (still-BigDecimal-reducing) distributed path equals the local one
+    val df = featDf(planted(120), dim = 128)
+    val a = LogReg.train(df, dim = 128, iters = 6, lr = 0.5)
+    val b = LogReg.trainAuto(df, dim = 128, iters = 6, lr = 0.5)
+    assert(a.weights.toSeq === b.weights.toSeq)
+    assert(a.bias === b.bias)
+    assert(a.losses === b.losses)
+  }
 }
