@@ -270,9 +270,18 @@ object Dedup {
     * that distributes (no corpus-wide order, no all-pairs). Docs shorter
     * than n tokens have no positional gram and are reported span-free. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // Round 12 (guide §2): persisted hash-partitioned by g — the dup-set
+    // aggregate needs no exchange and the join back arrives co-partitioned
+    // on both sides (one |pos| exchange at the cache build instead of two
+    // downstream: the near-unique gram space defeats partial aggregation,
+    // so the old agg exchange carried ~|pos| rows again). Same rows, same
+    // results; spans/remove keep plan-identical pos frames so the in-suite
+    // CacheManager sharing is preserved.
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pos = Par.fanOut(df.filter(size(split(col(textCol), " ")) >= n))
       .select(col(idCol).as("doc_id"),
         posexplode(shingleHashes(split(col(textCol), " "), n)).as(Seq("p", "g")))
+      .repartition(nPart, col("g"))
       .persist() // feeds both the global-dup agg and the join back
     val dupG = pos.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("g"))
@@ -332,9 +341,13 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val toksOf = split(col(textCol), " ")
+    // same partitioned persist as duplicateSpans (and the same PLAN, so
+    // the two declared span queries share one cached frame in-suite)
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pos = Par.fanOut(df.filter(size(split(col(textCol), " ")) >= n))
       .select(col(idCol).as("doc_id"),
         posexplode(shingleHashes(split(col(textCol), " "), n)).as(Seq("p", "g")))
+      .repartition(nPart, col("g"))
       .persist() // feeds the keeper agg and the join back
     val keepers = pos.groupBy(col("g"))
       .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("p"))).as("kp"))
