@@ -136,7 +136,29 @@ object TextQueries {
       val d = graft.ops.Par.fanOut(Tables.t(spark, dir, "documents"))
       // total doc count as a broadcast scalar — no driver-side action
       val total = d.agg(count(lit(1)).cast("double").as("n_docs_total"))
-      val exploded = d.select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      // Round 12 (guide §2 "derive from input size"): ABOVE the size
+      // threshold the token frame persists hash-partitioned by term, so
+      // the tf aggregate (subset clustering), the df distinct+count AND
+      // the tf⋈df join all run exchange-free off the one cache — measured
+      // 18.0 → 4.75 s on the 100× dir (BASELINE.md r12 table). Below it
+      // the upfront token exchange is pure fixed cost at gate SF (where
+      // the downstream exchanges are already cheap), so small inputs keep
+      // the r11 map-side persist. Default 8 MB of scan stats: the 0.6 MB
+      // sf0.1 documents relation stays map-side, the 56 MB 100× dir (and
+      // anything production-sized) partitions. Results are identical on
+      // both paths (same aggregates over the same rows — oracle-gated at
+      // 3 SFs on the partitioned path, TfidfPartitionParitySpec pins
+      // path equality). Threshold conf-parameterised; the production
+      // justification is the 100× row.
+      val partitionBytes = spark.conf
+        .getOption("graft.text.partitionPersistBytes")
+        .map(_.toLong).getOrElse(8L << 20)
+      val big = d.queryExecution.optimizedPlan.stats.sizeInBytes >= partitionBytes
+      val tokens0 = d.select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val exploded = (if (big)
+        tokens0.repartition(
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("term"))
+      else tokens0)
         .persist()  // feeds both the tf and df aggregations
       val tf = exploded.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
       val df = exploded.select(col("term"), col("doc_id")).distinct()
