@@ -45,11 +45,38 @@ object Components {
     // checkpointed first (two materializations: edges, then sym) — explode
     // evaluates it once and sym is the only checkpoint (measured round-4
     // shave, ~0.7 s at sf0.1).
-    val sym = edges.select(explode(array(
+    // Round 12 (the kcore/pagerank pattern, size-dispatched): sym is
+    // loop-INVARIANT, so ABOVE the row threshold it re-lays the
+    // checkpointed blocks hash-partitioned + sorted by src — the round-0
+    // seed aggregate and every round's src-side join then read the cache
+    // with no exchange and no sort (a checkpoint's LogicalRDD reports
+    // UnknownPartitioning, so the old shape re-exchanged |E| every round
+    // in the sort-merge regime; measured 324 → 237 s on the 100× ngram
+    // graph). BELOW the threshold the label/delta side broadcasts anyway
+    // and the extra exchange+persist is pure cost (measured 1.5× on the
+    // small q_dedup_semantic graph) — small graphs keep the plain
+    // checkpoint. The dispatch reads an EXACT count of the materialized
+    // blocks (free — the frame was checkpointed anyway). Loop STATE
+    // (labels) stays eagerly checkpointed — the lineage cut lives there.
+    val nPart = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val symChk = edges.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
+    val minRows = edges.sparkSession.conf
+      .getOption("graft.cc.partitionEdgesMinRows").map(_.toLong)
+      .getOrElse(1000000L)
+    val nSym = symChk.count()
+    val bigGraph = nSym >= minRows
+    ccLog(s"sym rows=$nSym partitioned=$bigGraph")
+    val sym =
+      if (bigGraph)
+        symChk.repartition(nPart, col("src"))
+          .sortWithinPartitions("src")
+          .persist()
+      else symChk
     // fused round 0: seed each node with min(self, min neighbor) — the same
     // single shuffle a bare distinct would cost, but it propagates one step
     // for free, saving a full loop round (3 joins + checkpoint + aggregate)
@@ -71,6 +98,7 @@ object Components {
     // confirmation round every call). Round 1 runs full (Δ₀ = every node).
     var delta: DataFrame = null // null ⇒ full round
     ccLog(s"init done at $elapsed")
+    try {
     while (!converged && i < maxIter) {
       val viaEdges =
         if (delta == null)
@@ -125,7 +153,7 @@ object Components {
       i += 1
       ccLog(s"round $i done at $elapsed (converged=$converged)")
     }
-    sym.unpersist()
+    } finally if (bigGraph) sym.unpersist()
     labels.select("node", "cluster")
   }
 }
